@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over :mod:`clickhouse_provider_spark`: the query surface lives
+in ``clickhouse_provider_spark/plans/catalog.py`` (serving-layer classes from
+SURVEY.md §2C, the analytic surface, and the LLM-data-pipeline layer); this
+module exposes it in the driver's ``entry()`` / ``queries()`` /
+``oracle_sql()`` shape.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from clickhouse_provider_spark.plans.catalog import CATALOG  # noqa: E402
+from clickhouse_provider_spark.session import load_tables  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: regional-revenue multiway join (broadcast dims +
+    single fact-fact shuffle) on /root/testdata/sf0.001."""
+    spec = CATALOG["q5_regional_revenue"]
+    return spec.build(spark, load_tables(spark, "/root/testdata/sf0.001"))
+
+
+def _make(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spec = CATALOG[name]
+        return spec.build(spark, load_tables(spark, sf_dir))
+
+    runner.__name__ = f"query_{name}"
+    runner.__doc__ = CATALOG[name].doc
+    return runner
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ LLM layer)."""
+    return {name: _make(name) for name in CATALOG}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for every SQL-expressible query; entries with
+    ``oracle=None`` (genuinely non-SQL ops) are omitted → rows-only check."""
+    return {
+        name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None
+    }

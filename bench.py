@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver). A warmup query first touches every table so JVM /
+code-gen / file-listing warmup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from clickhouse_provider_spark.plans.catalog import CATALOG
+from clickhouse_provider_spark.session import get_spark, load_tables
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "replacing_dedup",
+    "running_total",
+    "daily_counts",
+    "json_props_stats",
+    "above_avg_orders",
+    "chain_continuity",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    tables = load_tables(spark, sf_dir)
+
+    for df in tables.values():  # warmup: schema + file listing + codegen
+        df.limit(1).count()
+
+    names = [n for n in HEADLINE if n in CATALOG]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in CATALOG]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        force(CATALOG[name].build(spark, tables))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

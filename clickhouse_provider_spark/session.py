@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing runs on ``local[N]`` (single JVM); the configuration is
+chosen so the same logical plans scale to a multi-executor cluster:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting) —
+  replaces hand-tuning ``spark.sql.shuffle.partitions`` per query at scale.
+- Arrow-backed Pandas UDF transfer on — every Python-side operator in this
+  package is Arrow-batched, never row-at-a-time.
+- UTC session timezone — the reference stores nanosecond UTC timestamps
+  (reference README.md:121 ``DateTime64(9,'UTC')``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "clickhouse_provider_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Parquet TIMESTAMP(NANOS) (events.ts) reads as LongType nanoseconds —
+        # the engine's canonical timestamp form, mirroring the reference's
+        # DateTime64(9,'UTC') ns precision (reference README.md:121) which
+        # exceeds Spark's µs TimestampType. Queries derive µs timestamps via
+        # timestamp_micros(ns DIV 1000) when calendar semantics are needed.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+    )
+    if master or not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(master or f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
+    """Register every testdata parquet table as a temp view and return the
+    DataFrames. Filters/projections against these views push down to the
+    parquet scan (verify with ``df.explain('formatted')`` → PushedFilters).
+    """
+    names = [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
