@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from clickhouse_provider_spark.plans.catalog import CATALOG  # noqa: E402
+from clickhouse_provider_spark.plans import CATALOG  # noqa: E402
 from clickhouse_provider_spark.session import load_tables  # noqa: E402
 
 

@@ -18,7 +18,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from clickhouse_provider_spark.plans.catalog import CATALOG
+from clickhouse_provider_spark.plans import CATALOG
 from clickhouse_provider_spark.session import get_spark, load_tables
 
 HEADLINE = [
@@ -31,6 +31,11 @@ HEADLINE = [
     "json_props_stats",
     "above_avg_orders",
     "chain_continuity",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "similarity_topk",
+    "text_token_stats",
 ]
 
 

@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard — each expressed as
+shuffle-conscious DataFrame compositions (no Python UDFs).
+
+Scale design (the point of each shape at 100 TB):
+
+- **exact**: groupBy(md5(text)) — one shuffle on a uniformly distributed
+  128-bit key; no skew by construction.
+- **minhash_lsh**: per-doc signatures are a narrow explode+groupBy(doc);
+  the LSH band join shuffles only (band_id, band_hash) pairs — candidate
+  generation never materializes the O(n²) pair space, and band buckets are
+  the classic bound on join fan-out. Verification joins texts only for
+  candidate pairs.
+- **simhash**: one explode+groupBy(doc) to fold 32 bit-counters; near-dup
+  banding on byte prefixes again avoids O(n²).
+- **ngram_jaccard**: exact verification (used standalone on small corpora
+  or downstream of LSH candidates).
+
+Hashing is md5-based everywhere: deterministic, seedable by prefixing, and
+available identically in Spark and DuckDB (which makes every operator
+oracle-checkable — hash-min over hex strings is order-isomorphic to
+hash-min over the integers they encode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_SHINGLE = 3  # words per shingle
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # rows per LSH band → 4 bands at N_HASHES=8
+
+
+def _parallelism(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def normalized_words(text_col: str = "text") -> F.Column:
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    return F.filter(F.split(norm, " "), lambda x: x != "")
+
+
+def shingles(df: DataFrame, n: int = N_SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document, via
+    sequence+transform (codegen) instead of a Python loop.
+
+    Repartitions by doc_id first: (a) spreads the hash-heavy explode across
+    all cores even when the source is a single file/row-group, (b) aligns
+    the partitioning with every downstream groupBy(doc_id), so signature
+    aggregation reuses the exchange instead of shuffling again. The
+    partition count is explicit — with a column-only repartition, AQE
+    coalesces the tiny shuffle down to one partition (it optimizes shuffle
+    bytes, not the md5-heavy CPU work that follows)."""
+    df = df.repartition(_parallelism(df), "doc_id")
+    words = normalized_words()
+    # guard: F.sequence(0, k) DESCENDS for k < 0 — short docs must yield
+    # an empty shingle set, not a bogus descending index range
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text). Survivor = min doc_id."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("survivor_doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): per-seed min over md5(seed||shingle).
+
+    The min of the hex digests (lexicographic) is the minhash — identical
+    semantics to min over 128-bit integers, and portable to the SQL oracle.
+    One explode + one groupBy(doc_id) with k min-aggregates.
+    """
+    sh = shingles(df)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, band_size: int = BAND_SIZE, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """LSH banding: docs sharing any band (concat of band_size minhashes)
+    become a candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Scale: the self-join key is (band_id, band_hash) — uniform md5 buckets;
+    hot buckets (true duplicate clusters of size m) cost m² pairs, which is
+    the algorithm's output size, not incidental skew.
+    """
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for (doc_a, doc_b) pairs; if ``pairs`` is None,
+    candidates are generated by sharing ≥1 shingle (exact but O(pairs-with-
+    common-shingle) — use LSH candidates at scale).
+
+    Jaccard emitted as exact integer counts + a double ratio of them, so
+    the oracle matches bit-for-bit.
+    """
+    sh = shingles(df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    out = (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash32(df: DataFrame) -> DataFrame:
+    """32-bit SimHash over normalized words (frequency-weighted): word hash
+    = first 8 hex chars of md5 as uint32; bit i of the signature is set when
+    the ±1 vote sum over all word occurrences is positive.
+
+    One explode + groupBy(doc_id) folding 32 conditional-sum aggregates —
+    no UDF, fully codegen. Portable: conv(hex,16,10) == DuckDB
+    ('0x'||hex)::BIGINT.
+    """
+    words = df.repartition(_parallelism(df), "doc_id").select(
+        "doc_id", F.explode(normalized_words()).alias("word")
+    )
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(32)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(32):
+        sig = sig + F.when(F.col(f"v_{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(0)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band on the four signature bytes, verify
+    with exact bit_count(xor). Pigeonhole guarantee: a pair within hamming
+    ≤ 3 differs in at most 3 of the 4 disjoint bytes, so it always shares
+    one band; larger distances are found only when the differing bits
+    cluster. For a larger radius, raise the band count (nibbles → 8 bands,
+    guarantee ≤ 7) at the cost of candidate fan-out."""
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.byte")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.byte") == F.col("r.byte"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+container): ``decode_image`` raises NotImplementedError unless a decoder
+is injected, and ``fake_decode`` provides a deterministic stand-in so the
+Spark-side plumbing — schema, batch shape, partitioning — is real and
+tested end-to-end.
+
+Scale design: media blobs never pass through Python row-at-a-time; each
+mapInPandas batch moves as one Arrow chunk. Feature outputs are small fixed
+-width columns, so downstream joins/aggs shed the blob column immediately
+(column pruning drops `content` unless explicitly selected).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("histogram", T.ArrayType(T.LongType()), True),  # 16 bins
+    ]
+)
+
+
+def decode_image(content: bytes) -> "object":
+    """Real decode hook — inject a decoder (PIL/cv2) in a full deployment.
+
+    Kept as an explicit NotImplementedError: the container has no imaging
+    libraries, and silently faking decode in the *production* path would
+    hide that.
+    """
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use fake_decode for pipeline testing"
+    )
+
+
+def fake_decode(content: bytes) -> bytes:
+    """Deterministic decode stand-in (identity) for plumbing tests."""
+    return content
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize a media table from the documents fixture (text
+    bytes as blob) so the binary pipeline is exercised on driver-provided
+    data without fabricating new inputs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media: DataFrame, decode: Callable[[bytes], bytes] = fake_decode
+) -> DataFrame:
+    """Per-blob features via mapInPandas (Arrow batches): byte count,
+    16-bin byte histogram, byte entropy. Deterministic given the decoder."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    out.append((media_id, None, None, None))
+                    continue
+                data = decode(bytes(content))
+                hist = [0] * 16
+                for b in data:
+                    hist[b >> 4] += 1
+                n = len(data)
+                ent = 0.0
+                for c in hist:
+                    if c:
+                        p = c / n
+                        ent -= p * math.log2(p)
+                out.append((media_id, n, ent, hist))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_bytes", "byte_entropy", "histogram"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, duration_ms) into
+    per-frame timestamps JVM-side (sequence+explode); the actual frame
+    decode would plug into extract_features' decoder. Demonstrates that
+    fan-out happens before Python, so Arrow batches stay small per frame."""
+    return (
+        media.filter(F.col("meta.duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

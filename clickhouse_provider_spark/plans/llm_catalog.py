@@ -1,0 +1,323 @@
+"""LLM-data-pipeline catalog entries: dedup, similarity search, text
+analysis over the `documents` / `embeddings` tables (BASELINE.json north
+star — no reference counterpart; built Spark-first).
+
+Oracle strategy: every operator is decomposed into md5-based hashing,
+integer counting, and left-to-right double folds — primitives that behave
+bit-identically in Spark and DuckDB (verified: list_dot_product ==
+F.aggregate/zip_with fold; CAST('0x..' AS BIGINT) == conv(hex,16,10);
+lexicographic min over md5 hex == minhash). Several oracles are generated
+programmatically so both sides share one parameterization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import dedup, similarity, text
+from clickhouse_provider_spark.plans.catalog import register
+
+# Shared DuckDB fragments -----------------------------------------------------
+
+SQL_WORDS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), "
+    "w -> w <> '')"
+)
+SQL_SHINGLES = f"""
+  WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(
+      [array_to_string(words[i:i+{dedup.N_SHINGLE - 1}], ' ')
+       for i in generate_series(1, len(words) - {dedup.N_SHINGLE - 1})]
+    )) AS shingle
+    FROM d WHERE len(words) >= {dedup.N_SHINGLE}
+  )
+"""
+
+
+def _minhash_cols_sql() -> str:
+    return ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(dedup.N_HASHES)
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+    w AS (SELECT doc_id, unnest(words) AS word FROM d),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 8) AS BIGINT) AS h FROM w),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, {assemble} AS simhash FROM votes
+    """
+
+
+SQL_DOT = "list_dot_product({a}, {b})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# Dedup -----------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS survivor_doc_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup by content hash: groupBy(md5(text)), survivor = min "
+    "doc_id. Scale: one shuffle on a uniform 128-bit key — no skew; at "
+    "100 TB hash first, never shuffle full texts.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark, t):
+    return dedup.exact_duplicates(t["documents"])
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    {SQL_SHINGLES}
+    SELECT doc_id, {_minhash_cols_sql()}
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (k=8) per document: shingle→seeded-md5→min. "
+    "Lexicographic min over hex == min over 128-bit ints, so the signature "
+    "is portable. Scale: explode+groupBy(doc_id) — narrow, combiner-"
+    "friendly; signature table is k×16 bytes/doc regardless of doc size.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_minhash_signatures(spark, t):
+    return dedup.minhash_signatures(t["documents"])
+
+
+@register(
+    "dedup_lsh_pairs",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN concat(mh_0, '|', mh_1) WHEN 1 THEN concat(mh_2, '|', mh_3)
+               WHEN 2 THEN concat(mh_4, '|', mh_5) ELSE concat(mh_6, '|', mh_7)
+             END AS band_hash
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band_id)
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any "
+    "band collide. Scale: the self-join key is (band_id, band_hash) — "
+    "candidate generation without the O(n²) pair space.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_lsh_pairs(spark, t):
+    return dedup.lsh_candidate_pairs(dedup.minhash_signatures(t["documents"]))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+             AS jaccard
+    FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    doc="Exact n-gram Jaccard for every pair sharing ≥1 shingle. Scale: "
+    "this is the *verification* stage — at 100 TB feed it LSH candidates "
+    "(dedup_lsh_pairs) instead of the shingle-collision pair space.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark, t):
+    return dedup.jaccard_pairs(t["documents"])
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_sql(),
+    doc="32-bit SimHash per document (frequency-weighted ±1 votes per bit "
+    "from word md5). One explode+groupBy folding 32 conditional sums — "
+    "no UDF. Near-dup pairs via byte-banding: operators/dedup.py:"
+    "simhash_near_pairs (tested on synthetic dups).",
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash(spark, t):
+    return dedup.simhash32(t["documents"])
+
+
+# Similarity ------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id, {_cos_sql('v', 'qv')} AS cos_sim
+    FROM c, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force exact top-k cosine against a query vector (vec_id=0) "
+    "— the ANN correctness baseline. Left-to-right double folds are bit-"
+    "identical across engines. Scale: map-only scan + TakeOrdered; the "
+    "1-row query broadcast.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk(spark, t):
+    return similarity.cosine_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # bucket membership is implementation-defined → rows-only
+    doc="ANN top-k via deterministic random-hyperplane LSH (md5-derived "
+    "±1 planes, 4 bits → 16 buckets), exact cosine within the query's "
+    "bucket. Scale path for similarity_topk: bucketed/partitioned-by-"
+    "signature layout means a query touches 1/2^p of the data; recall "
+    "tuned by plane count + multi-probe. Verified against the exact "
+    "baseline in tests/test_llm_ops.py.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_ann_lsh(spark, t):
+    return similarity.lsh_bucket_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE))))
+             AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norms (array fold, no UDF) — embedding hygiene "
+    "check feeding normalization decisions.",
+    tags=("llm", "similarity"),
+)
+def q_embedding_norms(spark, t):
+    return similarity.embedding_norms(t["embeddings"])
+
+
+# Text analysis ---------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, length(text) AS n_chars,
+           len(regexp_extract_all(text, '{text.TOKEN_RE}')) AS n_tokens,
+           len(regexp_extract_all(text, '{text.BPE_RE}')) AS n_bpe_tokens,
+           len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+             AS n_unique_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex classes + "
+    "distinct tokens. Pure regexp codegen; linear scan at any scale.",
+    tags=("llm", "text"),
+)
+def q_text_token_stats(spark, t):
+    return text.token_counts(t["documents"])
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '\\S')) AS n_nonspace,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+             len(regexp_extract_all(text, '[A-Za-z0-9]')) AS n_alnum
+      FROM documents
+    )
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                THEN CAST(n_nonspace AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks, t -> t IN {text.STOPWORDS!r})) AS DOUBLE)
+                     / len(toks) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS unique_ratio,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_chars - n_alnum AS DOUBLE) / n_chars ELSE 0.0 END
+             AS non_alnum_ratio
+    FROM x
+    """,
+    doc="Quality scoring: length / mean token length / stopword / unique / "
+    "non-alnum ratios — exact integer counts, double division (rule 3).",
+    tags=("llm", "text"),
+)
+def q_text_quality(spark, t):
+    return text.quality_scores(t["documents"])
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT doc_id, {text.lang_id_sql_scores()} FROM documents)
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in langs)}, {pred} AS pred_lang
+    FROM s
+    """
+
+
+@register(
+    "text_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="Language-ID heuristic: marker-stopword overlap score per language, "
+    "deterministic argmax (tie → lexicographically first language; no hits "
+    "→ 'und').",
+    tags=("llm", "text"),
+)
+def q_text_lang_id(spark, t):
+    return text.lang_id(t["documents"])
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+           length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+    doc="Normalized-content fingerprint (md5 of lowercased, punctuation-"
+    "collapsed text) — dedup key robust to formatting noise.",
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark, t):
+    return text.fingerprints(t["documents"])

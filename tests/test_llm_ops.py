@@ -1,0 +1,122 @@
+"""Behavioral tests for the LLM-data-pipeline operators on constructed
+inputs (the oracle parity suite covers the driver tables; these prove the
+operators actually *find* planted duplicates / neighbors)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")  # 1-word edit → high jaccard
+    other = "completely different content about spark shuffles and parquet files here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # exact dup of 1
+            Row(doc_id=3, text=near),  # near dup of 1
+            Row(doc_id=4, text=other),
+            Row(doc_id=5, text=""),  # empty: must not crash shingling
+            Row(doc_id=6, text="one two"),  # shorter than shingle width
+        ]
+    )
+
+
+def test_exact_duplicates(dup_docs):
+    res = {r["survivor_doc_id"]: r["dup_count"] for r in dedup.exact_duplicates(dup_docs).collect()}
+    assert res[1] == 2  # docs 1+2 collapse
+    assert res[3] == 1 and res[4] == 1
+
+
+def test_shingles_edge_cases(dup_docs):
+    sh = dedup.shingles(dup_docs)
+    by_doc = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 5 not in by_doc and 6 not in by_doc  # too short → no shingles
+    assert by_doc[1] > 0
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    sig = dedup.minhash_signatures(dup_docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides w.h.p.
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_values(dup_docs):
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.jaccard_pairs(dup_docs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.5 < j[(1, 3)] < 1.0
+    assert (1, 4) not in j
+
+
+def test_simhash_near_pairs(dup_docs):
+    sig = dedup.simhash32(dup_docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.simhash_near_pairs(sig, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    # recall guarantee: every pair within hamming ≤ 3 (brute force) is found
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(vals[a] ^ vals[b]).count("1") <= 3:
+                assert (a, b) in pairs
+    assert all(v <= 8 for v in pairs.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0)]
+    rows += [Row(vec_id=1, embedding=[0.99, 0.1, 0.0, 0.0], label=0)]  # close
+    rows += [Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0], label=1)]  # orthogonal
+    rows += [Row(vec_id=3, embedding=[-1.0, 0.0, 0.0, 0.0], label=1)]  # opposite
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_ordering(vectors):
+    res = similarity.cosine_topk(vectors, query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in res] == [1, 2, 3]
+    assert res[0]["cos_sim"] == pytest.approx(0.99 / (0.99**2 + 0.01) ** 0.5)
+    assert res[2]["cos_sim"] == -1.0
+
+
+def test_ann_lsh_recall_vs_exact(spark, tables):
+    """On the real embeddings table: every ANN hit must carry the exact
+    cosine value, and hits must be a subset of the query's bucket."""
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(tables["embeddings"], 0, k=500).collect()
+    }
+    ann = similarity.lsh_bucket_topk(tables["embeddings"], 0, k=10).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert r["cos_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-12)
+    assert len({r["lsh_bucket"] for r in ann}) == 1
+
+
+def test_multimodal_features_roundtrip(spark, tables):
+    media = multimodal.documents_as_media(tables["documents"].limit(50))
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r["n_bytes"] == sum(r["histogram"])
+        assert 0.0 <= r["byte_entropy"] <= 4.0  # 16 bins → ≤ log2(16)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="video", content=None, meta=Row(mime="video/mp4", width=None, height=None, duration_ms=3500))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]

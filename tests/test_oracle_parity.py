@@ -3,7 +3,7 @@ a local replay of the driver's correctness gate (stricter: exact equality)."""
 
 import pytest
 
-from clickhouse_provider_spark.plans.catalog import CATALOG
+from clickhouse_provider_spark.plans import CATALOG
 from tools.parity import compare
 
 

@@ -87,7 +87,7 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
 
 def run_parity(names=None, sf_dir="/root/testdata/sf0.01", spark=None, con=None, verbose=True):
     sys.path.insert(0, "/root/repo")
-    from clickhouse_provider_spark.plans.catalog import CATALOG
+    from clickhouse_provider_spark.plans import CATALOG
     from clickhouse_provider_spark.session import get_spark, load_tables
 
     spark = spark or get_spark()
