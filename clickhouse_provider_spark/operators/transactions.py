@@ -220,6 +220,12 @@ def data_receipt_units(blocks: DataFrame) -> DataFrame:
             F.col("r.receipt.Data.is_promise_resume").alias("is_promise_resume"),
         )
     )
+    return dedup_data_units(dr)
+
+
+def dedup_data_units(dr: DataFrame) -> DataFrame:
+    """First copy per data_id in processing order (also used by streaming
+    after unioning carried-over state with a new batch)."""
     w = W.partitionBy("data_id").orderBy("block_height", "shard_pos", "pos")
     return dr.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
@@ -393,9 +399,26 @@ def assemble(blocks: DataFrame) -> dict[str, DataFrame]:
     """Full transactions-mode fan-out. Returns the 5 tables plus the
     ``incomplete`` relation (txs whose receipt closure isn't finished in
     this batch — the reference would keep them in TxCache)."""
-    seeds = tx_seeds(blocks)
-    outcomes = outcome_units(blocks)
-    data_units = data_receipt_units(blocks)
+    out = assemble_from_parts(
+        tx_seeds(blocks),
+        outcome_units(blocks),
+        data_receipt_units(blocks),
+        block_rows(blocks).select("block_height", "block_hash", "block_timestamp"),
+    )
+    out["blocks"] = block_rows(blocks)
+    return out
+
+
+def assemble_from_parts(
+    seeds: DataFrame,
+    outcomes: DataFrame,
+    data_units: DataFrame,
+    block_info: DataFrame,
+) -> dict[str, DataFrame]:
+    """Assembly over pre-extracted relations — the incremental/streaming
+    entry point (streaming/ unions carried-over state into each part).
+    ``block_info``: (block_height, block_hash, block_timestamp) for every
+    block a tx may span (streaming reads it from the blocks table)."""
     mapping = receipt_to_tx(seeds, outcomes)
 
     mapped = outcomes.join(mapping, "receipt_id", "left")
@@ -469,7 +492,6 @@ def assemble(blocks: DataFrame) -> dict[str, DataFrame]:
     )
 
     # ---- block_txs: one row per (tx, spanned block) ---------------------
-    block_info = block_rows(blocks).select("block_height", "block_hash", "block_timestamp")
     spanned = (
         m.select("tx_hash", "block_height")
         .unionByName(
@@ -582,7 +604,6 @@ def assemble(blocks: DataFrame) -> dict[str, DataFrame]:
         "account_txs": account_txs,
         "block_txs": block_txs,
         "receipt_txs": receipt_txs,
-        "blocks": block_rows(blocks),
         "incomplete": incomplete,
     }
 

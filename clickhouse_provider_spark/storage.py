@@ -1,0 +1,101 @@
+"""Table storage: the ClickHouse MergeTree layout re-expressed as
+partitioned + sorted + bloom-filtered Parquet (reference DDL README.md:
+117-331; SURVEY.md §2B #29-#34, §4).
+
+Mapping of each storage-level mechanism:
+
+- ``ORDER BY`` sort keys      → height-bucket partition dirs +
+  sortWithinPartitions: range scans prune whole buckets (partition
+  pruning) and row groups (parquet min/max on the sorted key)
+- ``minmax`` skip index       → parquet column statistics (automatic)
+- ``bloom_filter`` skip index → parquet bloom filters, enabled per column
+  at write (``parquet.bloom.filter.enabled#col``)
+- ``set(0)`` index            → dictionary encoding + stats (automatic on
+  low-cardinality strings)
+- ``ReplacingMergeTree``      → append-only writes + dedup-on-read view
+  (`read_table`): last-write-wins on the sort key, exactly the reference's
+  crash-replay idempotency (SAFE_CATCH_UP_OFFSET re-ingest collapses)
+- LZ4 transport               → zstd parquet pages (session default)
+
+At 100 TB: bucket size keeps per-partition data at file-count sanity;
+writes of a height range touch only their buckets, and the dedup view's
+window shuffles only within identical sort keys (replay overlap), never
+the full table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clickhouse_provider_spark.schemas import BLOOM_COLUMNS, SORT_KEYS
+
+DEFAULT_BUCKET = 100_000  # blocks per partition dir
+
+# column whose bucket partitions the table (first sort-key height column)
+PARTITION_HEIGHT = {
+    "actions": "block_height",
+    "events": "block_height",
+    "data": "block_height",
+    "transactions": "tx_block_height",
+    "account_txs": "tx_block_height",
+    "block_txs": "block_height",
+    "receipt_txs": "tx_block_height",
+    "blocks": "block_height",
+}
+
+
+def write_table(
+    df: DataFrame,
+    warehouse: str,
+    name: str,
+    mode: str = "append",
+    bucket_size: int = DEFAULT_BUCKET,
+) -> str:
+    """Append rows in MergeTree-like layout. Idempotency comes from the
+    dedup-on-read view, not the write (matching the reference: re-inserts
+    during catch-up are absorbed by ReplacingMergeTree merges)."""
+    path = os.path.join(warehouse, name)
+    height_col = PARTITION_HEIGHT[name]
+    writer = (
+        df.withColumn("height_bucket", (F.col(height_col) / bucket_size).cast("long"))
+        .sortWithinPartitions(*SORT_KEYS[name])
+        .write.mode(mode)
+        .partitionBy("height_bucket")
+    )
+    for col in BLOOM_COLUMNS.get(name, []):
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    writer.parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
+    """Dedup-on-read view with ReplacingMergeTree semantics: one survivor
+    per sort key (row_number over the key — at scale the window shuffles
+    by sort-key hash; only genuinely duplicated keys carry >1 row)."""
+    path = os.path.join(warehouse, name)
+    df = spark.read.parquet(path).drop("height_bucket")
+    key = SORT_KEYS[name]
+    w = W.partitionBy(*key).orderBy(*key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ingest_batch(blocks: DataFrame, warehouse: str, mode: str = "append") -> dict[str, str]:
+    """Full batch ingest: both pipeline modes → all 8 tables (the
+    reference runs them as two daemons over the same stream)."""
+    from clickhouse_provider_spark.operators.actions import extract_tables
+    from clickhouse_provider_spark.operators.transactions import assemble
+
+    paths = {}
+    act = extract_tables(blocks)
+    txs = assemble(blocks)
+    for name, df in {**act, **{k: v for k, v in txs.items() if k != "incomplete"}}.items():
+        paths[name] = write_table(df, warehouse, name, mode=mode)
+    return paths

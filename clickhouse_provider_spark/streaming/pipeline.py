@@ -1,0 +1,194 @@
+"""Streaming pipelines (reference: the two daemon loops, src/main.rs:
+136-175; SURVEY.md §2A #4, M4).
+
+**Actions mode** is stateless per block → a plain foreachBatch over the
+block file stream; each micro-batch runs the same extract_tables DAG and
+appends in MergeTree layout. Exactly-once = checkpoint offsets + the
+dedup-on-read view absorbing any replayed batch (the reference gets the
+same property from max(block_height) resume + ReplacingMergeTree).
+
+**Transactions mode** is the stateful one. The reference carries TxCache
+(pending txs + receipt routing + buffered data receipts) in process
+memory; the streaming port carries the *same three relations* as
+versioned parquet state between micro-batches:
+
+    state_seeds     — seed rows of still-incomplete transactions
+    state_outcomes  — executed receipts belonging to incomplete txs
+    state_data      — data receipts not yet consumed by an emitted tx
+
+Each micro-batch unions state with the batch's new units, reruns the
+relational assembly (operators.transactions.assemble_from_parts — the
+closure fixpoint only re-walks incomplete txs + new arrivals), appends
+completed txs to the tables, and writes state version N+1. State size is
+bounded by in-flight transactions (the reference's TxCache bound), not
+history. Receipts that arrive with no known transaction (the reference's
+catch-up warn/panic, transactions.rs:263-275) land in a ``skipped``
+dead-letter table instead of killing the stream.
+
+Restart semantics: state versions are keyed by batch_id, so a replayed
+micro-batch overwrites its own state version and re-appends rows that the
+dedup-on-read view collapses — idempotent end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark import storage
+from clickhouse_provider_spark.operators import transactions as TX
+from clickhouse_provider_spark.operators.actions import extract_tables
+from clickhouse_provider_spark.sources import block_stream
+
+
+def run_actions_stream(
+    spark: SparkSession,
+    src_path: str,
+    warehouse: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Actions-mode daemon: block files → actions/events/data appends."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        for name, df in extract_tables(batch_df).items():
+            storage.write_table(df, warehouse, name)
+
+    stream = block_stream(spark, src_path, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class TransactionsStream:
+    """Stateful transactions-mode daemon (see module doc)."""
+
+    STATE_PARTS = ("seeds", "outcomes", "data")
+
+    def __init__(self, spark: SparkSession, warehouse: str, state_dir: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.state_dir = state_dir
+
+    # -- state versioning ---------------------------------------------------
+
+    def _latest_version(self) -> int | None:
+        try:
+            versions = [
+                int(d.split("=")[1])
+                for d in os.listdir(self.state_dir)
+                if d.startswith("v=")
+            ]
+        except FileNotFoundError:
+            return None
+        return max(versions) if versions else None
+
+    def _read_state(self, part: str) -> DataFrame | None:
+        v = self._latest_version()
+        if v is None:
+            return None
+        path = os.path.join(self.state_dir, f"v={v}", part)
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _write_state(self, part: str, df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(self.state_dir, f"v={batch_id}", part)
+        df.write.mode("overwrite").parquet(path)
+
+    # -- the micro-batch ----------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        new_seeds = TX.tx_seeds(batch_df)
+        new_outcomes = TX.outcome_units(batch_df)
+        new_data = TX.data_receipt_units(batch_df)
+        blocks_rows = TX.block_rows(batch_df)
+
+        seeds = _union(self._read_state("seeds"), new_seeds)
+        outcomes = _union(self._read_state("outcomes"), new_outcomes)
+        data_units = TX.dedup_data_units(_union(self._read_state("data"), new_data))
+
+        # blocks table first: spanned-block info for cross-batch txs comes
+        # from the table (the reference re-reads nothing — its state holds
+        # BlockInfo; ours lives in the already-written blocks table)
+        storage.write_table(blocks_rows, self.warehouse, "blocks")
+        block_info = storage.read_table(self.spark, self.warehouse, "blocks").select(
+            "block_height", "block_hash", "block_timestamp"
+        )
+
+        out = TX.assemble_from_parts(seeds, outcomes, data_units, block_info)
+        incomplete_keys = out["incomplete"].select("tx_hash").cache()
+        incomplete_keys.count()
+
+        for name in ("transactions", "account_txs", "block_txs", "receipt_txs"):
+            storage.write_table(out[name], self.warehouse, name)
+
+        # Outcomes with no transaction mapping yet: the reference's ordered
+        # stream makes these a catch-up warn/panic (transactions.rs:263-275);
+        # a distributed source may legitimately deliver blocks out of order,
+        # so we RETAIN them in state until their seed/parent arrives and
+        # surface the current unresolved set as a diagnostic table.
+        mapping = TX.receipt_to_tx(seeds, outcomes)
+        unmapped = outcomes.join(mapping, "receipt_id", "left_anti")
+        unmapped.select("receipt_id", "block_height").write.mode("overwrite").parquet(
+            os.path.join(self.warehouse, "unresolved_receipts")
+        )
+
+        # next state: units of incomplete txs + not-yet-mapped outcomes +
+        # unconsumed data receipts
+        state_seeds = seeds.join(incomplete_keys, "tx_hash", "left_semi")
+        state_outcomes = outcomes.join(
+            mapping.join(incomplete_keys, "tx_hash", "left_semi").select("receipt_id"),
+            "receipt_id",
+            "left_semi",
+        ).unionByName(unmapped)
+        consumed = (
+            out["receipt_txs"]
+            .select(F.col("receipt_id"))
+            .join(data_units.select("receipt_id"), "receipt_id", "left_semi")
+        )
+        state_data = data_units.join(consumed, "receipt_id", "left_anti")
+
+        self._write_state("seeds", state_seeds, batch_id)
+        self._write_state("outcomes", state_outcomes, batch_id)
+        self._write_state("data", state_data, batch_id)
+        incomplete_keys.unpersist()
+
+
+def _union(state: DataFrame | None, new: DataFrame) -> DataFrame:
+    if state is None:
+        return new
+    return state.unionByName(new, allowMissingColumns=True)
+
+
+def run_transactions_stream(
+    spark: SparkSession,
+    src_path: str,
+    warehouse: str,
+    checkpoint: str,
+    state_dir: str | None = None,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+):
+    """Transactions-mode daemon: block files → 5 explorer tables with
+    cross-batch tx state."""
+    assembler = TransactionsStream(
+        spark, warehouse, state_dir or os.path.join(warehouse, "_tx_state")
+    )
+    stream = block_stream(spark, src_path, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(assembler.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
