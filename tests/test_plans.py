@@ -1,0 +1,77 @@
+"""Physical-plan assertions: the declarative catalog queries must compile
+to the plans the scale story depends on — pushdown reaching the scan,
+broadcast joins for dimensions, TakeOrdered for pagination, partial
+aggregation before the exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.plans import CATALOG
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def build(name, spark, tables):
+    return CATALOG[name].build(spark, tables)
+
+
+def test_filter_pushdown_point_lookup(spark, tables):
+    plan = plan_of(build("point_lookup", spark, tables))
+    assert "PushedFilters" in plan
+    assert "o_orderkey" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_column_pruning_range_scan(spark, tables):
+    plan = plan_of(build("range_scan", spark, tables))
+    # scan must read only the 4 projected columns, not all 11
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_shipdate" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_pagination_avoids_global_sort(spark, tables):
+    plan = plan_of(build("range_page", spark, tables))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_join_q3(spark, tables):
+    plan = plan_of(build("q3_shipping_priority", spark, tables))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_single_fact_shuffle(spark, tables):
+    """q5's only sort-merge/shuffle join should be lineitem⋈orders; the
+    four dimension joins must all broadcast."""
+    plan = plan_of(build("q5_regional_revenue", spark, tables))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_partial_aggregation_q1(spark, tables):
+    plan = plan_of(build("q1_pricing_summary", spark, tables))
+    # two HashAggregate nodes (partial + final) around one exchange
+    # (pre-AQE formatted plans don't render WholeStageCodegen spans)
+    assert plan.count("HashAggregate") >= 2
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_semi_join_plan(spark, tables):
+    plan = plan_of(build("semi_join_exists", spark, tables))
+    assert "LeftSemi" in plan
+
+
+def test_minhash_no_python_udf(spark, tables):
+    """The dedup/minhash path must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython in the plan)."""
+    plan = plan_of(build("dedup_minhash_signatures", spark, tables))
+    assert "EvalPython" not in plan
+
+
+def test_similarity_topk_takeordered(spark, tables):
+    plan = plan_of(build("similarity_topk", spark, tables))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
