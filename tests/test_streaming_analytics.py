@@ -1,0 +1,96 @@
+"""Streaming analytics operators: applyInPandasWithState sessionization
+(cross-checked against the batch twin) and watermarked windowed counts
+(cross-checked against the batch plan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.streaming import sessionize, windows
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """events table split into 3 height-ordered parquet chunks so the
+    stream sees multiple micro-batches."""
+    src = tmp_path_factory.mktemp("events_chunks")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+    )
+    n = ev.count()
+    ordered = ev.orderBy("ts_us", "event_id")
+    chunks = [
+        ordered.limit(n).subtract(ordered.limit(2 * n // 3)),
+        ordered.limit(2 * n // 3).subtract(ordered.limit(n // 3)),
+        ordered.limit(n // 3),
+    ]
+    for i, c in enumerate(reversed(chunks)):
+        c.coalesce(1).write.parquet(str(src / f"chunk={i}"))
+    return str(src), ev
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_dir, tmp_path_factory):
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_sess"))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src + "/chunk=0").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        sessionize.sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    closed = spark.table("closed_sessions")
+    still_open = sessionize.open_sessions(ev)
+    # closed ∪ still-open must equal the batch sessionization exactly
+    all_sessions = closed.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    ).unionByName(still_open)
+    from clickhouse_provider_spark.plans import CATALOG
+    from clickhouse_provider_spark.session import load_tables
+
+    batch = (
+        CATALOG["user_sessions"]
+        .build(spark, load_tables(spark, "/root/testdata/sf0.01"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    assert all_sessions.count() == batch.count()
+    assert all_sessions.exceptAll(batch).count() == 0
+    assert batch.exceptAll(all_sessions).count() == 0
+    assert closed.count() > 0  # the stream really closed sessions mid-flight
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_stream_dir, tmp_path_factory):
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_win"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        windows.windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("win_counts")
+    expect = windows.windowed_event_counts(ev, streaming=False)
+    # append mode only emits watermark-finalized windows → got ⊆ expect,
+    # and every finalized window matches the batch result exactly
+    assert got.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    finalized = got.select("window_start").distinct().count()
+    assert finalized >= expect.select("window_start").distinct().count() - 3
