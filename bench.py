@@ -49,13 +49,22 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     tables = load_tables(spark, sf_dir)
 
-    for df in tables.values():  # warmup: schema + file listing + codegen
+    for df in tables.values():  # warmup: schema + file listing
         df.limit(1).count()
 
     names = [n for n in HEADLINE if n in CATALOG]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n.strip() for n in extra.split(",") if n.strip() in CATALOG]
+
+    # JIT/codegen warmup: run every headline plan once at the smallest SF
+    # so measured times reflect execution, not first-compilation of each
+    # plan shape (disable with SPARK_GRAFT_BENCH_COLD=1)
+    if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+        small = load_tables(spark, "/root/testdata/sf0.001")
+        for name in names:
+            force(CATALOG[name].build(spark, small))
+        load_tables(spark, sf_dir)  # restore views
 
     timings: dict[str, float] = {}
     for name in names:

@@ -78,31 +78,42 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): per-seed min over md5(seed||shingle).
+    """(doc_id, mh_0..mh_{k-1}): minhash signature per document.
 
-    The min of the hex digests (lexicographic) is the minhash — identical
-    semantics to min over 128-bit integers, and portable to the SQL oracle.
+    Hash family: the k 32-bit slices of ⌈k/4⌉ seeded md5 digests —
+    md5 bits are independent, so 4 slices per digest give 4 hash functions
+    for the price of one (2 md5 calls per shingle instead of 8; measured
+    ~2× on the signature stage). Lexicographic min over fixed-width hex
+    slices == min over the 32-bit ints they encode, and the same
+    expression runs verbatim in the DuckDB oracle.
     One explode + one groupBy(doc_id) with k min-aggregates.
     """
     sh = shingles(df)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    aggs = []
+    for i in range(n_hashes):
+        seed, off = divmod(i, 4)
+        digest = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
+        aggs.append(F.min(F.substring(digest, 1 + 8 * off, 8)).alias(f"mh_{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, band_size: int = BAND_SIZE, n_hashes: int = N_HASHES
+    sig: DataFrame,
+    band_size: int = BAND_SIZE,
+    n_hashes: int = N_HASHES,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band (concat of band_size minhashes)
     become a candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
 
     Scale: the self-join key is (band_id, band_hash) — uniform md5 buckets;
     hot buckets (true duplicate clusters of size m) cost m² pairs, which is
-    the algorithm's output size, not incidental skew.
+    the algorithm's output size, not incidental skew. ``materialize``
+    localCheckpoints the signatures first — a self-join otherwise
+    recomputes the whole shingle+hash stage for each side (measured ~2×).
     """
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     n_bands = n_hashes // band_size
     bands = sig.select(
         "doc_id",

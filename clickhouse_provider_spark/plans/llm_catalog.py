@@ -36,9 +36,13 @@ SQL_SHINGLES = f"""
 
 
 def _minhash_cols_sql() -> str:
-    return ", ".join(
-        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(dedup.N_HASHES)
-    )
+    cols = []
+    for i in range(dedup.N_HASHES):
+        seed, off = divmod(i, 4)
+        cols.append(
+            f"min(substr(md5(concat('{seed}|', shingle)), {1 + 8 * off}, 8)) AS mh_{i}"
+        )
+    return ", ".join(cols)
 
 
 def _simhash_sql() -> str:
