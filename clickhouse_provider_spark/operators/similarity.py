@@ -119,6 +119,99 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a, b), a < b,
+    with cosine ≥ threshold. This is the verification/baseline form — at
+    100 TB, generate candidates with the LSH buckets (lsh_bucket_topk's
+    signature) or IVF cells first and verify only those; the exact form
+    here is what the candidates are verified *against*."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF-flat cell assignment: each vector → its max-cosine centroid.
+
+    Centroid 'training' is a deterministic stub (the first n_cells vectors
+    by id) — a k-means step would slot in here without changing the
+    operator shape; what matters for the engine is the assignment plan:
+    broadcast the centroid table, one map-side argmax per vector, NO
+    shuffle. The cell id becomes the partition key of the vector table at
+    scale (a query probes nprobe cells → reads nprobe partitions)."""
+    from pyspark.sql.window import Window as W
+
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cos_to_centroid").desc(), F.col("cell_id"))
+    return (
+        emb.join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cell_id"),
+            cosine(F.col(vec_col), F.col("centroid")).alias("cos_to_centroid"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the query's nprobe best cells, exact cosine
+    within them. Recall/latency dial = nprobe/n_cells."""
+    assigned = ivf_assignments(emb, n_cells, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+    q_vec = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        q_vec.join(F.broadcast(cents))
+        .select("cell_id", "q_vec", cosine(F.col("q_vec"), F.col("centroid")).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("cell_id"))
+        .limit(nprobe)
+        .select("cell_id", "q_vec")
+    )
+    return (
+        assigned.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(probes), "cell_id")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_norms(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector L2 norm + per-label aggregates feedstock."""
     return emb.select(

@@ -214,6 +214,59 @@ def q_similarity_ann_lsh(spark, t):
 
 
 @register(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos_sql('a.e', 'b.e')} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.e', 'b.e')} >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact baseline; LSH/IVF "
+    "candidate generation is the scale path — see similarity_ivf_topk).",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_embedding_pairs(spark, t):
+    return similarity.cosine_near_pairs(t["embeddings"], threshold=0.4)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    c AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT v.vec_id, v.e, c.cell_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos_sql('v.e', 'c.ce')} DESC, c.cell_id) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    probes AS (
+      SELECT cell_id FROM c, q
+      ORDER BY {_cos_sql('q.qe', 'c.ce')} DESC, cell_id LIMIT 2
+    )
+    SELECT a.vec_id, a.cell_id, {_cos_sql('a.e', 'q.qe')} AS cos_sim
+    FROM assigned a JOIN probes USING (cell_id), q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    doc="IVF-flat ANN top-k: deterministic centroid stub (first 8 vectors),"
+    " max-cosine cell assignment (broadcast centroids, map-only argmax), "
+    "query probes its 2 best cells, exact cosine inside. Scale: the cell "
+    "id is the vector table's partition key — a query reads nprobe "
+    "partitions instead of the corpus.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivf_topk(spark, t):
+    return similarity.ivf_topk(t["embeddings"], query_vec_id=0, k=10, n_cells=8, nprobe=2)
+
+
+@register(
     "embedding_norms",
     oracle="""
     SELECT vec_id, label,

@@ -99,6 +99,23 @@ def test_ann_lsh_recall_vs_exact(spark, tables):
     assert len({r["lsh_bucket"] for r in ann}) == 1
 
 
+def test_ivf_topk_recall(spark, tables):
+    """IVF hits carry exact cosines and come only from probed cells;
+    with nprobe == n_cells the result equals exact brute-force top-k."""
+    exact = [r["vec_id"] for r in similarity.cosine_topk(tables["embeddings"], 0, k=10).collect()]
+    full_probe = similarity.ivf_topk(tables["embeddings"], 0, k=10, n_cells=8, nprobe=8)
+    assert [r["vec_id"] for r in full_probe.collect()] == exact
+    narrow = similarity.ivf_topk(tables["embeddings"], 0, k=10, n_cells=8, nprobe=2).collect()
+    assert 0 < len(narrow) <= 10
+    assert len({r["cell_id"] for r in narrow}) <= 2
+
+
+def test_cosine_near_pairs_symmetric_threshold(spark, tables):
+    pairs = similarity.cosine_near_pairs(tables["embeddings"], threshold=0.4).collect()
+    assert all(r["vec_a"] < r["vec_b"] and r["cos_sim"] >= 0.4 for r in pairs)
+    assert len(pairs) == 59  # sf0.01 ground truth (verified vs oracle)
+
+
 def test_multimodal_features_roundtrip(spark, tables):
     media = multimodal.documents_as_media(tables["documents"].limit(50))
     feats = multimodal.extract_features(media).collect()
