@@ -87,6 +87,50 @@ def read_table(spark: SparkSession, warehouse: str, name: str) -> DataFrame:
     )
 
 
+def merge_table(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    bucket_size: int = DEFAULT_BUCKET,
+) -> int:
+    """The MergeTree background-merge analog (OPTIMIZE FINAL): physically
+    collapse sort-key duplicates and re-sort/compact each height bucket,
+    so dedup-on-read becomes a no-op and small replay files disappear.
+
+    At scale this runs per height-bucket (only buckets touched by recent
+    writes need merging — a metadata check on file counts/mtimes), exactly
+    like MergeTree merging recent parts; here the testable core is the
+    full rewrite. Returns the number of physically removed duplicate rows.
+
+    The rewrite is staged through a temp dir then swapped — readers never
+    observe a half-written table and a crashed merge leaves the original.
+    """
+    import shutil
+    import uuid
+
+    path = os.path.join(warehouse, name)
+    before = spark.read.parquet(path).count()
+    merged = read_table(spark, warehouse, name)
+    tmp = os.path.join(warehouse, f"_merge_{name}_{uuid.uuid4().hex[:8]}")
+    height_col = PARTITION_HEIGHT[name]
+    writer = (
+        merged.withColumn("height_bucket", (F.col(height_col) / bucket_size).cast("long"))
+        .repartition("height_bucket")
+        .sortWithinPartitions(*SORT_KEYS[name])
+        .write.mode("overwrite")
+        .partitionBy("height_bucket")
+    )
+    for col in BLOOM_COLUMNS.get(name, []):
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    writer.parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return before - after
+
+
 def ingest_batch(blocks: DataFrame, warehouse: str, mode: str = "append") -> dict[str, str]:
     """Full batch ingest: both pipeline modes → all 8 tables (the
     reference runs them as two daemons over the same stream)."""

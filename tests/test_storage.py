@@ -63,6 +63,19 @@ def test_dedup_view_content_stable(spark, blocks, warehouse):
     assert rows[0]["block_hash"] == "Hash100"
 
 
+def test_merge_collapses_duplicates(spark, blocks, warehouse):
+    """OPTIMIZE-FINAL analog: after a replay appended duplicates, merge
+    physically removes them; content through the view is unchanged and
+    raw count == deduped count afterwards."""
+    before_view = storage.read_table(spark, warehouse, "blocks").orderBy("block_height").collect()
+    removed = storage.merge_table(spark, warehouse, "blocks")
+    assert removed > 0  # test_replay_idempotent appended duplicates
+    raw = spark.read.parquet(f"{warehouse}/blocks").count()
+    view = storage.read_table(spark, warehouse, "blocks")
+    assert raw == view.count() == len(before_view)
+    assert view.orderBy("block_height").collect() == before_view
+
+
 def test_pruned_range_scan(spark, warehouse):
     """Height filter must reach the parquet scan (partition + row-group
     pruning at scale)."""
