@@ -338,6 +338,39 @@ def q_regex_classify(spark, t):
 
 
 @register(
+    "tumbling_event_counts",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour windows per event type — the exact batch twin of "
+    "streaming/windows.windowed_event_counts (F.window is epoch-aligned "
+    "like DuckDB time_bucket; emitted as epoch-µs to sidestep timestamp "
+    "unit differences). The streaming form adds only the watermark.",
+    tags=("analytics", "window", "streaming-analog"),
+)
+def q_tumbling_event_counts(spark, t):
+    ev = t["events"].withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return (
+        ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            as_double(F.sum(dec("value", D18_6))).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "approx_distinct_users",
     oracle=None,  # HLL sketches are engine-specific → rows-only check
     doc="approx_count_distinct (HyperLogLog++) per event type — the "
