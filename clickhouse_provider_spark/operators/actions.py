@@ -362,8 +362,10 @@ def extract_data(units: DataFrame) -> DataFrame:
 
 def extract_tables(blocks: DataFrame) -> dict[str, DataFrame]:
     """Full actions-mode fan-out: one pass over the unified receipt units,
-    three projections (cache ``units`` when materializing all three)."""
-    units = receipt_units(blocks)
+    three projections. ``units`` is persisted — all three tables are
+    separate write actions over it, and without the persist each one
+    re-explodes the block tree."""
+    units = receipt_units(blocks).persist()
     return {
         "actions": extract_actions(units),
         "events": extract_events(units),
