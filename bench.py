@@ -36,6 +36,11 @@ HEADLINE = [
     "dedup_lsh_pairs",
     "similarity_topk",
     "text_token_stats",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q19_disjunctive",
+    "user_sessions",
+    "tumbling_event_counts",
 ]
 
 

@@ -162,6 +162,51 @@ def q_dedup_ngram_jaccard(spark, t):
 
 
 @register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN concat(mh_0, '|', mh_1) WHEN 1 THEN concat(mh_2, '|', mh_3)
+               WHEN 2 THEN concat(mh_4, '|', mh_5) ELSE concat(mh_6, '|', mh_7)
+             END AS band_hash
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, n_common, sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common)
+             AS jaccard
+    FROM common c JOIN cand USING (doc_a, doc_b)
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    """,
+    doc="The full near-dedup pipeline as one operator: MinHash → LSH "
+    "candidates → exact Jaccard verification ≥ 0.1. This is the shape "
+    "that runs at 100 TB: verification cost is bounded by the candidate "
+    "set, never the pair space.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_lsh_verified(spark, t):
+    docs = t["documents"]
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    return dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1)
+
+
+@register(
     "dedup_simhash",
     oracle=_simhash_sql(),
     doc="32-bit SimHash per document (frequency-weighted ±1 votes per bit "
