@@ -1,0 +1,91 @@
+"""Statistical aggregates — done exactly. Engine-native corr/stddev are
+streaming/Welford implementations whose float results differ across
+engines; both Pearson and stddev decompose into pure sums, so computing
+the moments as exact decimals and combining them as doubles gives
+bit-identical results in Spark and DuckDB (catalog.py rule 1 applied to
+second moments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_provider_spark.plans.catalog import as_double, dec, register
+
+D20_4 = T.DecimalType(20, 4)
+
+
+@register(
+    "price_qty_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+    FROM m
+    """,
+    doc="Pearson correlation + sample stddev per group from exact decimal "
+    "moments (sums/sums-of-squares are exact and order-free; the final "
+    "combination is double arithmetic on identical inputs). Engine-native "
+    "corr()/stddev() are Welford-streamed and NOT cross-engine stable — "
+    "this decomposition is.",
+    tags=("analytics", "stats"),
+)
+def q_price_qty_corr(spark, t):
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    g = t["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum(x)).alias("sx"),
+        as_double(F.sum(y)).alias("sy"),
+        as_double(F.sum((x * x).cast(D20_4))).alias("sxx"),
+        as_double(F.sum((y * y).cast(D20_4))).alias("syy"),
+        as_double(F.sum((x * y).cast(D20_4))).alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    std = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1)))
+    return g.select(
+        "l_returnflag", "n", corr.alias("corr_qty_price"), std.alias("stddev_qty")
+    )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles (SQL-standard continuous "
+    "quantile: both engines sort and linearly interpolate the same "
+    "doubles — deterministic, verified). Scale note: exact percentiles "
+    "need the full per-group sort; at 100 TB use approx_percentile "
+    "(t-digest) unless the group fits a task.",
+    tags=("analytics", "stats"),
+)
+def q_value_percentiles(spark, t):
+    return t["events"].groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
