@@ -131,6 +131,72 @@ def merge_table(
     return before - after
 
 
+def upsert_table(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    new_rows: DataFrame,
+    bucket_size: int = DEFAULT_BUCKET,
+) -> None:
+    """Partition-scoped MERGE: last-write-wins upsert keyed on the sort
+    key, rewriting ONLY the height buckets the incoming rows touch.
+
+    This is the Delta-MERGE analog on plain parquet: at 100 TB an ingest
+    batch touches a handful of recent buckets, so the rewrite cost is
+    O(batch's bucket span), never the table. New rows win over stored rows
+    on sort-key collisions (ReplacingMergeTree "latest version" rule).
+    """
+    import shutil
+    import uuid
+
+    height_col = PARTITION_HEIGHT[name]
+    key = SORT_KEYS[name]
+    path = os.path.join(warehouse, name)
+    stamped = new_rows.withColumn(
+        "height_bucket", (F.col(height_col) / bucket_size).cast("long")
+    )
+    buckets = [r["height_bucket"] for r in stamped.select("height_bucket").distinct().collect()]
+    if not buckets:
+        return
+    existing_paths = [
+        p for b in buckets if os.path.exists(p := os.path.join(path, f"height_bucket={b}"))
+    ]
+    new_pref = stamped.withColumn("__pref", F.lit(0))
+    if existing_paths:
+        old = (
+            spark.read.option("basePath", path)
+            .parquet(*existing_paths)
+            .withColumn("__pref", F.lit(1))
+        )
+        merged = new_pref.unionByName(old)
+    else:
+        merged = new_pref
+    w = W.partitionBy(*key).orderBy("__pref")  # new rows (pref 0) win
+    winner = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__pref")
+    )
+    tmp = os.path.join(warehouse, f"_upsert_{name}_{uuid.uuid4().hex[:8]}")
+    writer = (
+        winner.repartition("height_bucket")
+        .sortWithinPartitions(*key)
+        .write.mode("overwrite")
+        .partitionBy("height_bucket")
+    )
+    for col in BLOOM_COLUMNS.get(name, []):
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    writer.parquet(tmp)
+    for b in buckets:
+        dst = os.path.join(path, f"height_bucket={b}")
+        src = os.path.join(tmp, f"height_bucket={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ingest_batch(blocks: DataFrame, warehouse: str, mode: str = "append") -> dict[str, str]:
     """Full batch ingest: both pipeline modes → all 8 tables (the
     reference runs them as two daemons over the same stream)."""

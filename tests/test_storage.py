@@ -76,6 +76,45 @@ def test_merge_collapses_duplicates(spark, blocks, warehouse):
     assert view.orderBy("block_height").collect() == before_view
 
 
+def test_upsert_partition_scoped(spark, blocks, tmp_path_factory):
+    """MERGE analog: updated rows replace same-key rows, only touched
+    buckets rewritten, untouched buckets byte-identical."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path_factory.mktemp("upsert_wh"))
+    base = storage.ingest_batch(blocks, wh, mode="overwrite")
+    assert "blocks" in base
+    # bucket the table finely so block 104 lives in its own partition
+    raw = (
+        spark.read.parquet(f"{wh}/blocks")
+        .drop("height_bucket")
+        .localCheckpoint(eager=True)  # materialize before deleting the source
+    )
+    import shutil
+
+    shutil.rmtree(f"{wh}/blocks")
+    storage.write_table(raw, wh, "blocks", mode="overwrite", bucket_size=2)
+    untouched_dir = f"{wh}/blocks/height_bucket=50"  # heights 100-101
+    before_files = sorted(
+        p.name for p in __import__("pathlib").Path(untouched_dir).glob("*.parquet")
+    )
+    # upsert: new version of block 104 + brand-new block 105
+    updated = raw.filter(F.col("block_height") == 104).withColumn(
+        "author_id", F.lit("replacement.near")
+    )
+    new = raw.filter(F.col("block_height") == 104).withColumn(
+        "block_height", F.lit(105).cast("long")
+    )
+    storage.upsert_table(spark, wh, "blocks", updated.unionByName(new), bucket_size=2)
+    view = storage.read_table(spark, wh, "blocks")
+    assert view.count() == 6  # 100..105, no duplicate 104
+    assert view.filter(F.col("block_height") == 104).first()["author_id"] == "replacement.near"
+    after_files = sorted(
+        p.name for p in __import__("pathlib").Path(untouched_dir).glob("*.parquet")
+    )
+    assert after_files == before_files  # untouched bucket not rewritten
+
+
 def test_pruned_range_scan(spark, warehouse):
     """Height filter must reach the parquet scan (partition + row-group
     pruning at scale)."""
