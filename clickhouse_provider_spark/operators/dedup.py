@@ -191,6 +191,77 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
     return out
 
 
+def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """(doc_id, component_id) for every doc in ``pairs`` (doc_a, doc_b):
+    min-label propagation to fixpoint — the same shallow-iteration shape
+    as the receipt→tx closure (operators/transactions.py). component_id =
+    the smallest doc_id reachable through near-duplicate edges.
+
+    Scale: each iteration is one shuffle on doc_id; iterations = cluster
+    diameter (near-dup clusters are tiny); label state is 2 longs per doc.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .join(
+            edges.groupBy(F.col("a").alias("doc_id")).agg(F.min("b").alias("nb")),
+            "doc_id",
+        )
+        .select("doc_id", F.least("doc_id", "nb").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Final dedup decision: cluster near-dup pairs, elect min-doc_id
+    survivor per component; docs in no component survive as themselves.
+    Returns (doc_id, survivor_doc_id, is_survivor)."""
+    cc = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("survivor_doc_id"),
+        )
+        .withColumn("is_survivor", (F.col("doc_id") == F.col("survivor_doc_id")).cast("boolean"))
+    )
+
+
 def simhash32(df: DataFrame) -> DataFrame:
     """32-bit SimHash over normalized words (frequency-weighted): word hash
     = first 8 hex chars of md5 as uint32; bit i of the signature is set when

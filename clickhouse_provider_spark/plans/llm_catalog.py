@@ -219,6 +219,54 @@ def q_dedup_simhash(spark, t):
     return dedup.simhash32(t["documents"])
 
 
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(comp.component_id, d.doc_id) AS survivor_doc_id,
+           coalesce(comp.component_id, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """.replace("WITH d AS", "WITH RECURSIVE d AS", 1),
+    doc="The dedup END DECISION: near-dup pairs (Jaccard ≥ 0.1) →"
+    " connected components via min-label propagation (same shallow "
+    "fixpoint shape as the receipt→tx closure) → min-doc_id survivor per "
+    "cluster. Oracle computes the identical closure with a recursive CTE. "
+    "Scale: iterations = cluster diameter; label state 2 longs/doc.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_survivors(spark, t):
+    docs = t["documents"]
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
+    return dedup.dedup_survivors(docs, pairs)
+
+
 # Similarity ------------------------------------------------------------------
 
 

@@ -69,6 +69,29 @@ def test_simhash_near_pairs(dup_docs):
     assert all(v <= 8 for v in pairs.values())
 
 
+def test_connected_components_and_survivors(spark, dup_docs):
+    pairs = dedup.jaccard_pairs(dup_docs, threshold=0.5).select("doc_a", "doc_b")
+    surv = {r["doc_id"]: (r["survivor_doc_id"], r["is_survivor"]) for r in dedup.dedup_survivors(dup_docs, pairs).collect()}
+    # docs 1,2,3 form one near-dup cluster → survivor 1; others stand alone
+    assert surv[1] == (1, True)
+    assert surv[2] == (1, False)
+    assert surv[3] == (1, False)
+    assert surv[4] == (4, True)
+    assert surv[5] == (5, True)
+
+
+def test_connected_components_chain(spark):
+    """Transitivity across a chain a-b, b-c, c-d: one component, min label."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=10, doc_b=20), Row(doc_a=20, doc_b=30), Row(doc_a=30, doc_b=40),
+         Row(doc_a=100, doc_b=200)]
+    )
+    cc = {r["doc_id"]: r["component_id"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0)]
