@@ -68,11 +68,86 @@ def get_spark(
     return spark
 
 
+# Runtime-settable confs the public query contract depends on. The harness
+# (and any downstream user) may hand us a *vanilla* SparkSession built with
+# plain ``SparkSession.builder.getOrCreate()`` — ``get_spark()``'s builder
+# confs never apply there, so anything load-bearing for reading the testdata
+# must be (re)applied at runtime on the caller's session.
+_REQUIRED_RUNTIME_CONFS = {
+    # events.parquet stores INT64 TIMESTAMP(NANOS); without this a vanilla
+    # session throws [PARQUET_TYPE_ILLEGAL] on read. ns-as-long is also the
+    # engine's canonical timestamp form (reference README.md:121
+    # DateTime64(9,'UTC')).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp→string canonicalisation must agree with the UTC oracle.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply the engine's load-bearing runtime confs to *any* session.
+
+    Tolerates confs a given Spark build doesn't support (older/newer
+    versions): ``load_tables`` has an explicit-schema fallback for the one
+    table that strictly needs ``nanosAsLong``.
+    """
+    for key, value in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf unsupported on this build
+            pass
+
+
+def _nanos_as_long_schema(path: str):
+    """Derive a Spark read schema from a parquet file's Arrow schema with
+    timestamp[ns] columns mapped to LongType — the fallback read path when
+    ``spark.sql.legacy.parquet.nanosAsLong`` cannot be set on the session.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "part-*"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        target = parts[0]
+    arrow_schema = pq.read_schema(target)
+    fields = []
+    for field in arrow_schema:
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            spark_type = T.LongType()
+        else:
+            spark_type = from_arrow_type(field.type)
+        fields.append(T.StructField(field.name, spark_type, field.nullable))
+    return T.StructType(fields)
+
+
+def _read_parquet(spark: SparkSession, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException on ns timestamps
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        return spark.read.schema(_nanos_as_long_schema(path)).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet table as a temp view and return the
     DataFrames. Filters/projections against these views push down to the
     parquet scan (verify with ``df.explain('formatted')`` → PushedFilters).
+
+    Works on a *vanilla* SparkSession: load-bearing confs are applied at
+    runtime here (see :func:`ensure_runtime_confs`).
     """
+    ensure_runtime_confs(spark)
     names = [
         "region",
         "nation",
@@ -90,7 +165,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -9,12 +9,22 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import duckdb
+from pyspark.sql import SparkSession
+
 import __spark_entry__ as E
-from clickhouse_provider_spark.session import get_spark
 from tools.parity import TABLES, canon
 
-spark = get_spark(app_name="driver_sim")
+# CRITICAL: the real harness builds its OWN vanilla SparkSession and calls
+# queries()[name](spark, sf_dir) directly — none of get_spark()'s builder
+# confs apply. Round 1 shipped a bug this sim masked by using get_spark();
+# the sim must replicate the harness exactly: bare builder, zero engine
+# confs. Any conf the public contract needs must be set at runtime inside
+# the package (see session.ensure_runtime_confs).
+cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+spark = SparkSession.builder.master(f"local[{cpus}]").getOrCreate()
 
 # t1 smoke: entry() at sf0.001
 df = E.entry(spark)
