@@ -99,24 +99,54 @@ def block_rows(blocks: DataFrame) -> DataFrame:
     )
 
 
-def chain_violations(blocks: DataFrame) -> DataFrame:
+CONTINUITY_BUCKET = 1_000_000  # heights per continuity partition
+
+
+def chain_violations(blocks: DataFrame, bucket: int = CONTINUITY_BUCKET) -> DataFrame:
     """Chain-continuity assertion as a relation (reference asserts
     prev_hash linkage, transactions.rs:185-191 / main.rs:161-170): rows
     where a block's prev_hash does not match the previous block's hash.
-    Scale note: the lag window is per height-bucket at 100 TB with a
-    boundary check between buckets."""
+
+    Fully parallel at 100 TB: the lag window is partitioned by height
+    bucket (never a single-task global sort); bucket boundaries are
+    checked over the tiny per-bucket summary relation (one row per
+    non-empty bucket, so its ordered window is a bounded single task
+    over ~n_blocks/bucket rows)."""
     h = F.col("block.header")
-    w = W.orderBy("block_height")
     df = blocks.select(
         h["height"].alias("block_height"),
         h["hash"].alias("block_hash"),
         h["prev_hash"].alias("prev_hash"),
-    )
-    return (
+    ).withColumn("bucket", F.floor(F.col("block_height") / F.lit(bucket)))
+
+    w = W.partitionBy("bucket").orderBy("block_height")
+    within = (
         df.withColumn("expected", F.lag("block_hash").over(w))
         .filter(F.col("expected").isNotNull() & (F.col("expected") != F.col("prev_hash")))
         .select("block_height", "prev_hash", F.col("expected").alias("actual_prev_hash"))
     )
+
+    summary = df.groupBy("bucket").agg(
+        F.min_by(F.struct("block_height", "prev_hash"), "block_height").alias("first"),
+        F.max_by(F.struct("block_height", "block_hash"), "block_height").alias("last"),
+    )
+    # one row per non-empty bucket — a deliberately single-partition window
+    # over a provably tiny relation (~n_blocks/bucket rows); bucket % 1 is a
+    # constant partition key Catalyst won't fold away
+    wb = W.partitionBy(F.col("bucket") % F.lit(1)).orderBy("bucket")
+    boundary = (
+        summary.withColumn("prev_last", F.lag("last").over(wb))
+        .filter(
+            F.col("prev_last").isNotNull()
+            & (F.col("prev_last.block_hash") != F.col("first.prev_hash"))
+        )
+        .select(
+            F.col("first.block_height").alias("block_height"),
+            F.col("first.prev_hash").alias("prev_hash"),
+            F.col("prev_last.block_hash").alias("actual_prev_hash"),
+        )
+    )
+    return within.unionByName(boundary)
 
 
 def tx_seeds(blocks: DataFrame) -> DataFrame:
@@ -157,8 +187,15 @@ def tx_seeds(blocks: DataFrame) -> DataFrame:
 
 
 def outcome_units(blocks: DataFrame) -> DataFrame:
-    """Pass-2 stream: every Action-receipt execution outcome with its
-    spawned receipt_ids and processing-order key."""
+    """Pass-2 stream: every non-Data receipt execution outcome with its
+    spawned receipt_ids and processing-order key.
+
+    Keeps GlobalContractDistribution outcomes alongside Action outcomes —
+    the reference pushes GCD receipts into the tx's receipts list, clears
+    them from pending and extends pending with their spawned ids
+    (transactions.rs:327-352); only Data receipts take the separate
+    buffered path. (Actions-mode drops GCD — actions.rs:627 — which is a
+    different, deliberate rule in operators/actions.py.)"""
     h = F.col("block.header")
     return (
         blocks.select(
@@ -174,7 +211,7 @@ def outcome_units(blocks: DataFrame) -> DataFrame:
             "shard_pos",
             F.posexplode("shard.receipt_execution_outcomes").alias("pos", "u"),
         )
-        .filter(F.col("u.receipt.receipt.Action").isNotNull())
+        .filter(F.col("u.receipt.receipt.Data").isNull())
         .select(
             "block_height",
             "block_hash",
@@ -615,6 +652,9 @@ def assemble_from_parts(
         "block_txs": block_txs,
         "receipt_txs": receipt_txs,
         "incomplete": incomplete,
+        # the already-persisted receipt→tx closure, exposed so callers
+        # (streaming/pipeline.py) never rerun the fixpoint per micro-batch
+        "mapping": mapping,
     }
 
 

@@ -950,20 +950,38 @@ def q_price_buckets(spark, t):
     """,
     doc="Stream-integrity check: the reference asserts every block links to "
     "its predecessor (prev_hash chain, main.rs:161-170, transactions.rs:185-"
-    "191; SURVEY §2A #5). Batch form: lag over the global height order and "
-    "count discontinuities. Scale note: a single unpartitioned window is a "
-    "1-task sort — at 100 TB run it per height-bucket partition and check "
-    "bucket boundaries separately (same result, fully parallel).",
+    "191; SURVEY §2A #5). Batch form: per-bucket lag (partitioned window — "
+    "fully parallel, no global 1-task sort) + a boundary lag over the tiny "
+    "one-row-per-bucket summary; identical result to the global-order lag.",
     tags=("serving", "window"),
 )
 def q_chain_continuity(spark, t):
-    w = W.orderBy("event_id")
-    gaps = (
+    bucket = 1_000_000
+    df = (
         t["events"]
         .select("event_id")
-        .withColumn("d", F.col("event_id") - F.lag("event_id").over(w))
-        .filter(F.col("d").isNotNull() & (F.col("d") != 1))
+        .withColumn("bucket", F.floor(F.col("event_id") / F.lit(bucket)))
     )
+    w = W.partitionBy("bucket").orderBy("event_id")
+    within = (
+        df.withColumn("d", F.col("event_id") - F.lag("event_id").over(w))
+        .filter(F.col("d").isNotNull() & (F.col("d") != 1))
+        .select("d")
+    )
+    summary = df.groupBy("bucket").agg(
+        F.min("event_id").alias("first_id"), F.max("event_id").alias("last_id")
+    )
+    # one row per non-empty bucket — deliberately single-partition over a
+    # provably tiny relation; bucket % 1 is a constant key Catalyst keeps
+    wb = W.partitionBy(F.col("bucket") % F.lit(1)).orderBy("bucket")
+    boundary = (
+        summary.withColumn("prev_last", F.lag("last_id").over(wb))
+        .filter(F.col("prev_last").isNotNull())
+        .withColumn("d", F.col("first_id") - F.col("prev_last"))
+        .filter(F.col("d") != 1)
+        .select("d")
+    )
+    gaps = within.unionByName(boundary)
     return gaps.agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.coalesce(F.max("d"), F.lit(0)).alias("max_gap"),

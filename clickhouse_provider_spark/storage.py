@@ -206,6 +206,7 @@ def ingest_batch(blocks: DataFrame, warehouse: str, mode: str = "append") -> dic
     paths = {}
     act = extract_tables(blocks)
     txs = assemble(blocks)
-    for name, df in {**act, **{k: v for k, v in txs.items() if k != "incomplete"}}.items():
+    diagnostics = {"incomplete", "mapping"}
+    for name, df in {**act, **{k: v for k, v in txs.items() if k not in diagnostics}}.items():
         paths[name] = write_table(df, warehouse, name, mode=mode)
     return paths

@@ -25,14 +25,21 @@ history. Receipts that arrive with no known transaction (the reference's
 catch-up warn/panic, transactions.rs:263-275) land in a ``skipped``
 dead-letter table instead of killing the stream.
 
-Restart semantics: state versions are keyed by batch_id, so a replayed
-micro-batch overwrites its own state version and re-appends rows that the
-dedup-on-read view collapses — idempotent end to end.
+Restart semantics: state versions are keyed by batch_id and published
+ATOMICALLY — all parts are written to a staging dir and renamed into
+``v=<batch_id>`` in one filesystem move, so a version is either complete
+or invisible. A batch reads the greatest version STRICTLY BELOW its own
+batch_id: on crash-replay of batch N (whose failed attempt may have left
+a complete or partial ``v=N``), the replay re-reads v<N — never its own
+prior output — recomputes, and atomically replaces v=N. Re-appended
+table rows are collapsed by the dedup-on-read view — idempotent end to
+end, for clean restarts AND mid-batch crashes.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,20 +86,33 @@ class TransactionsStream:
         self.state_dir = state_dir
 
     # -- state versioning ---------------------------------------------------
+    #
+    # Crash-safe protocol:
+    #   read:    greatest v STRICTLY < current batch_id (a failed prior
+    #            attempt of this very batch may have left v=batch_id —
+    #            reading it would union the batch with its own output and
+    #            self-overwrite, wedging the stream)
+    #   publish: write every part under _staging_v=<id>, then one
+    #            os.rename → v=<id>; a version is complete or invisible
+    #   prune:   keep the two newest versions (current + the one a replay
+    #            of the current batch would need), drop older + staging
 
-    def _latest_version(self) -> int | None:
+    def _versions(self) -> list[int]:
         try:
-            versions = [
+            return sorted(
                 int(d.split("=")[1])
                 for d in os.listdir(self.state_dir)
                 if d.startswith("v=")
-            ]
+            )
         except FileNotFoundError:
-            return None
-        return max(versions) if versions else None
+            return []
 
-    def _read_state(self, part: str) -> DataFrame | None:
-        v = self._latest_version()
+    def _read_version(self, batch_id: int) -> int | None:
+        prior = [v for v in self._versions() if v < batch_id]
+        return max(prior) if prior else None
+
+    def _read_state(self, part: str, batch_id: int) -> DataFrame | None:
+        v = self._read_version(batch_id)
         if v is None:
             return None
         path = os.path.join(self.state_dir, f"v={v}", part)
@@ -100,9 +120,16 @@ class TransactionsStream:
             return None
         return self.spark.read.parquet(path)
 
-    def _write_state(self, part: str, df: DataFrame, batch_id: int) -> None:
-        path = os.path.join(self.state_dir, f"v={batch_id}", part)
-        df.write.mode("overwrite").parquet(path)
+    def _publish_state(self, parts: dict[str, DataFrame], batch_id: int) -> None:
+        staging = os.path.join(self.state_dir, f"_staging_v={batch_id}")
+        final = os.path.join(self.state_dir, f"v={batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        for name, df in parts.items():
+            df.write.mode("overwrite").parquet(os.path.join(staging, name))
+        shutil.rmtree(final, ignore_errors=True)  # failed prior attempt
+        os.rename(staging, final)
+        for v in self._versions()[:-2]:
+            shutil.rmtree(os.path.join(self.state_dir, f"v={v}"), ignore_errors=True)
 
     # -- the micro-batch ----------------------------------------------------
 
@@ -112,9 +139,11 @@ class TransactionsStream:
         new_data = TX.data_receipt_units(batch_df)
         blocks_rows = TX.block_rows(batch_df)
 
-        seeds = _union(self._read_state("seeds"), new_seeds)
-        outcomes = _union(self._read_state("outcomes"), new_outcomes)
-        data_units = TX.dedup_data_units(_union(self._read_state("data"), new_data))
+        seeds = _union(self._read_state("seeds", batch_id), new_seeds)
+        outcomes = _union(self._read_state("outcomes", batch_id), new_outcomes)
+        data_units = TX.dedup_data_units(
+            _union(self._read_state("data", batch_id), new_data)
+        )
 
         # blocks table first: spanned-block info for cross-batch txs comes
         # from the table (the reference re-reads nothing — its state holds
@@ -136,7 +165,9 @@ class TransactionsStream:
         # a distributed source may legitimately deliver blocks out of order,
         # so we RETAIN them in state until their seed/parent arrives and
         # surface the current unresolved set as a diagnostic table.
-        mapping = TX.receipt_to_tx(seeds, outcomes)
+        # ``mapping`` is the fixpoint already computed (and persisted) inside
+        # assemble_from_parts — exactly one receipt→tx closure per batch.
+        mapping = out["mapping"]
         unmapped = outcomes.join(mapping, "receipt_id", "left_anti")
         unmapped.select("receipt_id", "block_height").write.mode("overwrite").parquet(
             os.path.join(self.warehouse, "unresolved_receipts")
@@ -157,9 +188,10 @@ class TransactionsStream:
         )
         state_data = data_units.join(consumed, "receipt_id", "left_anti")
 
-        self._write_state("seeds", state_seeds, batch_id)
-        self._write_state("outcomes", state_outcomes, batch_id)
-        self._write_state("data", state_data, batch_id)
+        self._publish_state(
+            {"seeds": state_seeds, "outcomes": state_outcomes, "data": state_data},
+            batch_id,
+        )
         incomplete_keys.unpersist()
 
 

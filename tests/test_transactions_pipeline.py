@@ -167,3 +167,59 @@ def test_incomplete_when_tail_missing(blocks, spark):
     t = TX.assemble(partial)
     assert {r["transaction_hash"] for r in t["transactions"].collect()} == {"T2"}
     assert {r["tx_hash"] for r in t["incomplete"].collect()} == {"T1", "T3"}
+
+
+def test_gcd_spawned_receipt_completes_tx(spark):
+    """A tx whose receipt chain traverses a GlobalContractDistribution
+    receipt completes: the reference processes GCD execution outcomes in
+    transactions mode (receipt into receipts list, pending cleared,
+    spawned ids extend pending — transactions.rs:327-352); only Data
+    receipts take the buffered path. Regression: filtering outcome_units
+    to Action-only left such txs permanently incomplete."""
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    r10 = FC.action_receipt("R10", "dev.near", "global.near", "dev.near", [FC.A_DEPLOY])
+    gcd = FC.gcd_receipt("G1")
+    r11 = FC.action_receipt("R11", "global.near", "user.near", "dev.near", [FC.A_TRANSFER])
+    chain = [
+        FC.block(200, [FC.shard(0, transactions=[FC.chunk_tx("T10", "dev.near", "global.near", [FC.A_DEPLOY], ["R10"])])]),
+        FC.block(201, [FC.shard(0, outcomes=[
+            {"tx_hash": "T10", "receipt": r10,
+             "execution_outcome": FC.outcome("R10", {"SuccessValue": FC.b64("")}, ["G1"], block_hash="Hash201")},
+            {"tx_hash": "T10", "receipt": gcd,
+             "execution_outcome": FC.outcome("G1", {"SuccessValue": FC.b64("")}, ["R11"], block_hash="Hash201")},
+        ])]),
+        FC.block(202, [FC.shard(0, outcomes=[
+            {"tx_hash": "T10", "receipt": r11,
+             "execution_outcome": FC.outcome("R11", {"SuccessValue": FC.b64("")}, [], block_hash="Hash202")},
+        ])]),
+    ]
+    df = spark.read.schema(BLOCK_SCHEMA).json(
+        spark.sparkContext.parallelize([json.dumps(b) for b in chain], 1)
+    )
+    out = TX.assemble(df)
+    assert out["incomplete"].count() == 0
+    rows = {r["transaction_hash"]: r for r in out["transactions"].collect()}
+    assert set(rows) == {"T10"}
+    assert rows["T10"]["last_block_height"] == 202
+    blob = json.loads(rows["T10"]["transaction"])
+    assert [r["receipt"]["receipt_id"] for r in blob["receipts"]] == ["R10", "G1", "R11"]
+    assert {r["receipt_id"] for r in out["receipt_txs"].collect()} == {"R10", "G1", "R11"}
+
+
+def test_chain_violations_bucket_boundary(spark):
+    """The bucketed continuity check must catch a violation exactly at a
+    bucket boundary (first block of a bucket vs last of the previous)."""
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    docs = [json.dumps(b) for b in FC.make_chain()]
+    doc = json.loads(docs[2])  # block 102
+    doc["block"]["header"]["prev_hash"] = "WRONG"
+    docs[2] = json.dumps(doc)
+    df = spark.read.schema(BLOCK_SCHEMA).json(spark.sparkContext.parallelize(docs, 2))
+    # bucket=2 puts 102 at a bucket boundary (100-101 | 102-103 | 104)
+    v = TX.chain_violations(df, bucket=2).collect()
+    assert len(v) == 1 and v[0]["block_height"] == 102
+    # and with a bucket size spanning everything (pure within-bucket path)
+    v2 = TX.chain_violations(df, bucket=1_000_000).collect()
+    assert len(v2) == 1 and v2[0]["block_height"] == 102
