@@ -147,29 +147,49 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard for (doc_a, doc_b) pairs; if ``pairs`` is None,
-    candidates are generated by sharing ≥1 shingle (exact but O(pairs-with-
-    common-shingle) — use LSH candidates at scale).
+    candidates are generated by sharing ≥1 shingle — a VERIFICATION
+    BASELINE whose pair space explodes on stopword-like shingles; at scale
+    always pass LSH candidates.
+
+    With ``pairs``, the computation is candidate-first: the pair list is
+    joined to shingles BEFORE any pair counting, so work is
+    O(|pairs| · shingles-per-doc) — never the all-shared-shingle pair
+    space. (Round-1 weakness: counting all shared-shingle pairs and
+    semi-joining candidates after the fact.)
 
     Jaccard emitted as exact integer counts + a double ratio of them, so
     the oracle matches bit-for-bit.
     """
     sh = shingles(df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # expand each candidate pair by doc_a's shingles, then inner-join
+        # doc_b's shingles on (doc_b, shingle): one row per common shingle
+        # per candidate pair — proportional to candidate work only
+        common = (
+            pairs.select("doc_a", "doc_b")
+            .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sz_a = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
     )

@@ -92,14 +92,20 @@ def lsh_bucket_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: exact cosine restricted to the query's LSH bucket.
 
     With 2^n_planes buckets the candidate set shrinks ~2^n_planes-fold;
     recall is tuned by n_planes (fewer planes → bigger buckets → higher
     recall). Deterministic: planes derive from md5 (see hyperplane_signs).
+
+    Pass ``dim`` (the embedding dimensionality) when known — otherwise a
+    single-row probe infers it, which is a (bounded: LIMIT 1) driver
+    action inside the plan-building path.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).limit(1).first()[0])
     planes = hyperplane_signs(n_planes, dim)
     with_sig = emb.withColumn("lsh_bucket", lsh_signature(F.col(vec_col), planes))
     q = (

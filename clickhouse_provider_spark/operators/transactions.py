@@ -337,9 +337,25 @@ def mapping_violations(mapping: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _json_string_value(json_col: str, key: str) -> F.Column:
+    """Value of top-level ``key`` ONLY when serialized as a JSON string —
+    the reference's ``value.as_str()`` gate (transactions.rs:527).
+    get_json_object/from_json stringify numbers ("user_id": 12345 →
+    '12345'), and NEAR's grammar accepts all-digit names, so numeric
+    values must not produce accounts. schema_of_variant exposes the
+    serialized type JVM-side."""
+    v = F.expr(f"try_variant_get({json_col}, '$.{key}')")
+    return F.when(
+        F.schema_of_variant(v) == "STRING",
+        F.expr(f"try_variant_get({json_col}, '$.{key}', 'string')"),
+    )
+
+
 def _accounts_from_units(mapped_outcomes: DataFrame) -> DataFrame:
     """(tx_hash, account_id) candidates from receipts: receiver +
-    FunctionCall-args keys + EVENT_JSON data keys, all AccountId-validated."""
+    FunctionCall-args keys + EVENT_JSON data keys, all AccountId-validated
+    and accepted only when the JSON value is a string (reference
+    transactions.rs:527)."""
     receivers = mapped_outcomes.select(
         "tx_hash", F.col("receipt.receiver_id").alias("account_id")
     )
@@ -358,11 +374,12 @@ def _accounts_from_units(mapped_outcomes: DataFrame) -> DataFrame:
         )
         .select("tx_hash", args_txt.alias("args"))
         .filter(F.col("args").isNotNull())
+        .select("tx_hash", F.expr("try_parse_json(args)").alias("vargs"))
         .select(
             "tx_hash",
             F.explode(
                 F.array(
-                    *[F.get_json_object("args", f"$.{k}") for k in POTENTIAL_ACCOUNT_ARGS]
+                    *[_json_string_value("vargs", k) for k in POTENTIAL_ACCOUNT_ARGS]
                 )
             ).alias("account_id"),
         )
@@ -390,10 +407,11 @@ def _accounts_from_units(mapped_outcomes: DataFrame) -> DataFrame:
             & F.col("e.data").isNotNull()
         )
         .select("tx_hash", F.explode("e.data").alias("d"))  # ALL data elements
+        .select("tx_hash", F.expr("try_parse_json(d)").alias("vd"))
         .select(
             "tx_hash",
             F.explode(
-                F.array(*[F.get_json_object("d", f"$.{k}") for k in POTENTIAL_EVENTS_ARGS])
+                F.array(*[_json_string_value("vd", k) for k in POTENTIAL_EVENTS_ARGS])
             ).alias("account_id"),
         )
     )

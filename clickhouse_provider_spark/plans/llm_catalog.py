@@ -129,7 +129,7 @@ def q_dedup_minhash_signatures(spark, t):
     doc="MinHash-LSH candidate pairs: 4 bands × 2 rows; docs sharing any "
     "band collide. Scale: the self-join key is (band_id, band_hash) — "
     "candidate generation without the O(n²) pair space.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "scale-path"),
 )
 def q_dedup_lsh_pairs(spark, t):
     return dedup.lsh_candidate_pairs(dedup.minhash_signatures(t["documents"]))
@@ -152,10 +152,12 @@ def q_dedup_lsh_pairs(spark, t):
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
     """,
-    doc="Exact n-gram Jaccard for every pair sharing ≥1 shingle. Scale: "
-    "this is the *verification* stage — at 100 TB feed it LSH candidates "
-    "(dedup_lsh_pairs) instead of the shingle-collision pair space.",
-    tags=("llm", "dedup"),
+    doc="Exact n-gram Jaccard for every pair sharing ≥1 shingle. "
+    "VERIFICATION BASELINE, not the scale path: the shared-shingle pair "
+    "space explodes on stopword-like shingles — at 100 TB run "
+    "dedup_lsh_verified (LSH candidates → candidate-first Jaccard) "
+    "instead; this entry exists as the oracle-checkable exact baseline.",
+    tags=("llm", "dedup", "verification-baseline"),
 )
 def q_dedup_ngram_jaccard(spark, t):
     return dedup.jaccard_pairs(t["documents"])
@@ -198,7 +200,7 @@ def q_dedup_ngram_jaccard(spark, t):
     "candidates → exact Jaccard verification ≥ 0.1. This is the shape "
     "that runs at 100 TB: verification cost is bounded by the candidate "
     "set, never the pair space.",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "scale-path"),
 )
 def q_dedup_lsh_verified(spark, t):
     docs = t["documents"]
@@ -303,7 +305,7 @@ def q_similarity_topk(spark, t):
     tags=("llm", "similarity"),
 )
 def q_similarity_ann_lsh(spark, t):
-    return similarity.lsh_bucket_topk(t["embeddings"], query_vec_id=0, k=10)
+    return similarity.lsh_bucket_topk(t["embeddings"], query_vec_id=0, k=10, dim=64)
 
 
 @register(
@@ -316,9 +318,12 @@ def q_similarity_ann_lsh(spark, t):
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {_cos_sql('a.e', 'b.e')} >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs (exact baseline; LSH/IVF "
-    "candidate generation is the scale path — see similarity_ivf_topk).",
-    tags=("llm", "dedup", "similarity"),
+    doc="Embedding-cosine near-duplicate pairs. VERIFICATION BASELINE, "
+    "not the scale path: O(n²) all-pairs cross join — at 100 TB generate "
+    "candidates with hyperplane-LSH buckets or IVF cells "
+    "(similarity_ann_lsh / similarity_ivf_topk) and verify only those; "
+    "this entry exists as the oracle-checkable exact baseline.",
+    tags=("llm", "dedup", "similarity", "verification-baseline"),
 )
 def q_dedup_embedding_pairs(spark, t):
     return similarity.cosine_near_pairs(t["embeddings"], threshold=0.4)

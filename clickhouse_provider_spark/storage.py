@@ -187,6 +187,7 @@ def upsert_table(
     for col in BLOOM_COLUMNS.get(name, []):
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     writer.parquet(tmp)
+    os.makedirs(path, exist_ok=True)  # first write: table root may not exist
     for b in buckets:
         dst = os.path.join(path, f"height_bucket={b}")
         src = os.path.join(tmp, f"height_bucket={b}")

@@ -56,7 +56,9 @@ FT_ARGS = {
     "token_id": "usdt",
     "args_owner_id": "owner.near",
 }
-BAD_ACCOUNT_ARGS = {"receiver_id": "INVALID!", "amount": "9"}
+# user_id is NUMERIC: all-digit names are grammatically valid accounts, but
+# the reference only accepts values serialized as JSON strings (value.as_str)
+BAD_ACCOUNT_ARGS = {"receiver_id": "INVALID!", "amount": "9", "user_id": 31415926}
 
 
 def action(kind: str, payload=None) -> str:

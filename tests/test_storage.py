@@ -124,3 +124,16 @@ def test_pruned_range_scan(spark, warehouse):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")  # noqa: SLF001
     assert "PushedFilters" in plan
     assert "block_height" in plan.split("PushedFilters")[1][:200]
+
+
+def test_upsert_into_nonexistent_table(spark, blocks, tmp_path_factory):
+    """First-ever write through upsert_table: the table root doesn't exist
+    yet — the bucket swap must create it instead of FileNotFoundError."""
+    from clickhouse_provider_spark.operators.transactions import block_rows
+
+    wh = str(tmp_path_factory.mktemp("upsert_fresh_wh"))
+    rows = block_rows(blocks)
+    storage.upsert_table(spark, wh, "blocks", rows, bucket_size=2)
+    got = storage.read_table(spark, wh, "blocks")
+    assert got.count() == 5
+    assert {r["block_height"] for r in got.select("block_height").collect()} == {100, 101, 102, 103, 104}

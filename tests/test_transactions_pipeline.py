@@ -121,6 +121,9 @@ def test_account_txs(out):
     assert "gallery.near" not in by_tx["T1"]  # authorized_id not in key list
     # invalid account id from BAD_ACCOUNT_ARGS filtered
     assert not any(a == "INVALID!" for a in by_tx["T2"])
+    # numeric user_id (all-digit names validate!) must NOT become an
+    # account — only JSON-string values count (transactions.rs:527)
+    assert "31415926" not in by_tx["T2"]
     assert {"bob.near", "factory.near"} <= by_tx["T2"]
     assert {"carol.near", "yield.near", "dana.near"} <= by_tx["T3"]
 
