@@ -48,6 +48,26 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def previous_round() -> tuple[str | None, dict[str, float]]:
+    """Per-query seconds from the newest BENCH_r{N}.json, so every round's
+    output carries r-over-r deltas ("which queries regressed")."""
+    here = Path(__file__).resolve().parent
+    rounds = sorted(
+        here.glob("BENCH_r*.json"),
+        key=lambda p: int("".join(filter(str.isdigit, p.stem)) or 0),
+    )
+    for p in reversed(rounds):
+        try:
+            data = json.loads(p.read_text())
+            # the driver records bench stdout under "parsed"
+            q = (data.get("parsed") or data).get("queries")
+            if isinstance(q, dict):
+                return p.name, {k: float(v) for k, v in q.items()}
+        except (ValueError, OSError, AttributeError):
+            continue
+    return None, {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -78,17 +98,20 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    prev_name, prev = previous_round()
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if prev:
+        out["prev_round"] = prev_name
+        out["deltas_vs_prev"] = {
+            n: round(t - prev[n], 3) for n, t in timings.items() if n in prev
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
