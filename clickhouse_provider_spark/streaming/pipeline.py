@@ -57,12 +57,20 @@ def run_actions_stream(
     checkpoint: str,
     max_files_per_trigger: int = 100,
     available_now: bool = True,
+    sink=None,
 ):
-    """Actions-mode daemon: block files → actions/events/data appends."""
+    """Actions-mode daemon: block files → actions/events/data appends.
+
+    With ``sink`` (an ``sinks.ExternalSink``), each micro-batch's tables
+    are inserted into the external DB with retry/backoff instead of the
+    parquet warehouse — the reference's deployment shape (click.rs)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         for name, df in extract_tables(batch_df).items():
-            storage.write_table(df, warehouse, name)
+            if sink is not None:
+                sink.insert_with_retry(df, name)
+            else:
+                storage.write_table(df, warehouse, name)
 
     stream = block_stream(spark, src_path, max_files_per_trigger)
     writer = (
