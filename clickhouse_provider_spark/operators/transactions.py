@@ -528,14 +528,45 @@ def assemble_from_parts(
         completeness.filter("complete").select("tx_hash"), "tx_hash", "left_anti"
     ).select("tx_hash", "tx_block_height", "signer_id")
 
+    out = fan_out(
+        complete_txs,
+        mapped.filter(F.col("tx_hash").isNotNull()),
+        consumed_data,
+        block_info,
+    )
+    out["incomplete"] = incomplete
+    # the already-persisted receipt→tx closure, exposed so callers
+    # (streaming/pipeline.py) never rerun the fixpoint per micro-batch
+    out["mapping"] = mapping
+    return out
+
+
+def fan_out(
+    complete_txs: DataFrame,
+    mapped_units: DataFrame,
+    consumed_data: DataFrame,
+    block_info: DataFrame,
+) -> dict[str, DataFrame]:
+    """The 4-table fan-out over already-correlated units of COMPLETE txs
+    (reference commit path, transactions.rs:354-441). Shared by the batch/
+    relational assembly and the keyed-state streaming assembly — both
+    produce the same relations, only the correlation machinery differs.
+
+    ``complete_txs``: tx_seeds rows filtered to complete transactions.
+    ``mapped_units``: outcome_units columns + ``tx_hash`` (complete or
+    not — filtered here by the join against complete seeds).
+    ``consumed_data``: one row per (consumer, data_id) dependency with the
+    consumer's sort key (block_height, shard_pos, pos, dep_pos), the
+    matched data receipt's ``receipt_id``/``receipt`` (null when missing).
+    """
     done = complete_txs.select(
         "tx_hash", "tx_block_height", "tx_block_hash", "tx_block_timestamp", "signer_id"
     )
 
-    # the five outputs all hang off these relations — persist so each
-    # output action reuses them instead of re-running the fixpoint and
-    # completeness subgraph per table (measured ~2x on the full fan-out)
-    m = mapped.filter(F.col("tx_hash").isNotNull()).join(done, "tx_hash", "inner").persist()
+    # the outputs all hang off these relations — persist so each output
+    # action reuses them instead of re-running the upstream subgraph per
+    # table (measured ~2x on the full fan-out)
+    m = mapped_units.join(done, "tx_hash", "inner").persist()
 
     # ---- receipt_txs: action receipts + attached data receipts ----------
     receipt_txs = m.select(
@@ -669,10 +700,6 @@ def assemble_from_parts(
         "account_txs": account_txs,
         "block_txs": block_txs,
         "receipt_txs": receipt_txs,
-        "incomplete": incomplete,
-        # the already-persisted receipt→tx closure, exposed so callers
-        # (streaming/pipeline.py) never rerun the fixpoint per micro-batch
-        "mapping": mapping,
     }
 
 

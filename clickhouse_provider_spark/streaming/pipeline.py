@@ -39,7 +39,6 @@ end, for clean restarts AND mid-batch crashes.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +47,7 @@ from clickhouse_provider_spark import storage
 from clickhouse_provider_spark.operators import transactions as TX
 from clickhouse_provider_spark.operators.actions import extract_tables
 from clickhouse_provider_spark.sources import block_stream
+from clickhouse_provider_spark.streaming.state import VersionedState
 
 
 def run_actions_stream(
@@ -91,53 +91,16 @@ class TransactionsStream:
     def __init__(self, spark: SparkSession, warehouse: str, state_dir: str):
         self.spark = spark
         self.warehouse = warehouse
-        self.state_dir = state_dir
+        self.state = VersionedState(spark, state_dir)
 
-    # -- state versioning ---------------------------------------------------
-    #
-    # Crash-safe protocol:
-    #   read:    greatest v STRICTLY < current batch_id (a failed prior
-    #            attempt of this very batch may have left v=batch_id —
-    #            reading it would union the batch with its own output and
-    #            self-overwrite, wedging the stream)
-    #   publish: write every part under _staging_v=<id>, then one
-    #            os.rename → v=<id>; a version is complete or invisible
-    #   prune:   keep the two newest versions (current + the one a replay
-    #            of the current batch would need), drop older + staging
-
-    def _versions(self) -> list[int]:
-        try:
-            return sorted(
-                int(d.split("=")[1])
-                for d in os.listdir(self.state_dir)
-                if d.startswith("v=")
-            )
-        except FileNotFoundError:
-            return []
-
-    def _read_version(self, batch_id: int) -> int | None:
-        prior = [v for v in self._versions() if v < batch_id]
-        return max(prior) if prior else None
+    # crash-safe state versioning: see streaming/state.py (read strictly
+    # below batch_id, atomic rename publish, keep-two prune)
 
     def _read_state(self, part: str, batch_id: int) -> DataFrame | None:
-        v = self._read_version(batch_id)
-        if v is None:
-            return None
-        path = os.path.join(self.state_dir, f"v={v}", part)
-        if not os.path.exists(path):
-            return None
-        return self.spark.read.parquet(path)
+        return self.state.read(part, batch_id)
 
     def _publish_state(self, parts: dict[str, DataFrame], batch_id: int) -> None:
-        staging = os.path.join(self.state_dir, f"_staging_v={batch_id}")
-        final = os.path.join(self.state_dir, f"v={batch_id}")
-        shutil.rmtree(staging, ignore_errors=True)
-        for name, df in parts.items():
-            df.write.mode("overwrite").parquet(os.path.join(staging, name))
-        shutil.rmtree(final, ignore_errors=True)  # failed prior attempt
-        os.rename(staging, final)
-        for v in self._versions()[:-2]:
-            shutil.rmtree(os.path.join(self.state_dir, f"v={v}"), ignore_errors=True)
+        self.state.publish(parts, batch_id)
 
     # -- the micro-batch ----------------------------------------------------
 

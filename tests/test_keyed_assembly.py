@@ -1,0 +1,103 @@
+"""Keyed-state transaction assembly (transformWithStateInPandas): same
+fixture-chain results as the relational streaming pipeline, via the
+router → unit-log → keyed-assembler path."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark import storage
+from clickhouse_provider_spark.streaming.keyed_assembly import (
+    run_keyed_assembler,
+    run_keyed_router,
+)
+from tests import fixture_chain as FC
+
+
+@pytest.fixture(scope="module")
+def keyed_out(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("keyed_drops")
+    for b in FC.make_chain():
+        h = b["block"]["header"]["height"]
+        (src / f"block-{h:012d}.json").write_text(json.dumps(b))
+    wh = str(tmp_path_factory.mktemp("wh_keyed"))
+    # router: one block per micro-batch → cross-batch routing state is
+    # genuinely exercised (T1 spans 4 batches)
+    q1 = run_keyed_router(
+        spark, str(src), wh,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_router")),
+        max_files_per_trigger=1,
+    )
+    q1.awaitTermination(240)
+    # assembler: small file batches → per-key state crosses batches too
+    q2 = run_keyed_assembler(
+        spark, wh,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_asm")),
+        max_files_per_trigger=2,
+    )
+    q2.awaitTermination(240)
+    return wh
+
+
+def test_keyed_transactions_match_relational(spark, keyed_out):
+    txs = {
+        r["transaction_hash"]: r
+        for r in storage.read_table(spark, keyed_out, "transactions").collect()
+    }
+    assert set(txs) == {"T1", "T2", "T3"}
+    assert txs["T1"]["last_block_height"] == 103
+    blob = json.loads(txs["T1"]["transaction"])
+    assert [r["receipt"]["receipt_id"] for r in blob["receipts"]] == ["R1", "R2", "R3"]
+    assert [d["receipt_id"] for d in blob["data_receipts"]] == ["DR1"]
+
+
+def test_keyed_block_and_receipt_txs(spark, keyed_out):
+    bt = storage.read_table(spark, keyed_out, "block_txs")
+    assert bt.filter(F.col("transaction_hash") == "T1").count() == 4
+    rt = {
+        r["receipt_id"]: r["transaction_hash"]
+        for r in storage.read_table(spark, keyed_out, "receipt_txs").collect()
+    }
+    assert rt["DR2a"] == "T3" and "DR2b" not in rt
+    assert storage.read_table(spark, keyed_out, "blocks").count() == 5
+
+
+def test_keyed_account_txs(spark, keyed_out):
+    at = storage.read_table(spark, keyed_out, "account_txs")
+    by_tx = {}
+    for r in at.collect():
+        by_tx.setdefault(r["transaction_hash"], set()).add(r["account_id"])
+    assert {"bob.near", "factory.near"} <= by_tx["T2"]
+    assert "31415926" not in by_tx["T2"]  # JSON-string gate holds here too
+    assert {"carol.near", "yield.near", "dana.near"} <= by_tx["T3"]
+
+
+def test_unit_log_replay_is_idempotent(spark, keyed_out, tmp_path_factory):
+    """Duplicate the whole unit log (at-least-once append replay) into a
+    fresh assembler: the dedup set must absorb the duplicates and the
+    re-emitted complete txs must collapse in the dedup-on-read view."""
+    import shutil
+
+    units_src = os.path.join(keyed_out, "_tx_units")
+    wh2 = str(tmp_path_factory.mktemp("wh_keyed_replay"))
+    units2 = os.path.join(wh2, "_tx_units")
+    os.makedirs(units2)
+    n = 0
+    for f in os.listdir(units_src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(units_src, f), os.path.join(units2, f"a{n}.parquet"))
+            shutil.copy(os.path.join(units_src, f), os.path.join(units2, f"b{n}.parquet"))
+            n += 1
+    # blocks table needed by the fan-out stage
+    shutil.copytree(os.path.join(keyed_out, "blocks"), os.path.join(wh2, "blocks"))
+    q = run_keyed_assembler(
+        spark, wh2,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_asm2")),
+        max_files_per_trigger=3,
+    )
+    q.awaitTermination(240)
+    txs = storage.read_table(spark, wh2, "transactions")
+    assert {r["transaction_hash"] for r in txs.collect()} == {"T1", "T2", "T3"}
+    assert txs.count() == 3  # no duplicate survivors
