@@ -75,3 +75,31 @@ def test_similarity_topk_takeordered(spark, tables):
     plan = plan_of(build("similarity_topk", spark, tables))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def test_q8_broadcast_dims_single_fact_shuffle(spark, tables):
+    """q8 joins 7 tables; every dimension side is broadcast — the only
+    shuffle join key is lineitem⋈orders on orderkey."""
+    plan = plan_of(build("q8_market_share", spark, tables))
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q17_brand_filter_prunes_before_shuffle(spark, tables):
+    """q17's per-part average runs only over the 16 Brand#9 parts: the
+    broadcast semi-reduction must sit below the partkey aggregate."""
+    plan = plan_of(build("q17_small_quantity_revenue", spark, tables))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q18_having_semi_join(spark, tables):
+    plan = plan_of(build("q18_large_volume_customers", spark, tables))
+    assert "LeftSemi" in plan
+
+
+def test_q21_no_self_join_exists(spark, tables):
+    """The EXISTS/NOT-EXISTS pair is rewritten as one per-order aggregate —
+    the plan must contain no more than the two planned lineitem⋈orders
+    joins (no exploded l2/l3 self-joins)."""
+    plan = plan_of(build("q21_waiting_suppliers", spark, tables))
+    assert "TakeOrderedAndProject" in plan
