@@ -1,0 +1,279 @@
+"""Table maintenance jobs: small-file compaction, Z-order layout, and
+column statistics — the background half of a MergeTree-like store
+(reference: ClickHouse delegates these to background merges + the
+``ORDER BY`` clause + ``optimize_skip_unused_shards``-style stats; here
+they are explicit Spark jobs a scheduler runs off the ingest path).
+
+Why each exists at 100 TB:
+
+- **Compaction**: streaming ingest (micro-batch appends) leaves thousands
+  of small files per partition; scan cost becomes file-open-bound, not
+  byte-bound. Compaction rewrites ONLY buckets whose file count exceeds a
+  threshold — O(recent buckets), never the table.
+- **Z-order**: a sort on ``(height, ...)`` gives tight parquet min/max
+  stats on height only; queries filtering a *secondary* column (account,
+  timestamp) still touch every file. Interleaving the bits of both
+  columns' rank cells (Morton order) makes every output file a small
+  hyper-rectangle in the key space, so min/max pruning works on ALL
+  z-ordered columns at once.
+- **Stats (ANALYZE analog)**: Catalyst's CBO joins/reorders by size and
+  distinct-count estimates; a sidecar of per-column stats (and
+  ``ANALYZE TABLE`` when the table is catalog-registered) feeds it and
+  doubles as the pruning manifest for external planners.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import uuid
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.schemas import BLOOM_COLUMNS, SORT_KEYS
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # cluster-friendly scan unit
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def bucket_file_stats(path: str) -> dict[str, dict]:
+    """File count + bytes per ``height_bucket=*`` partition dir."""
+    out = {}
+    for bdir in sorted(glob(os.path.join(path, "height_bucket=*"))):
+        parts = [
+            f
+            for f in glob(os.path.join(bdir, "*"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+        out[os.path.basename(bdir)] = {
+            "files": len(parts),
+            "bytes": sum(os.path.getsize(f) for f in parts),
+        }
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    max_files_per_bucket: int = 4,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict[str, dict]:
+    """Rewrite only the height buckets with more than
+    ``max_files_per_bucket`` part files, each into
+    ``ceil(bytes / target_file_bytes)`` sorted files.
+
+    Row-preserving (dedup is :func:`storage.merge_table`'s job); staged
+    per-bucket swap, so readers never see a half-compacted bucket and a
+    crash leaves the original. Returns per-bucket before/after stats.
+    """
+    path = os.path.join(warehouse, name)
+    key = SORT_KEYS[name]
+    stats = bucket_file_stats(path)
+    todo = {b: s for b, s in stats.items() if s["files"] > max_files_per_bucket}
+    report = {}
+    for bucket, s in todo.items():
+        bdir = os.path.join(path, bucket)
+        n_out = max(1, math.ceil(s["bytes"] / target_file_bytes))
+        df = spark.read.parquet(bdir)
+        tmp = os.path.join(warehouse, f"_compact_{name}_{uuid.uuid4().hex[:8]}")
+        writer = (
+            df.repartition(n_out)
+            .sortWithinPartitions(*key)
+            .write.mode("overwrite")
+        )
+        for col in BLOOM_COLUMNS.get(name, []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer.parquet(tmp)
+        old = bdir + ".old"
+        os.rename(bdir, old)
+        os.rename(tmp, bdir)
+        shutil.rmtree(old)
+        # drop spark's _SUCCESS marker inside the partition dir
+        marker = os.path.join(bdir, "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+        after = bucket_file_stats(path)[bucket]
+        report[bucket] = {"before": s, "after": after}
+    return report
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 8,
+) -> F.Column:
+    """Morton (Z-curve) key over numeric columns, pure JVM expressions.
+
+    Each column is quantised into ``2**bits`` cells between its bounds
+    (``width_bucket``), then the cell bits are interleaved:
+    bit *i* of column *j* lands at position ``i * k + j``. Sorting by the
+    result clusters rows that are close in EVERY dimension, so parquet
+    min/max stats stay tight on all of them simultaneously.
+
+    NULLs map to cell 0 (they sort first, same as ClickHouse's
+    ``ORDER BY`` NULLS FIRST default).
+    """
+    n = 1 << bits
+    cells = []
+    for c in cols:
+        lo, hi = bounds[c]
+        if not hi > lo:  # constant column: single cell
+            cells.append(F.lit(0).cast("long"))
+            continue
+        cell = (
+            F.width_bucket(
+                F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n)
+            )
+            - 1
+        )
+        cells.append(
+            F.coalesce(
+                F.least(F.lit(n - 1), F.greatest(F.lit(0), cell)).cast("long"),
+                F.lit(0).cast("long"),
+            )
+        )
+    k = len(cells)
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, cell in enumerate(cells):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cell, bit).bitwiseAND(F.lit(1)), bit * k + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+    bloom_cols: list[str] | None = None,
+) -> dict[str, tuple[float, float]]:
+    """Write ``df`` as ``num_files`` files range-partitioned and sorted by
+    the Z-order key of ``cols``.
+
+    Bounds come from one min/max aggregate over the input (a single
+    column-pruned pass; at scale, read them from the stats sidecar
+    instead). Returns the bounds used, for reuse by query-side pruning.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    bounds = {c: (row[f"__min_{c}"], row[f"__max_{c}"]) for c in cols}
+    z = zorder_key(cols, bounds, bits=bits)
+    writer = (
+        df.withColumn("__z", z)
+        # rangeExchange on __z: each output file owns a contiguous Z range
+        # == a small hyper-rectangle of the key space
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    for col in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    writer.parquet(path)
+    return bounds
+
+
+def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(files whose [min,max] for ``col`` overlaps [lo,hi], total files) —
+    read from parquet footers, i.e. exactly the stats a scan planner uses
+    for file-level pruning."""
+    import pyarrow.parquet as pq
+
+    total = hit = 0
+    for f in glob(os.path.join(path, "*.parquet")) + glob(os.path.join(path, "part-*")):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            continue
+        total += 1
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                fmin, fmax = None, None
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            hit += 1  # unknown stats ⇒ cannot prune ⇒ counts as touched
+    return hit, total
+
+
+# ---------------------------------------------------------------------------
+# stats / ANALYZE analog
+# ---------------------------------------------------------------------------
+
+
+def analyze_table(
+    spark: SparkSession,
+    warehouse: str,
+    name: str,
+    columns: list[str] | None = None,
+) -> dict:
+    """Compute table + per-column stats and persist them as a
+    ``_stats.json`` sidecar next to the data (the parquet-dir analog of
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``).
+
+    One pass: count / min / max / null-count / approx NDV per column.
+    Catalyst's CBO reads catalog stats, not sidecars — for tables
+    registered via ``saveAsTable`` run ``ANALYZE TABLE`` directly; this
+    sidecar serves path-based tables and external planners (and the
+    maintenance jobs above, which use it to skip untouched buckets).
+    """
+    path = os.path.join(warehouse, name)
+    df = spark.read.parquet(path)
+    cols = columns or [
+        f.name
+        for f in df.schema.fields
+        if f.name != "height_bucket"
+        and f.dataType.typeName() in {
+            "long", "integer", "double", "float", "string", "timestamp", "date",
+        }
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls__{c}"),
+            F.approx_count_distinct(c).alias(f"ndv__{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats = {
+        "table": name,
+        "rows": row["__rows"],
+        "columns": {
+            c: {
+                "min": str(row[f"min__{c}"]),
+                "max": str(row[f"max__{c}"]),
+                "nulls": row[f"nulls__{c}"],
+                "approx_ndv": row[f"ndv__{c}"],
+            }
+            for c in cols
+        },
+    }
+    with open(os.path.join(path, "_stats.json"), "w") as fh:
+        json.dump(stats, fh, indent=1)
+    return stats

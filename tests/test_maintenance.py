@@ -1,0 +1,106 @@
+"""Maintenance jobs: small-file compaction (bucket-scoped), Z-order layout
+(multi-column file pruning), and the ANALYZE-analog stats sidecar."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark import maintenance, storage
+from tests import fixture_chain as FC
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    return spark.read.schema(BLOCK_SCHEMA).json(
+        spark.sparkContext.parallelize(FC.chain_jsonl(), 2)
+    )
+
+
+@pytest.fixture(scope="module")
+def fragmented(spark, blocks, tmp_path_factory):
+    """Simulate streaming ingest: 5 separate appends → many small files."""
+    wh = str(tmp_path_factory.mktemp("frag_wh"))
+    from clickhouse_provider_spark.operators.actions import extract_tables
+
+    events = extract_tables(blocks)["events"]
+    for _ in range(5):
+        storage.write_table(events, wh, "events", mode="append")
+    return wh
+
+
+def test_compaction_reduces_files_preserves_rows(spark, fragmented):
+    before_rows = spark.read.parquet(f"{fragmented}/events").count()
+    before = maintenance.bucket_file_stats(f"{fragmented}/events")
+    assert any(s["files"] > 4 for s in before.values()), "fixture not fragmented"
+    report = maintenance.compact_table(spark, fragmented, "events")
+    assert report, "no bucket was compacted"
+    for b, r in report.items():
+        assert r["after"]["files"] < r["before"]["files"]
+        assert r["after"]["files"] <= 4 or r["after"]["bytes"] > maintenance.TARGET_FILE_BYTES
+    after_rows = spark.read.parquet(f"{fragmented}/events").count()
+    assert after_rows == before_rows  # row-preserving (dedup is merge_table's job)
+
+
+def test_compaction_skips_healthy_buckets(spark, fragmented):
+    """A second run finds nothing above threshold — O(dirty buckets) cost."""
+    report = maintenance.compact_table(spark, fragmented, "events")
+    assert report == {}
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """The point of Z-order: a linear sort on x gives file-level pruning on
+    x only; Z-order on (x, y) prunes on BOTH. Compare footer-stat overlap
+    for a 5%-selective y predicate under each layout."""
+    n = 200_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.hash(F.col("id")) % 10_000).alias("x"),
+            (F.hash(F.col("id") * 7 + 3) % 10_000).alias("y"),
+        )
+        .filter((F.col("x") >= 0) & (F.col("y") >= 0))
+    )
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zordered")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    maintenance.write_zordered(df, zordered, ["x", "y"], num_files=16)
+
+    lo, hi = 4000, 4500  # ~5% of the y domain
+    lin_hit, lin_total = maintenance.files_overlapping(linear, "y", lo, hi)
+    z_hit, z_total = maintenance.files_overlapping(zordered, "y", lo, hi)
+    assert lin_hit == lin_total, "x-sorted layout can't prune on y"
+    assert z_hit < z_total / 2, f"z-order should prune most files: {z_hit}/{z_total}"
+    # and the z-ordered layout still prunes on x too
+    zx_hit, _ = maintenance.files_overlapping(zordered, "x", lo, hi)
+    assert zx_hit < z_total
+
+
+def test_zorder_preserves_rows(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (999 - F.col("id")).alias("y")
+    )
+    path = str(tmp_path / "z")
+    maintenance.write_zordered(df, path, ["x", "y"], num_files=4)
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("x")).collect()[0][0] == sum(range(1000))
+
+
+def test_analyze_stats_sidecar(spark, fragmented):
+    stats = maintenance.analyze_table(spark, fragmented, "events")
+    path = f"{fragmented}/events/_stats.json"
+    assert os.path.exists(path)
+    assert stats["rows"] == spark.read.parquet(f"{fragmented}/events").count()
+    bh = stats["columns"]["block_height"]
+    assert int(bh["min"]) <= int(bh["max"])
+    assert bh["nulls"] == 0
+    assert bh["approx_ndv"] >= 1
