@@ -41,7 +41,17 @@ HEADLINE = [
     "q19_disjunctive",
     "user_sessions",
     "tumbling_event_counts",
+    # catalog-4 heavies: the most expensive join/agg shapes in the repo
+    "q8_market_share",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 ]
+
+#: samples per query (round-robin passes); median reported. One sample per
+#: query (rounds 1-2) made r-over-r deltas indistinguishable from sandbox
+#: noise — e.g. +100% on a plan whose code hadn't changed.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def force(df) -> None:
@@ -91,11 +101,24 @@ def main() -> None:
             force(CATALOG[name].build(spark, small))
         load_tables(spark, sf_dir)  # restore views
 
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        force(CATALOG[name].build(spark, tables))
-        timings[name] = round(time.perf_counter() - start, 3)
+    # Round-robin passes (q1..qN, q1..qN, ...) rather than back-to-back
+    # repeats: transient contention then hits one *pass*, not one query's
+    # whole sample set, so the median absorbs it.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(max(1, REPS)):
+        for name in names:
+            start = time.perf_counter()
+            force(CATALOG[name].build(spark, tables))
+            samples[name].append(time.perf_counter() - start)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {n: round(median(xs), 3) for n, xs in samples.items()}
+    mins = {n: round(min(xs), 3) for n, xs in samples.items()}
+    spreads = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
     prev_name, prev = previous_round()
@@ -103,7 +126,10 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-query MEDIAN of REPS samples
+        "queries_min": mins,
+        "queries_spread": spreads,  # max - min across samples
+        "reps": max(1, REPS),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if prev:

@@ -72,8 +72,15 @@ def compact_table(
     ``ceil(bytes / target_file_bytes)`` sorted files.
 
     Row-preserving (dedup is :func:`storage.merge_table`'s job); staged
-    per-bucket swap, so readers never see a half-compacted bucket and a
-    crash leaves the original. Returns per-bucket before/after stats.
+    per-bucket swap. Staging/backup dirs are underscore-prefixed, which
+    parquet partition discovery ignores, so a crash at any point leaves the
+    table readable: either the original bucket (crash before the final
+    rename pair) or the compacted one. The only non-atomic window is the
+    instant between moving the old bucket aside and renaming the staged
+    replacement in — a crash exactly there leaves the bucket absent, with
+    both copies preserved under ``_old_*`` / ``_staged_*`` for manual
+    recovery (never a half-written or bogus partition). Returns per-bucket
+    before/after stats.
     """
     path = os.path.join(warehouse, name)
     key = SORT_KEYS[name]
@@ -93,14 +100,21 @@ def compact_table(
         for col in BLOOM_COLUMNS.get(name, []):
             writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
         writer.parquet(tmp)
-        old = bdir + ".old"
-        os.rename(bdir, old)
-        os.rename(tmp, bdir)
-        shutil.rmtree(old)
-        # drop spark's _SUCCESS marker inside the partition dir
-        marker = os.path.join(bdir, "_SUCCESS")
+        # drop spark's _SUCCESS marker before the swap so the staged dir is
+        # final the moment it's renamed into place
+        marker = os.path.join(tmp, "_SUCCESS")
         if os.path.exists(marker):
             os.remove(marker)
+        # stage INSIDE the table dir first (underscore prefix → ignored by
+        # partition discovery), so the final swap is two same-dir renames
+        staged = os.path.join(path, f"_staged_{bucket}_{uuid.uuid4().hex[:8]}")
+        os.rename(tmp, staged)
+        # backup name must NOT match height_bucket=* or discovery would
+        # parse it as a bogus partition value on the next read
+        old = os.path.join(path, f"_old_{bucket}_{uuid.uuid4().hex[:8]}")
+        os.rename(bdir, old)
+        os.rename(staged, bdir)
+        shutil.rmtree(old)
         after = bucket_file_stats(path)[bucket]
         report[bucket] = {"before": s, "after": after}
     return report
@@ -200,7 +214,10 @@ def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
     import pyarrow.parquet as pq
 
     total = hit = 0
-    for f in glob(os.path.join(path, "*.parquet")) + glob(os.path.join(path, "part-*")):
+    files = sorted(
+        set(glob(os.path.join(path, "*.parquet")) + glob(os.path.join(path, "part-*")))
+    )  # a part-*.parquet file matches both globs — don't double-count it
+    for f in files:
         if os.path.basename(f).startswith(("_", ".")):
             continue
         md = pq.ParquetFile(f).metadata
@@ -208,14 +225,21 @@ def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
         if col not in idx:
             continue
         total += 1
+
+        def _decode(v):
+            # pyarrow surfaces string/binary column stats as bytes; decode
+            # so comparisons against str lo/hi don't raise TypeError
+            return v.decode("utf-8", "surrogateescape") if isinstance(v, bytes) else v
+
         fmin, fmax = None, None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx[col]).statistics
             if st is None or not st.has_min_max:
                 fmin, fmax = None, None
                 break
-            fmin = st.min if fmin is None else min(fmin, st.min)
-            fmax = st.max if fmax is None else max(fmax, st.max)
+            smin, smax = _decode(st.min), _decode(st.max)
+            fmin = smin if fmin is None else min(fmin, smin)
+            fmax = smax if fmax is None else max(fmax, smax)
         if fmin is None or (fmax >= lo and fmin <= hi):
             hit += 1  # unknown stats ⇒ cannot prune ⇒ counts as touched
     return hit, total

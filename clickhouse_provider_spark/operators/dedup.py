@@ -166,8 +166,12 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
         # expand each candidate pair by doc_a's shingles, then inner-join
         # doc_b's shingles on (doc_b, shingle): one row per common shingle
         # per candidate pair — proportional to candidate work only
+        # duplicate candidate rows (e.g. raw band collisions, where one pair
+        # can collide in several bands) would inflate n_common → Jaccard > 1;
+        # distinct() is cheap relative to the shingle join that follows
         common = (
             pairs.select("doc_a", "doc_b")
+            .distinct()
             .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
             .join(
                 sh.select(F.col("doc_id").alias("doc_b"), "shingle"),

@@ -11,8 +11,11 @@ Spark-first mapping as a Python Data Source (pyspark.sql.datasource):
   × in-partition order = global height order
 - **ordered re-emit + backpressure** — the streaming reader advances a
   height offset and caps each micro-batch at ``max_blocks_per_batch``
-  (the mpsc::channel(100) analog, main.rs:91); offsets make replay
-  deterministic (readBetweenOffsets re-fetches the exact range)
+  (the mpsc::channel(100) analog, main.rs:91); offsets are plain height
+  ranges, so replay re-plans the exact same partitions. Offset planning
+  moves only height numbers through the driver; payload fetches run in
+  ``read(partition)`` on executors (partition-based stream reader, same
+  shape as the batch path)
 - **auth** — ``auth_bearer_token`` option or AUTH_BEARER_TOKEN env
   (main.rs:65,97-99) sent as ``Authorization: Bearer …``
 - **genesis discovery** — ``fetch_first_block_height`` (fetcher's
@@ -49,8 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -78,6 +81,11 @@ def _get(url: str, token: str | None, timeout: float, retries: int = MAX_RETRIES
         except urllib.error.HTTPError as err:
             if err.code == 404:
                 return None
+            # retry only what can heal: 408/429 and 5xx. Other 4xx (401/403
+            # bad token, 400 bad request) would burn the full backoff budget
+            # per height × threads × partitions before surfacing — fail fast.
+            if 400 <= err.code < 500 and err.code not in (408, 429):
+                raise
             if attempt == retries - 1:
                 raise
         except (urllib.error.URLError, OSError):
@@ -233,42 +241,76 @@ class NeardataBatchReader(DataSourceReader):
         )
 
 
-class NeardataStreamReader(SimpleDataSourceStreamReader):
+class NeardataStreamReader(DataSourceStreamReader):
     """Tail the chain: offset = next height to fetch; each micro-batch
-    covers at most max_blocks_per_batch heights up to the final tip."""
+    covers at most max_blocks_per_batch heights up to the final tip.
+
+    Partition-based (NOT SimpleDataSourceStreamReader): offset planning
+    (``initialOffset``/``latestOffset``/``partitions``) runs on the driver
+    and moves only height numbers; the block payloads are fetched by
+    ``read(partition)`` on EXECUTORS, one ordered height slice per task —
+    the same executor-parallel shape as the batch path, so no micro-batch
+    is ever materialized through a single driver process.
+
+    Offset protocol: ``latestOffset`` receives no start, so the reader
+    tracks a base position ``_base`` (= every height below it is already
+    planned or committed). ``latestOffset`` is IDEMPOTENT -- it computes
+    ``min(tip+1, base + cap)`` without advancing ``_base`` (Spark may call
+    it more than once before planning a batch, and on a fresh query it is
+    called BEFORE ``initialOffset``); the base advances only when a batch
+    is actually planned (``partitions``, which receives the authoritative
+    checkpointed start) or committed (``commit``). When ``_base`` is still
+    unknown, the base falls back to the resolved start height -- correct
+    for fresh queries; a RESTARTED query whose checkpoint is ahead of that
+    start gets one empty batch (``partitions`` returns [] for hi <= lo and
+    re-syncs ``_base`` from the checkpointed start), after which the cap
+    advances from the true position. A post-restart offset regression
+    re-reads an already-processed range at most once -- the source is
+    at-least-once by contract and every downstream sink dedups
+    (ReplacingMergeTree / assembler seen-set).
+    """
 
     def __init__(self, options: dict):
         self.opt = _Options(options)
+        self._base: int | None = None  # heights below this are planned/done
+
+    def _resolved_start(self) -> int:
+        if self.opt.start_height is not None:
+            return self.opt.start_height
+        return fetch_first_block_height(
+            self.opt.base_url, self.opt.token, self.opt.timeout
+        )
 
     def initialOffset(self) -> dict:
-        start = self.opt.start_height
-        if start is None:
-            start = fetch_first_block_height(
-                self.opt.base_url, self.opt.token, self.opt.timeout
-            )
+        start = self._resolved_start()
+        self._base = max(self._base or 0, start)
         return {"height": start}
 
-    def read(self, start: dict) -> Tuple[Iterator[Tuple[int, str]], dict]:
-        lo = start["height"]
+    def latestOffset(self) -> dict:
         tip = fetch_last_block_height(self.opt.base_url, self.opt.token, self.opt.timeout)
-        hi = min(tip + 1, lo + self.opt.max_blocks_per_batch)
-        if hi <= lo:
-            return [], start
-        rows = self.readBetweenOffsets(start, {"height": hi})
-        return rows, {"height": hi}
+        base = self._base if self._base is not None else self._resolved_start()
+        # backpressure: the fetcher's bounded-channel analog (main.rs:91)
+        end = max(min(tip + 1, base + self.opt.max_blocks_per_batch), base)
+        return {"height": end}
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> list[Tuple[int, str]]:
-        # materialized (bounded by max_blocks_per_batch): Spark's prefetch
-        # cache copies the returned value, which a generator can't survive
-        return list(
-            _fetch_ordered(
-                self.opt.base_url,
-                list(range(start["height"], end["height"])),
-                self.opt.token,
-                self.opt.timeout,
-                self.opt.num_threads,
-            )
+    def partitions(self, start: dict, end: dict) -> list[_HeightRange]:
+        lo, hi = start["height"], end["height"]
+        self._base = max(self._base or 0, lo, hi)
+        step = self.opt.blocks_per_partition
+        return [_HeightRange(s, min(s + step, hi)) for s in range(lo, hi, step)]
+
+    def read(self, partition: _HeightRange) -> Iterator[Tuple[int, str]]:
+        # executor-side: concurrent GETs, yielded in height order
+        yield from _fetch_ordered(
+            self.opt.base_url,
+            list(range(partition.start, partition.end)),
+            self.opt.token,
+            self.opt.timeout,
+            self.opt.num_threads,
         )
+
+    def commit(self, end: dict) -> None:
+        self._base = max(self._base or 0, end["height"])
 
 
 class NeardataBlockSource(DataSource):
@@ -290,7 +332,7 @@ class NeardataBlockSource(DataSource):
     def reader(self, schema: StructType) -> NeardataBatchReader:
         return NeardataBatchReader(self.options)
 
-    def simpleStreamReader(self, schema: StructType) -> NeardataStreamReader:
+    def streamReader(self, schema: StructType) -> NeardataStreamReader:
         return NeardataStreamReader(self.options)
 
 

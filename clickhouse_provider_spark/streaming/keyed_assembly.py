@@ -26,8 +26,11 @@ every micro-batch). Emits tx_hash-tagged unit rows:
 counters (mapped/executed/data-deps) + the buffered unit payloads + a
 dedup set (unit log appends replay at-least-once). When
 executed==mapped>0 and every data dep matched, the tx's units are
-emitted downstream and the key's state is cleared — the completeness
-gate of transactions.rs:354-369 per key. Per-batch work is proportional
+emitted downstream and the key's state collapses to a compact tombstone
+(buffers dropped, ``n_mapped = COMPLETED``) — the completeness gate of
+transactions.rs:354-369 per key, plus replay protection: units for an
+already-emitted tx (partial re-read of old unit-log files) are swallowed
+rather than rebuilding dangling state that could never complete. Per-batch work is proportional
 to units arriving for touched keys; untouched in-flight txs sit in the
 state store and are never re-walked.
 
@@ -84,6 +87,12 @@ from clickhouse_provider_spark.operators import transactions as TX
 from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
 from clickhouse_provider_spark.sources import block_stream
 from clickhouse_provider_spark.streaming.state import VersionedState
+
+#: sentinel n_mapped marking a key whose tx was already emitted — a compact
+#: tombstone (one counts tuple, no buffered units) kept so that partial
+#: replays of older unit-log files are swallowed instead of rebuilding
+#: dangling per-tx state that could never satisfy the completion gate
+COMPLETED = -1
 
 UNITS_SCHEMA = "tx_hash string, kind string, dedup_key string, n_deps long, unit_json string"
 EMITTED_SCHEMA = "tx_hash string, kind string, unit_json string"
@@ -229,10 +238,20 @@ class KeyedRouter:
                 )
             ),
         )
+        # ONE file per append (WAL-style): the assembler's maxFilesPerTrigger
+        # batches at file granularity, so a multi-file append could be split
+        # mid-block across micro-batches — and the completion gate
+        # (n_exec == n_mapped) is only sound at block boundaries (the
+        # reference processes per block, transactions.rs:354-369). E.g. a
+        # split between exec(R2) and map(R3) fires the gate early and emits
+        # a partial tx. One file per router batch keeps each block's units
+        # atomic; at higher throughput shard by tx_hash bucket with
+        # per-bucket single files instead of raising file count.
         (
             seed_units.unionByName(map_units)
             .unionByName(exec_units)
             .unionByName(data_units)
+            .coalesce(1)
             .write.mode("append")
             .parquet(self.units_dir)
         )
@@ -262,6 +281,13 @@ class TxAssembler(StatefulProcessor):
     def handleInputRows(self, key, rows, timerValues):
         c = self.counts.get() if self.counts.exists() else None
         n_mapped, n_exec, n_deps, n_data, has_seed = c or (0, 0, 0, 0, False)
+        if n_mapped == COMPLETED:
+            # tombstone: tx already emitted; a partial replay of older unit
+            # log files must not rebuild dangling state (e.g. exec units
+            # without their seed) that could never re-satisfy the gate
+            for _ in rows:
+                pass
+            return
         fresh: list[tuple[str, str]] = []
         for pdf in rows:
             for r in pdf.itertuples(index=False):
@@ -287,7 +313,7 @@ class TxAssembler(StatefulProcessor):
                 [(key[0], k, j) for k, j in self.units.get()],
                 columns=["tx_hash", "kind", "unit_json"],
             )
-            self.counts.clear()
+            self.counts.update((COMPLETED, 0, 0, 0, True))  # tombstone
             self.units.clear()
             self.seen.clear()
             yield out
@@ -309,6 +335,11 @@ ASSEMBLE_STATE_SCHEMA = (
 def _assemble_fn(key, pdfs, state: GroupState):
     if state.exists:
         n_mapped, n_exec, n_deps, n_data, has_seed, kinds, jsons, seen = state.get
+        if n_mapped == COMPLETED:  # tombstone: swallow replayed tail units
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
+            return
         kinds, jsons, seen_set = list(kinds), list(jsons), set(seen)
     else:
         n_mapped = n_exec = n_deps = n_data = 0
@@ -338,7 +369,7 @@ def _assemble_fn(key, pdfs, state: GroupState):
         out = pd.DataFrame(
             {"tx_hash": key[0], "kind": kinds, "unit_json": jsons}
         )
-        state.remove()
+        state.update((COMPLETED, 0, 0, 0, True, [], [], []))  # tombstone
         yield out
     else:
         state.update(

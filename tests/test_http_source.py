@@ -167,3 +167,90 @@ def test_stream_tail(spark, server, tmp_path_factory):
     q.stop()
     assert [h for batch in got for h in batch] == want
     assert all(len(b) <= 2 for b in got)  # backpressure cap respected
+
+
+def test_4xx_fails_fast_5xx_retries():
+    """401/403 must raise on the FIRST attempt (no backoff burn with a bad
+    bearer token); 5xx stays retryable."""
+    import time as _time
+    import urllib.error
+
+    calls = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            calls["n"] += 1
+            code = int(self.path.rsplit("/", 1)[1])
+            self.send_response(code)
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        t0 = _time.perf_counter()
+        with pytest.raises(urllib.error.HTTPError):
+            HF._get(f"{url}/code/401", token="bad", timeout=5, retries=10)
+        assert calls["n"] == 1  # fail-fast, no retries
+        assert _time.perf_counter() - t0 < 2
+
+        calls["n"] = 0
+        with pytest.raises(urllib.error.HTTPError):
+            HF._get(f"{url}/code/503", token=None, timeout=5, retries=3)
+        assert calls["n"] == 3  # 5xx retried to exhaustion
+
+        assert HF._get(f"{url}/code/404", token=None, timeout=5) is None
+    finally:
+        srv.shutdown()
+
+
+def test_stream_restart_from_checkpoint(spark, server, tmp_path_factory):
+    """Restart with a checkpoint AHEAD of the configured start: Spark never
+    replays initialOffset, the reader's first latestOffset under-caps from
+    the options start, partitions() sees hi <= lo, returns [] and re-syncs
+    — the query must keep draining to the tip (duplicates allowed: the
+    source is at-least-once; order within each batch still holds)."""
+    import time
+
+    spark.dataSource.register(HF.NeardataBlockSource)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_http_restart"))
+    want = list(range(server["first"], server["last"] + 1))
+
+    def run(got, stop_after_heights):
+        q = (
+            spark.readStream.format("neardata")
+            .option("url", server["url"])
+            .option("start_height", server["first"])
+            .option("max_blocks_per_batch", 2)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.append(
+                    [r["block_height"] for r in df.orderBy("block_height").collect()]
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            if len({h for b in got for h in b}) >= stop_after_heights:
+                break
+            time.sleep(0.3)
+        q.stop()
+
+    first_run: list = []
+    run(first_run, stop_after_heights=3)  # stop mid-chain → checkpoint ahead of start
+    done1 = {h for b in first_run for h in b}
+    assert len(done1) >= 3 and len(done1) < len(want)
+
+    second_run: list = []
+    run(second_run, stop_after_heights=len(want) - len(done1) + 2)
+    time.sleep(0.1)
+    all_heights = {h for run_ in (first_run, second_run) for b in run_ for h in b}
+    assert all_heights == set(want)  # drained to the tip across the restart
+    for b in first_run + second_run:
+        assert b == sorted(b) and len(b) <= 2  # order + cap hold in every batch

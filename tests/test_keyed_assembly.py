@@ -85,7 +85,12 @@ def test_unit_log_replay_is_idempotent(spark, keyed_out, tmp_path_factory):
     units2 = os.path.join(wh2, "_tx_units")
     os.makedirs(units2)
     n = 0
-    for f in os.listdir(units_src):
+    # mtime order: replays must preserve append (block) order — the
+    # completion gate is only sound when each block's units arrive in order
+    for f in sorted(
+        os.listdir(units_src),
+        key=lambda f: os.path.getmtime(os.path.join(units_src, f)),
+    ):
         if f.endswith(".parquet"):
             shutil.copy(os.path.join(units_src, f), os.path.join(units2, f"a{n}.parquet"))
             shutil.copy(os.path.join(units_src, f), os.path.join(units2, f"b{n}.parquet"))
@@ -101,3 +106,32 @@ def test_unit_log_replay_is_idempotent(spark, keyed_out, tmp_path_factory):
     txs = storage.read_table(spark, wh2, "transactions")
     assert {r["transaction_hash"] for r in txs.collect()} == {"T1", "T2", "T3"}
     assert txs.count() == 3  # no duplicate survivors
+
+
+def test_completed_tombstone_blocks_replayed_tail(spark, keyed_out, tmp_path_factory):
+    """Replaying the unit log into the SAME assembler checkpoint after the
+    txs already completed must emit nothing: the per-key tombstone swallows
+    replayed units instead of rebuilding (and re-satisfying) the gate."""
+    import shutil
+
+    units_dir = os.path.join(keyed_out, "_tx_units")
+    raw_before = spark.read.parquet(os.path.join(keyed_out, "transactions")).count()
+    ckpt = str(tmp_path_factory.mktemp("ckpt_asm_tomb"))
+    # first pass through a fresh checkpoint: emits every tx once
+    q = run_keyed_assembler(spark, keyed_out, checkpoint=ckpt, max_files_per_trigger=3)
+    q.awaitTermination(240)
+    raw_mid = spark.read.parquet(os.path.join(keyed_out, "transactions")).count()
+    assert raw_mid > raw_before  # fresh checkpoint re-emitted (expected)
+    # replay the whole log as new files through the SAME checkpoint: the
+    # tombstoned keys must swallow everything — zero new emissions
+    for i, f in enumerate(sorted(os.listdir(units_dir))):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(units_dir, f), os.path.join(units_dir, f"replay{i}.parquet")
+            )
+    q = run_keyed_assembler(spark, keyed_out, checkpoint=ckpt, max_files_per_trigger=3)
+    q.awaitTermination(240)
+    raw_after = spark.read.parquet(os.path.join(keyed_out, "transactions")).count()
+    assert raw_after == raw_mid  # tombstones held: no re-emission
+    # logical view still exactly the 3 txs
+    assert storage.read_table(spark, keyed_out, "transactions").count() == 3

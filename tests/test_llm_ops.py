@@ -160,3 +160,21 @@ def test_frame_sample_plan(spark):
     )
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_jaccard_duplicate_candidate_pairs_tolerated(spark, dup_docs):
+    """Raw band collisions can list the same (doc_a, doc_b) several times;
+    jaccard_pairs must dedup internally so ratios never exceed 1."""
+    dup_pairs = spark.createDataFrame(
+        [(1, 3), (1, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    rows = dedup.jaccard_pairs(dup_docs, pairs=dup_pairs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 3)
+    assert 0.0 < r["jaccard"] <= 1.0
+    # and it matches the same pair computed without duplicates
+    clean = dedup.jaccard_pairs(
+        dup_docs, pairs=spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    ).collect()[0]
+    assert r["jaccard"] == clean["jaccard"]

@@ -104,3 +104,16 @@ def test_analyze_stats_sidecar(spark, fragmented):
     assert int(bh["min"]) <= int(bh["max"])
     assert bh["nulls"] == 0
     assert bh["approx_ndv"] >= 1
+
+
+def test_files_overlapping_string_stats(spark, tmp_path):
+    """String-column footer stats surface as bytes from pyarrow; the helper
+    must decode before comparing against str bounds (no TypeError)."""
+    p = str(tmp_path / "strtab")
+    spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",)], "name string"
+    ).coalesce(1).write.parquet(p)
+    hit, total = maintenance.files_overlapping(p, "name", "b", "bz")
+    assert (hit, total) == (1, 1)
+    hit, total = maintenance.files_overlapping(p, "name", "x", "z")
+    assert (hit, total) == (0, 1)
