@@ -379,6 +379,56 @@ def _assemble_fn(key, pdfs, state: GroupState):
         yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
 
 
+def run_keyed_transactions(
+    spark: SparkSession,
+    src_path: str,
+    warehouse: str,
+    checkpoint: str,
+    state_dir: str | None = None,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+    engine: str = "auto",
+):
+    """The full incremental transactions-mode daemon: router (stage 1) →
+    unit log → keyed assembler + fan-out (stages 2+3), chained under ONE
+    checkpoint root (``<checkpoint>/router`` and ``<checkpoint>/assembler``)
+    so stop/resume restarts both stages from where they left off.
+
+    With ``available_now`` the router drains fully before the assembler
+    starts (the assembler's file source only batches files that exist when
+    it plans); continuous mode runs both queries concurrently. Returns the
+    assembler's query with the router's attached as ``.router_query`` —
+    ``stop()``/``awaitTermination`` on the returned handle govern the
+    sink-side stage, the attribute the source-side one.
+
+    Per-batch work here is ∝ units arriving for touched keys (the
+    reference's per-block TxCache update, transactions.rs:354-369) — not
+    ∝ total in-flight history like the legacy
+    ``pipeline.TransactionsStream`` shape this replaces as default.
+    """
+    q1 = run_keyed_router(
+        spark,
+        src_path,
+        warehouse,
+        checkpoint=os.path.join(checkpoint, "router"),
+        state_dir=state_dir,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
+    )
+    if available_now:
+        q1.awaitTermination()
+    q2 = run_keyed_assembler(
+        spark,
+        warehouse,
+        checkpoint=os.path.join(checkpoint, "assembler"),
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=available_now,
+        engine=engine,
+    )
+    q2.router_query = q1
+    return q2
+
+
 def run_keyed_router(
     spark: SparkSession,
     src_path: str,

@@ -180,9 +180,34 @@ def run_transactions_stream(
     state_dir: str | None = None,
     max_files_per_trigger: int = 100,
     available_now: bool = True,
+    engine: str = "keyed",
 ):
     """Transactions-mode daemon: block files → 5 explorer tables with
-    cross-batch tx state."""
+    cross-batch tx state.
+
+    ``engine="keyed"`` (default) routes through the incremental
+    router → unit-log → keyed-assembler path (keyed_assembly.py): per-batch
+    cost ∝ new arrivals for touched tx keys, matching the reference's
+    per-block TxCache update. ``engine="legacy"`` keeps this module's
+    original relational shape — union state with the batch and rerun the
+    assembly fixpoint — whose per-batch cost grows with total in-flight
+    history; it remains as a fallback (no pandas/Arrow worker dependency,
+    single-query operational surface) and as the differential-testing twin.
+    """
+    if engine == "keyed":
+        from clickhouse_provider_spark.streaming.keyed_assembly import (
+            run_keyed_transactions,
+        )
+
+        return run_keyed_transactions(
+            spark,
+            src_path,
+            warehouse,
+            checkpoint,
+            state_dir=state_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=available_now,
+        )
     assembler = TransactionsStream(
         spark, warehouse, state_dir or os.path.join(warehouse, "_tx_state")
     )
