@@ -100,12 +100,17 @@ def lsh_bucket_topk(
     recall is tuned by n_planes (fewer planes → bigger buckets → higher
     recall). Deterministic: planes derive from md5 (see hyperplane_signs).
 
-    Pass ``dim`` (the embedding dimensionality) when known — otherwise a
-    single-row probe infers it, which is a (bounded: LIMIT 1) driver
-    action inside the plan-building path.
+    ``dim`` (the embedding dimensionality) is required: Spark's ArrayType
+    carries no width, and inferring it would mean a driver-side row probe
+    inside plan building — a hidden job per call. Callers know their
+    embedding width; pass it.
     """
     if dim is None:
-        dim = len(emb.select(vec_col).limit(1).first()[0])
+        raise ValueError(
+            "lsh_bucket_topk requires dim= (the embedding width): ArrayType "
+            "has no static width and a .first() probe would run a driver-side "
+            "job inside plan building"
+        )
     planes = hyperplane_signs(n_planes, dim)
     with_sig = emb.withColumn("lsh_bucket", lsh_signature(F.col(vec_col), planes))
     q = (
@@ -147,25 +152,81 @@ def cosine_near_pairs(
     )
 
 
-def ivf_assignments(
-    emb: DataFrame, n_cells: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    seed: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat cell assignment: each vector → its max-cosine centroid.
+    """Spherical k-means centroids for IVF: deterministic seeded-sample
+    init + ``iters`` Lloyd rounds, entirely as DataFrame ops (no vector
+    ever reaches the driver; the centroid relation is n_cells rows and is
+    broadcast everywhere it's used).
 
-    Centroid 'training' is a deterministic stub (the first n_cells vectors
-    by id) — a k-means step would slot in here without changing the
-    operator shape; what matters for the engine is the assignment plan:
-    broadcast the centroid table, one map-side argmax per vector, NO
-    shuffle. The cell id becomes the partition key of the vector table at
-    scale (a query probes nprobe cells → reads nprobe partitions)."""
+    Init: rank vectors by ``md5(seed|id)`` and take ``n_cells`` — a
+    uniform reproducible sample of the corpus (the earlier stub took the
+    first n_cells ids, which on real data lands all centroids in whatever
+    neighborhood those ids share → arbitrarily unbalanced cells and no
+    pruning power).
+
+    Each Lloyd round: (1) assignment = broadcast centroids + map-side
+    argmax, no shuffle; (2) update = per-cell elementwise mean via
+    posexplode(vec) → groupBy(cell, pos).avg — the only shuffle, with
+    map-side partial aggregation compressing N×dim rows down to
+    n_cells×dim per mapper. Cells that lose every member keep their
+    previous centroid. Per-round lineage is cut with localCheckpoint so
+    ``iters`` stays O(iters) plan depth, not exponential."""
     from pyspark.sql.window import Window as W
 
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    ranked = emb.select(
+        F.col(vec_col).alias("centroid"),
+        F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))).alias("_r"),
     )
+    cents = (
+        ranked.orderBy("_r")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(W.orderBy("_r")) - 1).alias("cell_id"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _argmax_cell(emb, cents, id_col, vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell_id", F.transform("pm", lambda s: s["m"]).alias("new_centroid")
+            )
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce("new_centroid", "centroid").alias("centroid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _argmax_cell(
+    emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Each vector → its max-cosine centroid: broadcast the (tiny)
+    centroid relation, per-vector argmax via row_number — map-side up to
+    the per-vector window, ties broken by cell_id for determinism."""
+    from pyspark.sql.window import Window as W
+
     w = W.partitionBy(id_col).orderBy(F.col("cos_to_centroid").desc(), F.col("cell_id"))
     return (
-        emb.join(F.broadcast(cents))
+        emb.join(F.broadcast(centroids))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -178,6 +239,29 @@ def ivf_assignments(
     )
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF-flat cell assignment: each vector → its max-cosine centroid.
+
+    Centroids default to :func:`ivf_train_centroids` (seeded sample +
+    Lloyd); pass a precomputed centroid relation to reuse one across
+    calls. The assignment plan is the part that must scale: broadcast the
+    centroid table, one map-side argmax per vector, NO shuffle. The cell
+    id becomes the partition key of the vector table at scale (a query
+    probes nprobe cells → reads nprobe partitions)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    return _argmax_cell(emb, centroids, id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -186,15 +270,20 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    iters: int = 3,
 ) -> DataFrame:
     """IVF ANN top-k: probe the query's nprobe best cells, exact cosine
-    within them. Recall/latency dial = nprobe/n_cells."""
-    assigned = ivf_assignments(emb, n_cells, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
-    )
+    within them. Recall/latency dial = nprobe/n_cells. Centroids are
+    k-means-trained (see ivf_train_centroids) unless supplied."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    cents = centroids.select("cell_id", "centroid")
+    assigned = ivf_assignments(
+        emb, id_col=id_col, vec_col=vec_col, centroids=cents
+    ).localCheckpoint(eager=True)
     q_vec = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec")
     )

@@ -115,7 +115,7 @@ def test_ann_lsh_recall_vs_exact(spark, tables):
         r["vec_id"]: r["cos_sim"]
         for r in similarity.cosine_topk(tables["embeddings"], 0, k=500).collect()
     }
-    ann = similarity.lsh_bucket_topk(tables["embeddings"], 0, k=10).collect()
+    ann = similarity.lsh_bucket_topk(tables["embeddings"], 0, k=10, dim=64).collect()
     assert len(ann) > 0
     for r in ann:
         assert r["cos_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-12)
@@ -131,6 +131,74 @@ def test_ivf_topk_recall(spark, tables):
     narrow = similarity.ivf_topk(tables["embeddings"], 0, k=10, n_cells=8, nprobe=2).collect()
     assert 0 < len(narrow) <= 10
     assert len({r["cell_id"] for r in narrow}) <= 2
+    # recall floor vs exact on the real (random ⇒ weak-structure) corpus:
+    # probing half the trained cells must still recover ≥40% of true top-10
+    # (measured 0.6 with seeded training on this data; 0.4 leaves margin
+    # for borderline assignment flips from float-mean nondeterminism)
+    half = similarity.ivf_topk(tables["embeddings"], 0, k=10, n_cells=8, nprobe=4).collect()
+    assert len({r["vec_id"] for r in half} & set(exact)) / 10 >= 0.4
+
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """4 well-separated clusters of 24 vectors along axes 0-3 of an 8-dim
+    space, deterministic within-cluster jitter on axis c+4. Ids are
+    cluster-major, so ids 0..3 — the round-2 centroid stub's picks — all
+    sit in cluster 0: the worst case the stub degenerates on."""
+    rows, vid = [], 0
+    for c in range(4):
+        for i in range(24):
+            base = [0.0] * 8
+            base[c] = 1.0
+            base[(c + 4) % 8] = 0.05 * ((i % 5) - 2)
+            rows.append(Row(vec_id=vid, embedding=base, label=c))
+            vid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_trained_centroids_balance_on_skew(spark, clustered_vectors):
+    """Trained centroids (seeded sample + Lloyd) must spread assignments
+    across cells where the first-n-ids stub collapses to one megacell."""
+    emb = clustered_vectors
+    stub_cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    stub_sizes = [
+        r["count"]
+        for r in similarity.ivf_assignments(emb, centroids=stub_cents)
+        .groupBy("cell_id").count().collect()
+    ]
+    assert max(stub_sizes) >= 0.7 * 96  # the stub's failure mode (measured 77)
+    trained = similarity.ivf_train_centroids(emb, n_cells=4, iters=3)
+    tr_sizes = [
+        r["count"]
+        for r in similarity.ivf_assignments(emb, centroids=trained)
+        .groupBy("cell_id").count().collect()
+    ]
+    assert len(tr_sizes) >= 3  # ≥3 non-empty cells
+    assert max(tr_sizes) <= 30  # measured: perfectly balanced 24/24/24/24
+
+
+def test_ivf_trained_recall_on_clusters(spark, clustered_vectors):
+    """With trained centroids each cluster co-locates in one cell, so even
+    nprobe=1 recovers the query's true neighborhood (query 50 ∈ cluster 2,
+    whose 24 members dominate exact top-10)."""
+    emb = clustered_vectors
+    trained = similarity.ivf_train_centroids(emb, n_cells=4, iters=3)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, 50, k=10).collect()}
+    ann = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, 50, k=10, n_cells=4, nprobe=1, centroids=trained
+        ).collect()
+    }
+    assert len(ann & exact) / 10 >= 0.9  # measured 1.0
+
+
+def test_lsh_dim_required(spark, vectors):
+    """No hidden driver-side probe: omitting dim is a loud error."""
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_bucket_topk(vectors, 0)
 
 
 def test_cosine_near_pairs_symmetric_threshold(spark, tables):
