@@ -52,17 +52,35 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real decode hook — inject a decoder (PIL/cv2) in a full deployment.
+def has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
 
-    Kept as an explicit NotImplementedError: the container has no imaging
-    libraries, and silently faking decode in the *production* path would
-    hide that.
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(content: bytes) -> bytes:
+    """Decode an image blob to raw RGB bytes.
+
+    Uses PIL when installed (guarded import — the decode then feeds
+    extract_features like any other decoder). Without an imaging library
+    this stays an explicit NotImplementedError: silently faking decode in
+    the *production* path would hide that the container can't decode.
     """
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode for pipeline testing"
-    )
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (e.g. PIL) not "
+            "present in this environment; use fake_decode for pipeline "
+            "testing"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(content)) as img:
+        return img.convert("RGB").tobytes()
 
 
 def fake_decode(content: bytes) -> bytes:

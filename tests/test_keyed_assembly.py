@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_provider_spark import storage
 from clickhouse_provider_spark.streaming.keyed_assembly import (
+    has_tws_protocol,
     run_keyed_assembler,
     run_keyed_router,
 )
@@ -106,6 +107,41 @@ def test_unit_log_replay_is_idempotent(spark, keyed_out, tmp_path_factory):
     txs = storage.read_table(spark, wh2, "transactions")
     assert {r["transaction_hash"] for r in txs.collect()} == {"T1", "T2", "T3"}
     assert txs.count() == 3  # no duplicate survivors
+
+
+@pytest.mark.skipif(
+    not has_tws_protocol(),
+    reason="google.protobuf absent: transformWithStateInPandas' state "
+    "protocol can't initialize (pip install protobuf to enable)",
+)
+def test_tws_engine_end_to_end(spark, keyed_out, tmp_path_factory):
+    """Run the transformWithStateInPandas engine (TxAssembler on RocksDB
+    state) for real over the router's unit log — same 3-tx result as the
+    applyInPandasWithState twin the other tests exercise."""
+    import shutil
+
+    wh2 = str(tmp_path_factory.mktemp("wh_keyed_tws"))
+    units2 = os.path.join(wh2, "_tx_units")
+    os.makedirs(units2)
+    units_src = os.path.join(keyed_out, "_tx_units")
+    for i, f in enumerate(
+        sorted(
+            (f for f in os.listdir(units_src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(units_src, f)),
+        )
+    ):
+        shutil.copy(os.path.join(units_src, f), os.path.join(units2, f"u{i}.parquet"))
+    shutil.copytree(os.path.join(keyed_out, "blocks"), os.path.join(wh2, "blocks"))
+    q = run_keyed_assembler(
+        spark, wh2,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_tws")),
+        max_files_per_trigger=2,
+        engine="tws",
+    )
+    q.awaitTermination(240)
+    txs = storage.read_table(spark, wh2, "transactions")
+    assert {r["transaction_hash"] for r in txs.collect()} == {"T1", "T2", "T3"}
+    assert txs.count() == 3
 
 
 def test_completed_tombstone_blocks_replayed_tail(spark, keyed_out, tmp_path_factory):

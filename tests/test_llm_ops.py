@@ -230,6 +230,37 @@ def test_frame_sample_plan(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+@pytest.mark.skipif(
+    not multimodal.has_pil(), reason="PIL not installed in this environment"
+)
+def test_real_image_decode_with_pil(spark):
+    """When an imaging library exists, decode_image is a REAL operator:
+    a generated PNG decodes to raw RGB and flows through extract_features
+    like any other decoder (entropy/histogram over decoded pixels)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", png, ("image/png", 4, 2, None))], multimodal.MEDIA_SCHEMA
+    )
+    rows = multimodal.extract_features(media, decode=multimodal.decode_image).collect()
+    assert rows[0]["n_bytes"] == 4 * 2 * 3  # decoded RGB, not the PNG bytes
+    # solid red: every pixel (255, 0, 0) → only histogram bins 0 and 15
+    hist = rows[0]["histogram"]
+    assert hist[15] == 8 and hist[0] == 16 and sum(hist) == 24
+
+
+def test_decode_image_stub_raises_without_pil(spark):
+    if multimodal.has_pil():
+        pytest.skip("PIL present: the stub path is unreachable")
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        multimodal.decode_image(b"\x89PNG...")
+
+
 def test_jaccard_duplicate_candidate_pairs_tolerated(spark, dup_docs):
     """Raw band collisions can list the same (doc_a, doc_b) several times;
     jaccard_pairs must dedup internally so ratios never exceed 1."""

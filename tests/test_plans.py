@@ -103,3 +103,9 @@ def test_q21_no_self_join_exists(spark, tables):
     joins (no exploded l2/l3 self-joins)."""
     plan = plan_of(build("q21_waiting_suppliers", spark, tables))
     assert "TakeOrderedAndProject" in plan
+    # decorrelated: lineitem is scanned exactly twice (l1 rows + the
+    # per-order supplier-count aggregate) — the textbook EXISTS/NOT-EXISTS
+    # translation scans it three times and self-joins the fact table
+    assert plan.count("lineitem") == 2
+    # at most the two fact-fact shuffles; every dimension join broadcasts
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
