@@ -269,14 +269,34 @@ class KeyedRouter:
 
 class TxAssembler(StatefulProcessor):
     """Stage 2: per-tx completion state (the TxCache pending-transaction
-    entry, transactions.rs:569-575) keyed by tx_hash."""
+    entry, transactions.rs:569-575) keyed by tx_hash.
+
+    ``ttl_ms`` (optional) is the reorg horizon: a key untouched that long
+    is evicted — a still-incomplete tx emits its buffered units as
+    ``expired_*`` rows (routed to the ``expired_tx_units`` dead-letter by
+    the fan-out stage), a completed tx's tombstone just vanishes. Without
+    a TTL both kinds of state accumulate for the stream's lifetime."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self.ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
         self.counts = handle.getValueState(
             "counts", "n_mapped long, n_exec long, n_deps long, n_data long, has_seed boolean"
         )
         self.units = handle.getListState("units", "kind string, unit_json string")
         self.seen = handle.getMapState("seen", "k string", "v integer")
+        # latest-activity deadline: timers can't be unregistered ad hoc, so
+        # stale ones are recognized by firing before the current deadline
+        self.deadline = handle.getValueState("deadline", "ts long")
+
+    def _arm(self, timerValues) -> None:
+        if self.ttl_ms is None:
+            return
+        due = timerValues.getCurrentProcessingTimeInMs() + self.ttl_ms
+        self.deadline.update((due,))
+        self.handle.registerTimer(due)
 
     def handleInputRows(self, key, rows, timerValues):
         c = self.counts.get() if self.counts.exists() else None
@@ -287,6 +307,7 @@ class TxAssembler(StatefulProcessor):
             # without their seed) that could never re-satisfy the gate
             for _ in rows:
                 pass
+            self._arm(timerValues)  # replay activity extends the horizon
             return
         fresh: list[tuple[str, str]] = []
         for pdf in rows:
@@ -319,6 +340,23 @@ class TxAssembler(StatefulProcessor):
             yield out
         else:
             self.counts.update((n_mapped, n_exec, n_deps, n_data, has_seed))
+        self._arm(timerValues)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        dl = self.deadline.get() if self.deadline.exists() else None
+        if dl is None or expiredTimerInfo.getExpiryTimeInMs() < dl[0]:
+            return  # stale timer: newer activity re-armed a later deadline
+        c = self.counts.get() if self.counts.exists() else None
+        rows: list[tuple[str, str, str]] = []
+        if c is not None and c[0] != COMPLETED:
+            # incomplete past the reorg horizon: surface, don't swallow
+            rows = [(key[0], f"expired_{k}", j) for k, j in self.units.get()]
+        self.counts.clear()
+        self.units.clear()
+        self.seen.clear()
+        self.deadline.clear()
+        if rows:
+            yield pd.DataFrame(rows, columns=["tx_hash", "kind", "unit_json"])
 
     def close(self) -> None:
         pass
@@ -332,51 +370,80 @@ ASSEMBLE_STATE_SCHEMA = (
 )
 
 
-def _assemble_fn(key, pdfs, state: GroupState):
-    if state.exists:
-        n_mapped, n_exec, n_deps, n_data, has_seed, kinds, jsons, seen = state.get
-        if n_mapped == COMPLETED:  # tombstone: swallow replayed tail units
-            for _ in pdfs:
-                pass
-            yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
+def _make_assemble_fn(ttl_ms: int | None = None):
+    """applyInPandasWithState twin of TxAssembler, optionally with the same
+    reorg-horizon TTL (GroupState processing-time timeout: the runtime
+    itself tracks last-activity, so no explicit deadline state needed)."""
+
+    def _assemble_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            vals = state.get
+            n_mapped, kinds, jsons = vals[0], vals[5], vals[6]
+            state.remove()
+            if n_mapped != COMPLETED and kinds:
+                # incomplete past the reorg horizon: surface, don't swallow
+                yield pd.DataFrame(
+                    {
+                        "tx_hash": key[0],
+                        "kind": [f"expired_{k}" for k in kinds],
+                        "unit_json": list(jsons),
+                    }
+                )
+            else:
+                yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
             return
-        kinds, jsons, seen_set = list(kinds), list(jsons), set(seen)
-    else:
-        n_mapped = n_exec = n_deps = n_data = 0
-        has_seed = False
-        kinds, jsons, seen_set = [], [], set()
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            if r.dedup_key in seen_set:
-                continue  # unit-log replay (at-least-once appends)
-            seen_set.add(r.dedup_key)
-            if r.kind == "map":
-                n_mapped += 1
-            elif r.kind == "exec":
-                n_exec += 1
-                n_deps += int(r.n_deps)
-                kinds.append("exec")
-                jsons.append(r.unit_json)
-            elif r.kind == "data":
-                n_data += 1
-                kinds.append("data")
-                jsons.append(r.unit_json)
-            elif r.kind == "seed":
-                has_seed = True
-                kinds.append("seed")
-                jsons.append(r.unit_json)
-    if has_seed and n_mapped > 0 and n_exec == n_mapped and n_data == n_deps:
-        out = pd.DataFrame(
-            {"tx_hash": key[0], "kind": kinds, "unit_json": jsons}
-        )
-        state.update((COMPLETED, 0, 0, 0, True, [], [], []))  # tombstone
-        yield out
-    else:
-        state.update(
-            (n_mapped, n_exec, n_deps, n_data, has_seed, kinds, jsons,
-             sorted(seen_set))
-        )
-        yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
+        if state.exists:
+            n_mapped, n_exec, n_deps, n_data, has_seed, kinds, jsons, seen = state.get
+            if n_mapped == COMPLETED:  # tombstone: swallow replayed tail units
+                for _ in pdfs:
+                    pass
+                if ttl_ms is not None:
+                    state.setTimeoutDuration(ttl_ms)  # replay extends horizon
+                yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
+                return
+            kinds, jsons, seen_set = list(kinds), list(jsons), set(seen)
+        else:
+            n_mapped = n_exec = n_deps = n_data = 0
+            has_seed = False
+            kinds, jsons, seen_set = [], [], set()
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if r.dedup_key in seen_set:
+                    continue  # unit-log replay (at-least-once appends)
+                seen_set.add(r.dedup_key)
+                if r.kind == "map":
+                    n_mapped += 1
+                elif r.kind == "exec":
+                    n_exec += 1
+                    n_deps += int(r.n_deps)
+                    kinds.append("exec")
+                    jsons.append(r.unit_json)
+                elif r.kind == "data":
+                    n_data += 1
+                    kinds.append("data")
+                    jsons.append(r.unit_json)
+                elif r.kind == "seed":
+                    has_seed = True
+                    kinds.append("seed")
+                    jsons.append(r.unit_json)
+        if has_seed and n_mapped > 0 and n_exec == n_mapped and n_data == n_deps:
+            out = pd.DataFrame(
+                {"tx_hash": key[0], "kind": kinds, "unit_json": jsons}
+            )
+            state.update((COMPLETED, 0, 0, 0, True, [], [], []))  # tombstone
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield out
+        else:
+            state.update(
+                (n_mapped, n_exec, n_deps, n_data, has_seed, kinds, jsons,
+                 sorted(seen_set))
+            )
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(columns=["tx_hash", "kind", "unit_json"])
+
+    return _assemble_fn
 
 
 def run_keyed_transactions(
@@ -388,6 +455,7 @@ def run_keyed_transactions(
     max_files_per_trigger: int = 100,
     available_now: bool = True,
     engine: str = "auto",
+    state_ttl_ms: int | None = None,
 ):
     """The full incremental transactions-mode daemon: router (stage 1) →
     unit log → keyed assembler + fan-out (stages 2+3), chained under ONE
@@ -424,6 +492,7 @@ def run_keyed_transactions(
         max_files_per_trigger=max_files_per_trigger,
         available_now=available_now,
         engine=engine,
+        state_ttl_ms=state_ttl_ms,
     )
     q2.router_query = q1
     return q2
@@ -463,12 +532,20 @@ def run_keyed_assembler(
     max_files_per_trigger: int = 100,
     available_now: bool = True,
     engine: str = "auto",
+    state_ttl_ms: int | None = None,
 ):
     """Stage 2+3: unit log → keyed completion → fan_out → 4 tables.
 
     ``engine``: ``"tws"`` (transformWithStateInPandas + RocksDB),
     ``"apiws"`` (applyInPandasWithState), or ``"auto"`` — tws when its
     protobuf state protocol is importable, else apiws.
+
+    ``state_ttl_ms``: reorg horizon after which an untouched key is
+    evicted — a still-incomplete tx's buffered units land in the
+    ``expired_tx_units`` dead-letter table (they were unreachable anyway:
+    their completion gate can no longer fire), a completed tx's tombstone
+    is dropped. Without it, per-key state grows with stream lifetime —
+    fine for bounded replays/tests, wrong for a months-long tail at 100 TB.
     """
     if engine == "auto":
         engine = "tws" if has_tws_protocol() else "apiws"
@@ -488,24 +565,41 @@ def run_keyed_assembler(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         emitted = units.transformWithStateInPandas(
-            statefulProcessor=TxAssembler(),
+            statefulProcessor=TxAssembler(ttl_ms=state_ttl_ms),
             outputStructType=EMITTED_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode="None" if state_ttl_ms is None else "ProcessingTime",
         )
     else:
         emitted = units.applyInPandasWithState(
-            _assemble_fn,
+            _make_assemble_fn(state_ttl_ms),
             outputStructType=EMITTED_SCHEMA,
             stateStructType=ASSEMBLE_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
 
     def write_complete(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint(eager=True)
+        expired = batch_df.filter(F.col("kind").startswith("expired_"))
+        if not expired.isEmpty():
+            # dead-letter: plain append (diagnostic relation, not a
+            # MergeTree table) — mirrors the batch path's
+            # unresolved_receipts surface
+            expired.withColumn(
+                "kind", F.regexp_replace("kind", "^expired_", "")
+            ).write.mode("append").parquet(
+                os.path.join(warehouse, "expired_tx_units")
+            )
+            batch_df = batch_df.filter(~F.col("kind").startswith("expired_"))
+            if batch_df.isEmpty():
+                return
         seeds_c = (
             batch_df.filter(F.col("kind") == "seed")
             .select(F.from_json("unit_json", schemas["seed"]).alias("u"))

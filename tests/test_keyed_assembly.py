@@ -109,6 +109,41 @@ def test_unit_log_replay_is_idempotent(spark, keyed_out, tmp_path_factory):
     assert txs.count() == 3  # no duplicate survivors
 
 
+def test_state_ttl_expires_incomplete_to_dead_letter(spark, tmp_path_factory):
+    """A tx whose completion gate can never fire (seed+map, exec missing)
+    must be evicted once untouched past the reorg-horizon TTL, its buffered
+    units surfaced in the expired_tx_units dead-letter — state stays
+    bounded on a long-running stream instead of accumulating forever."""
+    import time
+
+    UNITS = "tx_hash string, kind string, dedup_key string, n_deps long, unit_json string"
+    wh = str(tmp_path_factory.mktemp("wh_ttl"))
+    units = os.path.join(wh, "_tx_units")
+    os.makedirs(units)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ttl"))
+    spark.createDataFrame(
+        [("TXP", "seed", "s:TXP", 0, '{"dangling":1}'), ("TXP", "map", "m:R9", 0, None)],
+        UNITS,
+    ).coalesce(1).write.mode("append").parquet(units)
+    q = run_keyed_assembler(spark, wh, checkpoint=ckpt, state_ttl_ms=500)
+    q.awaitTermination(120)
+    time.sleep(1.5)  # let the horizon pass
+    # a subsequent batch triggers timeout evaluation for stale keys (micro-
+    # batch gaps here exceed the 500 ms TTL, so expiry may also fire on a
+    # trailing in-run batch — either way the horizon semantics hold)
+    spark.createDataFrame([("TXQ", "map", "m:R10", 0, None)], UNITS).coalesce(
+        1
+    ).write.mode("append").parquet(units)
+    q = run_keyed_assembler(spark, wh, checkpoint=ckpt, state_ttl_ms=500)
+    q.awaitTermination(120)
+    dead = spark.read.parquet(os.path.join(wh, "expired_tx_units")).collect()
+    assert {r["tx_hash"] for r in dead} >= {"TXP"}
+    # only buffered payload units surface (map units carry no payload)
+    assert {r["kind"] for r in dead if r["tx_hash"] == "TXP"} == {"seed"}
+    # no transactions emitted for the dangling tx
+    assert not os.path.exists(os.path.join(wh, "transactions"))
+
+
 @pytest.mark.skipif(
     not has_tws_protocol(),
     reason="google.protobuf absent: transformWithStateInPandas' state "
