@@ -107,6 +107,203 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def term_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — normalized-word term counts per document.
+    One explode + one combiner-friendly groupBy; the base relation for
+    TF-IDF and corpus-frequency scoring."""
+    from clickhouse_provider_spark.operators.dedup import normalized_words
+
+    return (
+        df.select("doc_id", F.explode(normalized_words(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    IDF is the *rational* form N/df (not ln(N/df)): ln is the one operation
+    whose low bits legitimately differ across engines, while ints and a
+    single double division are exactly rounded everywhere — and within one
+    document the ranking it induces differs from ln-idf only through the
+    monotone map, so top-k membership ordered by (score, term) is
+    identical. Scale: tf is explode+groupBy(doc,term); df is a second
+    groupBy(term) over the (already small) tf relation; the tf⋈df join
+    shuffles on term; the final top-k is a bounded per-doc window. No
+    full-corpus collect — N arrives via a broadcast 1-row cross join.
+    """
+    tf = term_frequencies(df, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_count",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_count")).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: fraction of word n-gram occurrences that
+    are repeats (the Gopher/C4-style boilerplate signal). Pure per-row
+    column expressions — zero shuffles, scales with the scan."""
+    from clickhouse_provider_spark.operators.dedup import normalized_words
+
+    words = normalized_words(text_col)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        "doc_id",
+        n_total.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_total > 0, (n_total - n_distinct).cast("double") / n_total)
+        .otherwise(F.lit(0.0))
+        .alias("repeated_frac"),
+    )
+
+
+def contamination(df: DataFrame, benchmark: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction of
+    its distinct word n-grams that also appear in *any* benchmark document
+    (the n-gram-overlap decontamination test used for eval-set leakage).
+
+    Scale: the benchmark side (eval sets) is tiny relative to a 100 TB
+    corpus — its distinct-shingle set is broadcast, so the corpus scan is
+    joined map-side with no shuffle of corpus shingles; the only shuffle is
+    the per-doc count aggregation. Documents shorter than n words have no
+    shingles and are absent from the result (no 0/0 rows).
+    """
+    from clickhouse_provider_spark.operators.dedup import shingles
+
+    corpus_sh = shingles(df, n)
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    totals = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        totals.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )
+
+
+def token_rarity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency document scoring: per document, the mean and min
+    corpus-wide frequency of its token occurrences. Low mean ⇒ rare/noisy
+    vocabulary; high mean ⇒ common/templated text — the UDF-free stand-in
+    for unigram-LM perplexity (avg log-prob needs ln; sum/min of exact
+    integer counts + one final division is bit-stable across engines).
+
+    Scale: corpus counts = one groupBy(term) over the tf relation (combiner
+    collapses per-partition duplicates); the occurrence⋈counts join
+    shuffles on term — at Zipfian skew the head terms are hot keys, but the
+    tf relation is (doc,term)-distinct so the fan-out is bounded by
+    docs-containing-term, and AQE skew-join splits the heavy buckets.
+    """
+    tf = term_frequencies(df, text_col)
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("corpus_freq"))
+    return (
+        tf.join(corpus, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("corpus_freq")).alias("sum_freq"),
+            F.min("corpus_freq").alias("min_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias("mean_corpus_freq"),
+            "min_freq",
+        )
+    )
+
+
+def curated_corpus(
+    df: DataFrame,
+    min_tokens: int = 25,
+    min_unique_ratio: float = 0.4,
+    max_repeated_frac: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end curation gate a training-data pipeline runs last:
+    quality thresholds (length, vocabulary diversity) ∧ boilerplate gate
+    (3-gram repetition) ∧ exact-dedup survivorship, in ONE pass.
+
+    All per-document signals are computed in a single projection over the
+    scan, and survivorship is a row_number window over md5(text) rather
+    than a groupBy+join back — so the whole operator costs exactly one
+    shuffle (on the uniform 128-bit content hash) at any corpus size.
+    Thresholds compare exact-integer-ratio doubles, so the kept set is
+    bit-stable across engines.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    from pyspark.sql.window import Window as W
+
+    sig = df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("unique_ratio"),
+        F.when(n_g > 0, (n_g - F.size(F.array_distinct(grams))).cast("double") / n_g)
+        .otherwise(F.lit(0.0))
+        .alias("repeated_frac"),
+        F.md5(c).alias("text_hash"),
+    )
+    rn = F.row_number().over(W.partitionBy("text_hash").orderBy("doc_id"))
+    return (
+        sig.withColumn("rn", rn)
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("unique_ratio") >= min_unique_ratio)
+            & (F.col("repeated_frac") <= max_repeated_frac)
+        )
+        .select("doc_id", "n_tokens", "unique_ratio", "repeated_frac")
+    )
+
+
 def lang_id_sql_scores(langs: dict[str, tuple[str, ...]] = LANG_MARKERS) -> str:
     """DuckDB oracle fragment builder for lang_id (kept beside the operator
     so both sides evolve together)."""

@@ -17,7 +17,7 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog_stats, llm_catalog  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
 #: Names with an official green row in CORRECTNESS_r02.json (driver window of
 #: round 2).  Frozen here so re-ordering is deterministic and file-independent.

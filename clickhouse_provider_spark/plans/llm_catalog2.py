@@ -1,0 +1,184 @@
+"""LLM-data-pipeline catalog, batch 2: corpus statistics (TF-IDF, corpus
+frequency), boilerplate/repetition, benchmark decontamination, and the
+end-to-end curation gate (BASELINE.json north star — no reference
+counterpart; built Spark-first).
+
+Oracle strategy follows llm_catalog.py: every score is exact integer
+counting plus at most one double division or multiplication — operations
+that are correctly rounded IEEE in both engines — so results hash-match
+bit-for-bit. The one classically-logarithmic quantity (IDF) uses the
+rational N/df form; see ``text.tfidf_top_terms`` for why that preserves
+the ranking contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import text
+from clickhouse_provider_spark.plans.catalog import register
+from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, SQL_WORDS
+
+SQL_TF = f"""
+  WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+  w AS (SELECT doc_id, unnest(words) AS term FROM d),
+  tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2)
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    {SQL_TF},
+    dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_count,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df_count AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_count, score, rank FROM (
+      SELECT doc_id, term, tf, df_count, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    doc="Top-3 characteristic terms per document by tf·idf (rational "
+    "N/df idf — cross-engine exact; same top-k membership as ln-idf "
+    "under the (score, term) total order). Scale: two combiner-friendly "
+    "groupBys + a term-keyed join + a bounded per-doc window; corpus "
+    "size N via broadcast 1-row cross join, no driver action.",
+    tags=("llm", "text"),
+)
+def q_text_tfidf_top_terms(spark, t):
+    out = text.tfidf_top_terms(t["documents"], k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_ngram_repetition",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN [array_to_string(words[i:i+2], ' ')
+                        for i in generate_series(1, len(words) - 2)]
+                  ELSE [] END AS grams
+      FROM d
+    )
+    SELECT doc_id, len(grams) AS n_ngrams,
+           len(list_distinct(grams)) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)
+                ELSE 0.0 END AS repeated_frac
+    FROM g
+    """,
+    doc="Within-document repetition (Gopher/C4 boilerplate signal): "
+    "fraction of word 3-gram occurrences that are repeats. Pure per-row "
+    "codegen — zero shuffles, scales with the scan.",
+    tags=("llm", "text"),
+)
+def q_text_ngram_repetition(spark, t):
+    return text.ngram_repetition(t["documents"], n=3)
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    {SQL_SHINGLES},
+    bench AS (SELECT DISTINCT shingle FROM sh JOIN documents USING (doc_id)
+              WHERE source = 'src0'),
+    corpus AS (SELECT sh.doc_id, sh.shingle FROM sh
+               JOIN documents USING (doc_id) WHERE source <> 'src0'),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus
+           WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles
+             AS contamination
+    FROM tot t LEFT JOIN ov o USING (doc_id)
+    """,
+    doc="Benchmark decontamination: per corpus doc (source<>'src0'), the "
+    "fraction of its distinct word 3-grams appearing in any benchmark doc "
+    "(source='src0'). Scale: the benchmark shingle set (eval suites) is "
+    "tiny vs a 100 TB corpus → broadcast left-semi, so corpus shingles "
+    "never shuffle; only the per-doc counts do.",
+    tags=("llm", "text"),
+)
+def q_text_contamination(spark, t):
+    docs = t["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return text.contamination(corpus, bench, n=3)
+
+
+@register(
+    "text_token_rarity",
+    oracle=f"""
+    {SQL_TF},
+    corpus AS (SELECT term, CAST(sum(tf) AS BIGINT) AS corpus_freq
+               FROM tf GROUP BY 1)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * corpus_freq) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+             AS mean_corpus_freq,
+           min(corpus_freq) AS min_freq
+    FROM tf JOIN corpus USING (term)
+    GROUP BY doc_id
+    """,
+    doc="Corpus-frequency scoring (UDF-free unigram-LM stand-in): mean and "
+    "min corpus-wide frequency of each document's token occurrences — low "
+    "mean ⇒ rare/noisy vocabulary, high ⇒ templated. Exact integer sums + "
+    "one division (rule 3). Scale: groupBy(term) with map-side combine, "
+    "then a term-keyed join over the (doc,term)-distinct tf relation — "
+    "Zipf-head fan-out bounded by docs-per-term; AQE splits hot buckets.",
+    tags=("llm", "text"),
+)
+def q_text_token_rarity(spark, t):
+    return text.token_rarity(t["documents"])
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+               AS n_tokens,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
+               AS toks,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g')), ' '), w -> w <> '') AS words,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens
+                  ELSE 0.0 END AS unique_ratio,
+             CASE WHEN len(words) >= 3 THEN
+               CAST(len(words) - 2 - len(list_distinct(
+                 [array_to_string(words[i:i+2], ' ')
+                  for i in generate_series(1, len(words) - 2)])) AS DOUBLE)
+               / (len(words) - 2)
+             ELSE 0.0 END AS repeated_frac,
+             rn
+      FROM sig
+    )
+    SELECT doc_id, n_tokens, unique_ratio, repeated_frac
+    FROM scored
+    WHERE rn = 1 AND n_tokens >= 25 AND unique_ratio >= 0.4
+      AND repeated_frac <= 0.2
+    """,
+    doc="End-to-end curation gate: quality thresholds (≥25 tokens, "
+    "unique-token ratio ≥0.4) ∧ boilerplate gate (3-gram repetition "
+    "≤0.2) ∧ exact-dedup survivorship — all signals in ONE projection, "
+    "survivorship as a window over md5(text), so the whole pipeline "
+    "costs exactly one shuffle on a uniform key at any corpus size.",
+    tags=("llm", "text", "dedup"),
+)
+def q_corpus_curation(spark, t):
+    return text.curated_corpus(t["documents"])

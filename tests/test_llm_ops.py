@@ -277,3 +277,91 @@ def test_jaccard_duplicate_candidate_pairs_tolerated(spark, dup_docs):
         dup_docs, pairs=spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
     ).collect()[0]
     assert r["jaccard"] == clean["jaccard"]
+
+
+# --- batch-2 text operators (tfidf / repetition / contamination / rarity /
+# curation) on constructed inputs ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple apple pie common word"),
+            Row(doc_id=2, text="banana split common word"),
+            Row(doc_id=3, text="common word common word"),
+        ]
+    )
+
+
+def test_tfidf_top_terms_ranks_characteristic_terms(corpus_docs):
+    from clickhouse_provider_spark.operators import text as textops
+
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in textops.tfidf_top_terms(corpus_docs, k=1).collect()
+    }
+    # the doc-exclusive high-tf term must outrank corpus-wide words
+    assert top1[1] == "apple"
+    assert top1[2] in ("banana", "split")
+
+
+def test_ngram_repetition_flags_boilerplate(spark):
+    from clickhouse_provider_spark.operators import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam spam spam"),  # 4 identical 3-grams
+            Row(doc_id=2, text="one two three four five six"),  # all distinct
+            Row(doc_id=3, text="too short"),  # < n words
+        ]
+    )
+    rep = {r["doc_id"]: r for r in textops.ngram_repetition(docs).collect()}
+    assert rep[1]["n_ngrams"] == 4 and rep[1]["n_distinct"] == 1
+    assert rep[1]["repeated_frac"] == 0.75
+    assert rep[2]["repeated_frac"] == 0.0
+    assert rep[3]["n_ngrams"] == 0 and rep[3]["repeated_frac"] == 0.0
+
+
+def test_contamination_detects_benchmark_overlap(spark):
+    from clickhouse_provider_spark.operators import text as textops
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words then alpha beta gamma delta epsilon follow"),
+            Row(doc_id=2, text="totally unrelated text about spark partitions here"),
+        ]
+    )
+    res = {r["doc_id"]: r for r in textops.contamination(corpus, bench).collect()}
+    assert res[1]["n_overlap"] == 3  # the 3 shingles fully inside the phrase
+    assert res[1]["contamination"] > 0.3
+    assert res[2]["n_overlap"] == 0 and res[2]["contamination"] == 0.0
+
+
+def test_token_rarity_orders_docs(corpus_docs):
+    from clickhouse_provider_spark.operators import text as textops
+
+    res = {r["doc_id"]: r for r in textops.token_rarity(corpus_docs).collect()}
+    # doc 3 is all corpus-common words; doc 1 is dominated by its own hapax-ish terms
+    assert res[3]["mean_corpus_freq"] > res[1]["mean_corpus_freq"]
+    assert res[1]["min_freq"] == 1  # "pie" occurs once corpus-wide
+
+
+def test_curated_corpus_gates(spark):
+    from clickhouse_provider_spark.operators import text as textops
+
+    good = " ".join(f"w{i}" for i in range(30))
+    repetitive = " ".join(["loop the loop"] * 12)  # 36 tokens, heavy 3-gram repeats
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=good),  # exact dup — only doc 1 survives
+            Row(doc_id=3, text="short doc"),
+            Row(doc_id=4, text=repetitive),
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in textops.curated_corpus(docs).collect())
+    assert kept == [1]

@@ -109,3 +109,48 @@ def test_q21_no_self_join_exists(spark, tables):
     assert plan.count("lineitem") == 2
     # at most the two fact-fact shuffles; every dimension join broadcasts
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_q11_single_lineitem_scan(spark, tables):
+    """The scalar total re-aggregates the checkpointed per-part relation; a
+    naive plan scans lineitem twice (once more for the HAVING subquery).
+    After the eager checkpoint the final plan reads the materialized
+    relation on both sides — lineitem appears at most once."""
+    plan = plan_of(build("q11_important_parts", spark, tables))
+    assert plan.count("lineitem") <= 1
+    assert "BroadcastNestedLoopJoin" in plan  # scalar threshold broadcast
+
+
+def test_q16_broadcast_anti_join(spark, tables):
+    plan = plan_of(build("q16_supplier_concentration", spark, tables))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_chain(spark, tables):
+    plan = plan_of(build("q20_dominant_suppliers", spark, tables))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcast_semi(spark, tables):
+    """Corpus shingles must never shuffle — the benchmark set broadcasts."""
+    plan = plan_of(build("text_contamination", spark, tables))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_curation_single_shuffle(spark, tables):
+    """All curation signals are one projection; survivorship is a window
+    over md5(text) — exactly one exchange in the whole plan."""
+    plan = plan_of(build("corpus_curation", spark, tables))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # Spark pushes the rn==1 predicate into a WindowGroupLimit — partial
+    # per-partition top-1 before the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_stays_jvm_side(spark, tables):
+    plan = plan_of(build("text_tfidf_top_terms", spark, tables))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
