@@ -74,13 +74,12 @@ def has_tws_protocol() -> bool:
     """``transformWithStateInPandas`` runs a driver-side Python state
     server speaking protobuf (pyspark/sql/streaming/proto/StateMessage_pb2);
     without ``google.protobuf`` the query crashes with
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before the first batch."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before the first batch.
+    ``vendor.ensure_protobuf`` discovers a pure-python runtime bundled by
+    public SDKs on the host when pip/network are unavailable."""
+    from clickhouse_provider_spark.vendor import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 from clickhouse_provider_spark import storage
 from clickhouse_provider_spark.operators import transactions as TX

@@ -177,6 +177,12 @@ def test_tws_engine_end_to_end(spark, keyed_out, tmp_path_factory):
     txs = storage.read_table(spark, wh2, "transactions")
     assert {r["transaction_hash"] for r in txs.collect()} == {"T1", "T2", "T3"}
     assert txs.count() == 3
+    # differential: every fan-out table must match the applyInPandasWithState
+    # twin's output row-for-row (the two engines claim interchangeability)
+    for name in ("transactions", "account_txs", "block_txs", "receipt_txs"):
+        a = storage.read_table(spark, keyed_out, name)
+        b = storage.read_table(spark, wh2, name)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), name
 
 
 def test_completed_tombstone_blocks_replayed_tail(spark, keyed_out, tmp_path_factory):
