@@ -152,6 +152,80 @@ def cosine_near_pairs(
     )
 
 
+def banded_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 8,
+    band_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Candidate-first near-duplicate pairs: banded random-hyperplane LSH
+    candidates → exact cosine verification. The scale path that replaces
+    :func:`cosine_near_pairs`'s O(n²) all-pairs join as the default.
+
+    Banding (the MinHash-LSH trick applied to hyperplane signatures): two
+    vectors are CANDIDATES iff their ``band_planes``-bit signature matches
+    in at least one of ``n_bands`` bands; only candidates get the exact
+    cosine. A pair with cosine c matches one band with prob
+    (1-acos(c)/π)^band_planes, any band with 1-(1-p^r)^B — the usual
+    S-curve; at production thresholds (≥0.9) nearly all true pairs and
+    almost no non-pairs are candidates, so the self-join is per-bucket
+    instead of all-pairs. Recall is tuned by (n_bands, band_planes).
+
+    The planes are the same md5-derived ±1 vectors as
+    :func:`hyperplane_signs` (band b uses global planes
+    [b*band_planes, (b+1)*band_planes)), so the candidate set is fully
+    deterministic and reproducible in SQL — the oracle mirrors the
+    banding rather than pretending the candidate step has perfect recall.
+
+    Plan shape: signatures are map-only codegen; the candidate join
+    shuffles on (band, sig) — bounded buckets, no cartesian; exact
+    verification joins the two vector sides back by id. Guarded by a
+    no-CartesianProduct/BNLJ plan assertion in tests/test_plans.py.
+    """
+    if dim is None:
+        raise ValueError(
+            "banded_lsh_pairs requires dim= (the embedding width): ArrayType "
+            "has no static width and a .first() probe would run a driver-side "
+            "job inside plan building"
+        )
+    planes = hyperplane_signs(n_bands * band_planes, dim)
+    sig_cols = []
+    for b in range(n_bands):
+        band = planes[b * band_planes : (b + 1) * band_planes]
+        sig = F.lit(0)
+        for i, signs in enumerate(band):
+            plane = F.array(*[F.lit(float(s)) for s in signs])
+            sig = sig + F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2**i)).otherwise(0)
+        sig_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    sigs = emb.select(
+        F.col(id_col), F.explode(F.array(*sig_cols)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_train_centroids(
     emb: DataFrame,
     n_cells: int = 8,

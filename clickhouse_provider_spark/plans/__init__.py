@@ -3,55 +3,104 @@
 Catalog ordering
 ----------------
 The correctness driver samples the FIRST 50 entries of ``queries()`` in
-insertion order.  Rounds 1–2 verified the same 50 names (recorded in
-``CORRECTNESS_r0{1,2}.json``); everything registered later — TPC-H batch 4,
-the exact-stats pair, and the LLM dedup/similarity/text layer — never got an
-official row.  To guarantee every entry eventually receives official
-verification, ``CATALOG`` is re-ordered after registration:
+insertion order, so the catalog is re-ordered after registration to put the
+entries that most need a fresh official row at the front:
 
-1. entries with NO official green row yet (insertion order preserved), then
-2. entries already verified in ``CORRECTNESS_r02.json`` (insertion order).
+1. **Repaired this round** (``PRIORITY_REPAIRED``): the ``events.ts``-family
+   entries that errored in round 4 after the driver re-encoded the testdata
+   (``timestamp[us]`` vs the prior INT64 TIMESTAMP(NANOS)) — fixed centrally
+   in ``session.load_tables`` (ts → canonical ns LongType) and needing fresh
+   official greens.
+2. **Never hash-green** (``PRIORITY_NEVER_GREEN``): entries that have never
+   had an official ``hash_match: true`` row in any round (``no_oracle`` or
+   out-of-window so far).
+3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
+   frozen from CORRECTNESS_r0{1..4}.json; ties keep insertion order) — so
+   long-unverified entries cycle back into the window before recently
+   verified ones.
 
-Any brand-new entry automatically lands in group 1 (front of the window);
+Any brand-new entry automatically lands in group 2 (front of the window);
 already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
 from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
-#: Names with an official green row in CORRECTNESS_r02.json (driver window of
-#: round 2).  Frozen here so re-ordering is deterministic and file-independent.
-OFFICIALLY_VERIFIED_R02 = frozenset(
-    {
-        "point_lookup", "range_scan", "range_page", "time_range",
-        "latest_watermark", "user_history", "needle_lookup", "low_card_in",
-        "per_group_counts", "daily_counts", "replacing_dedup",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-        "top3_per_group", "running_total", "session_gaps", "rollup_sales",
-        "semi_join_exists", "anti_join_not_exists", "intersect_nations",
-        "except_nations", "distinct_parts_per_flag", "pivot_priority_status",
-        "json_props_stats", "monthly_orders", "having_big_brands",
-        "above_avg_orders", "string_brand_stats", "price_buckets",
-        "chain_continuity", "cube_sales", "grouping_sets_mixed",
-        "user_sessions", "range_frame_window", "rank_dense_percent",
-        "first_last_window", "ordered_string_agg", "date_parts",
-        "in_subquery_nations", "cross_join_dims", "null_handling",
-        "regex_classify", "tumbling_event_counts", "approx_distinct_users",
-        "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
-        "q10_returned_revenue", "q14_promo_share",
-    }
+#: Entries broken by the round-4 testdata re-encode, repaired in round 5 —
+#: they lead the official window to get fresh greens.
+PRIORITY_REPAIRED = (
+    "time_range", "latest_watermark", "user_history", "daily_counts",
+    "replacing_dedup", "running_total", "session_gaps", "user_sessions",
+    "tumbling_event_counts", "range_frame_window",
 )
+
+#: Entries with no official ``hash_match: true`` in ANY round so far
+#: (oracle-graded this round; they follow the repaired set in the window).
+PRIORITY_NEVER_GREEN = (
+    "similarity_ann_lsh", "similarity_ivf_topk", "approx_distinct_users",
+)
+
+#: name -> round of most recent official hash-green (CORRECTNESS_r0{1..4}).
+#: Frozen so the rotation is deterministic and file-independent; refresh
+#: each round from the latest CORRECTNESS file.
+LAST_GREEN_ROUND = {
+    **{n: 2 for n in (
+        "above_avg_orders", "anti_join_not_exists", "chain_continuity",
+        "cross_join_dims", "cube_sales", "date_parts",
+        "distinct_parts_per_flag", "except_nations", "first_last_window",
+        "grouping_sets_mixed", "having_big_brands", "in_subquery_nations",
+        "intersect_nations", "json_props_stats", "monthly_orders",
+        "null_handling", "ordered_string_agg", "pivot_priority_status",
+        "price_buckets", "q10_returned_revenue", "q14_promo_share",
+        "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
+        "q6_forecast_revenue", "q7_nation_volume", "rank_dense_percent",
+        "regex_classify", "rollup_sales", "semi_join_exists",
+        "string_brand_stats", "top3_per_group",
+    )},
+    **{n: 4 for n in (
+        "corpus_curation", "dedup_embedding_pairs", "dedup_exact",
+        "dedup_lsh_pairs", "dedup_lsh_verified", "dedup_minhash_signatures",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
+        "embedding_norms", "late_shipment_buckets", "low_card_in",
+        "needle_lookup", "per_group_counts", "point_lookup",
+        "price_qty_corr", "q11_important_parts", "q12_priority_lines",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_concentration", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_disjunctive",
+        "q1_pricing_summary", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "q2_min_price_part", "q8_market_share", "q9_product_profit",
+        "range_page", "range_scan", "similarity_topk", "text_contamination",
+        "text_fingerprint", "text_lang_id", "text_ngram_repetition",
+        "text_quality", "text_tfidf_top_terms", "text_token_rarity",
+        "text_token_stats", "value_percentiles",
+    )},
+}
 
 
 def _rotate_for_official_window(catalog: dict) -> None:
-    """Move never-officially-verified entries to the front (in place)."""
-    unverified = {k: v for k, v in catalog.items() if k not in OFFICIALLY_VERIFIED_R02}
-    verified = {k: v for k, v in catalog.items() if k in OFFICIALLY_VERIFIED_R02}
+    """Reorder ``catalog`` in place: repaired → never-green → oldest green
+    first (stable within each tier)."""
+    order = list(catalog)
+
+    def tier(name: str) -> tuple:
+        if name in PRIORITY_REPAIRED:
+            return (0, PRIORITY_REPAIRED.index(name))
+        if name in PRIORITY_NEVER_GREEN or name not in LAST_GREEN_ROUND:
+            return (1, order.index(name))
+        return (2, LAST_GREEN_ROUND[name], order.index(name))
+
+    reordered = {n: catalog[n] for n in sorted(order, key=tier)}
     catalog.clear()
-    catalog.update(unverified)
-    catalog.update(verified)
+    catalog.update(reordered)
 
 
 _rotate_for_official_window(CATALOG)
 
-__all__ = ["CATALOG", "QuerySpec", "OFFICIALLY_VERIFIED_R02"]
+__all__ = [
+    "CATALOG",
+    "QuerySpec",
+    "PRIORITY_REPAIRED",
+    "PRIORITY_NEVER_GREEN",
+    "LAST_GREEN_ROUND",
+]

@@ -372,16 +372,41 @@ def q_tumbling_event_counts(spark, t):
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific → rows-only check
-    doc="approx_count_distinct (HyperLogLog++) per event type — the "
-    "approximate-aggregate class (sketch values differ across engines by "
-    "design; exactness is covered by distinct_parts_per_flag). Scale: "
-    "constant-size sketch per group vs. the exact expand+dedup.",
+    # Raw HLL++ estimates are engine-specific, so the sketch value itself
+    # can never hash-match a DuckDB oracle. What IS cross-engine checkable:
+    # the exact count plus the CLAIM the sketch makes — that its estimate
+    # lands within the error bound. The Spark side computes the real
+    # approx_count_distinct (rsd=0.01) and emits whether it is within 5%
+    # (5 sigma) of exact; the oracle asserts that claim is always true. A
+    # sketch regression (wrong hashing, wrong merge) breaks the boolean →
+    # hash mismatch.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) per event type — "
+    "the approximate-aggregate class, oracle-graded via its error bound "
+    "(estimate within 5% of exact; raw sketch values are engine-specific "
+    "by design). Scale: constant-size sketch per group vs. the exact "
+    "expand+dedup.",
     tags=("analytics", "approx"),
 )
 def q_approx_distinct_users(spark, t):
     return (
         t["events"]
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
     )

@@ -295,51 +295,144 @@ def q_similarity_topk(spark, t):
 
 @register(
     "similarity_ann_lsh",
-    oracle=None,  # bucket membership is implementation-defined → rows-only
+    # The whole index is deterministic: hyperplane p's j-th component is ±1
+    # by the parity of md5(f"{p}|{j}")'s first byte (similarity.
+    # hyperplane_signs) — in SQL, parity of the md5 hex string's LOW nibble
+    # of byte 0 = its 2nd hex char. Dot/cosine folds are left-to-right
+    # doubles on both engines (same as the green similarity_topk), so
+    # signatures, bucket membership, and scores are value-identical.
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, list_transform(range(64), j ->
+        CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      FROM (SELECT unnest(range(4)) AS p)
+    ),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    sigs AS (
+      SELECT v.vec_id, any_value(v.e) AS e,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                           THEN power(2, p.p) ELSE 0 END) AS BIGINT) AS lsh_bucket
+      FROM v CROSS JOIN planes p
+      GROUP BY v.vec_id
+    ),
+    q AS (SELECT e AS qv, lsh_bucket AS qb FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id, s.lsh_bucket, {_cos_sql('s.e', 'q.qv')} AS cos_sim
+    FROM sigs s, q
+    WHERE s.vec_id <> 0 AND s.lsh_bucket = q.qb
+    ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+    """,
     doc="ANN top-k via deterministic random-hyperplane LSH (md5-derived "
     "±1 planes, 4 bits → 16 buckets), exact cosine within the query's "
     "bucket. Scale path for similarity_topk: bucketed/partitioned-by-"
     "signature layout means a query touches 1/2^p of the data; recall "
-    "tuned by plane count + multi-probe. Verified against the exact "
+    "tuned by plane count + multi-probe. Also verified against the exact "
     "baseline in tests/test_llm_ops.py.",
     tags=("llm", "similarity"),
 )
 def q_similarity_ann_lsh(spark, t):
-    return similarity.lsh_bucket_topk(t["embeddings"], query_vec_id=0, k=10, dim=64)
+    from pyspark.sql import functions as F
+
+    return similarity.lsh_bucket_topk(
+        t["embeddings"], query_vec_id=0, k=10, dim=64
+    ).withColumn("lsh_bucket", F.col("lsh_bucket").cast("long"))
 
 
 @register(
     "dedup_embedding_pairs",
+    # Candidate-first (banded hyperplane LSH) → exact verify. The oracle
+    # MIRRORS the deterministic banding (same md5-derived planes as the
+    # Spark side) instead of the all-pairs form: banded LSH has <1 recall
+    # at this threshold by construction, so "candidates then verify" and
+    # "all pairs" are different relations — pretending otherwise would
+    # make the gate flaky. The exact all-pairs form stays available as
+    # similarity.cosine_near_pairs and is the recall baseline in
+    # tests/test_llm_ops.py.
     oracle=f"""
-    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_cos_sql('a.e', 'b.e')} AS cos_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.e', 'b.e')} >= 0.4
+    WITH planes AS (
+      SELECT p, list_transform(range(64), j ->
+        CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      FROM (SELECT unnest(range(32)) AS p)
+    ),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    sigs AS (
+      SELECT v.vec_id, p.p // 4 AS band,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                           THEN power(2, p.p % 4) ELSE 0 END) AS BIGINT) AS sig
+      FROM v CROSS JOIN planes p
+      GROUP BY v.vec_id, p.p // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_cos_sql('va.e', 'vb.e')} AS cos_sim
+    FROM cand c JOIN v va ON va.vec_id = c.vec_a
+                JOIN v vb ON vb.vec_id = c.vec_b
+    WHERE {_cos_sql('va.e', 'vb.e')} >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs. VERIFICATION BASELINE, "
-    "not the scale path: O(n²) all-pairs cross join — at 100 TB generate "
-    "candidates with hyperplane-LSH buckets or IVF cells "
-    "(similarity_ann_lsh / similarity_ivf_topk) and verify only those; "
-    "this entry exists as the oracle-checkable exact baseline.",
-    tags=("llm", "dedup", "similarity", "verification-baseline"),
+    doc="Embedding-cosine near-duplicate pairs, CANDIDATE-FIRST: banded "
+    "hyperplane-LSH candidates (8 bands × 4 md5-derived planes) → exact "
+    "cosine ≥ 0.4 on candidates only. The 100 TB path: signature compute "
+    "is map-only codegen, the candidate join shuffles on (band, sig) "
+    "buckets — never all-pairs (no-cartesian plan guard in "
+    "tests/test_plans.py). Exact all-pairs kept as the test-only recall "
+    "baseline (similarity.cosine_near_pairs).",
+    tags=("llm", "dedup", "similarity"),
 )
 def q_dedup_embedding_pairs(spark, t):
-    return similarity.cosine_near_pairs(t["embeddings"], threshold=0.4)
+    return similarity.banded_lsh_pairs(
+        t["embeddings"], threshold=0.4, n_bands=8, band_planes=4, dim=64
+    )
 
 
 @register(
     "similarity_ivf_topk",
-    # rows-only by design: centroids come from seeded-sample + Lloyd
-    # k-means whose per-cell float means are not reproducible across
-    # engines (summation order), so there is no value-exact SQL oracle.
-    # Quality is verified instead by tests/test_llm_ops.py: recall-vs-exact
-    # (cosine_topk) and cell-balance-on-skew assertions.
-    oracle=None,
-    doc="IVF-flat ANN top-k with TRAINED centroids (deterministic seeded "
-    "sample + Lloyd iterations, all DataFrame ops — see "
-    "similarity.ivf_train_centroids), max-cosine cell assignment "
+    # Oracle-checkable IVF twin: centroids = the deterministic seeded
+    # sample (rank by md5('ivf|'||vec_id), take n_cells) with ZERO Lloyd
+    # rounds — the float means of Lloyd iterations are not reproducible
+    # across engines (summation order), the seeded init is. The full
+    # trained path (ivf_train_centroids with Lloyd rounds) is the same
+    # plan with iters>0; its quality is verified by tests/test_llm_ops.py
+    # (recall-vs-exact + cell-balance assertions).
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    r AS (SELECT vec_id, e, md5('ivf|' || CAST(vec_id AS VARCHAR)) AS _r FROM v),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY _r) - 1 AS cell_id, e AS centroid
+      FROM r ORDER BY _r LIMIT 8
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT v.vec_id, v.e, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.e', 'c.centroid')} DESC, c.cell_id
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cell_id, q.qv FROM cents c, q
+      ORDER BY {_cos_sql('q.qv', 'c.centroid')} DESC, c.cell_id LIMIT 2
+    )
+    SELECT a.vec_id, a.cell_id, {_cos_sql('a.e', 'p.qv')} AS cos_sim
+    FROM assigned a JOIN probes p USING (cell_id)
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+    doc="IVF-flat ANN top-k: deterministic seeded-sample centroids "
+    "(md5-ranked; Lloyd refinement available via "
+    "similarity.ivf_train_centroids iters>0 — oracle twin uses 0 rounds "
+    "for cross-engine value-exactness), max-cosine cell assignment "
     "(broadcast centroids, map-only argmax), query probes its 2 best "
     "cells, exact cosine inside. Scale: the cell id is the vector "
     "table's partition key — a query reads nprobe partitions instead of "
@@ -347,7 +440,11 @@ def q_dedup_embedding_pairs(spark, t):
     tags=("llm", "similarity"),
 )
 def q_similarity_ivf_topk(spark, t):
-    return similarity.ivf_topk(t["embeddings"], query_vec_id=0, k=10, n_cells=8, nprobe=2)
+    from pyspark.sql import functions as F
+
+    return similarity.ivf_topk(
+        t["embeddings"], query_vec_id=0, k=10, n_cells=8, nprobe=2, iters=0
+    ).withColumn("cell_id", F.col("cell_id").cast("long"))
 
 
 @register(

@@ -139,6 +139,39 @@ def _read_parquet(spark: SparkSession, path: str):
         return spark.read.schema(_nanos_as_long_schema(path)).parquet(path)
 
 
+def _normalize_ts_ns(df):
+    """Normalize the events ``ts`` column to canonical ns-LongType regardless
+    of the parquet physical encoding.
+
+    The testdata is driver-owned and has shipped ``ts`` as INT64
+    TIMESTAMP(NANOS) (read as LongType via ``nanosAsLong``) in some rounds and
+    as plain ``timestamp[us]`` (read as TIMESTAMP / TIMESTAMP_NTZ) in others.
+    Every consumer in this package — ``ts_us()`` (plans/catalog.py), the
+    window/session queries, the bench — assumes LongType nanoseconds, matching
+    the reference's ns-precision DateTime64(9,'UTC') (reference README.md:121)
+    which exceeds Spark's µs TimestampType. So we introspect the *read* dtype:
+
+    - LongType                      → passthrough (INT64-nanos / nanosAsLong)
+    - TimestampType / TIMESTAMP_NTZ → ``unix_micros(ts) * 1000`` (session tz
+      is UTC, so NTZ wall-clock == UTC instant, same as DuckDB ``epoch_us``)
+
+    DuckDB oracles use ``epoch_us(ts)`` which is encoding-agnostic, so the two
+    sides agree under every encoding.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if "ts" not in df.columns:
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        ns = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+            "long"
+        )
+        return df.withColumn("ts", ns)
+    return df  # LongType nanos (canonical) or anything else: leave intact
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet table as a temp view and return the
     DataFrames. Filters/projections against these views push down to the
@@ -166,6 +199,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         if not os.path.exists(path):
             continue
         df = _read_parquet(spark, path)
+        if name == "events":
+            df = _normalize_ts_ns(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

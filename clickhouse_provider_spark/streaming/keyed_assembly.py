@@ -24,15 +24,27 @@ every micro-batch). Emits tx_hash-tagged unit rows:
 
 **Stage 2 — keyed assembler** (keyed by tx_hash): per-tx state =
 counters (mapped/executed/data-deps) + the buffered unit payloads + a
-dedup set (unit log appends replay at-least-once). When
-executed==mapped>0 and every data dep matched, the tx's units are
-emitted downstream and the key's state collapses to a compact tombstone
-(buffers dropped, ``n_mapped = COMPLETED``) — the completeness gate of
-transactions.rs:354-369 per key, plus replay protection: units for an
-already-emitted tx (partial re-read of old unit-log files) are swallowed
-rather than rebuilding dangling state that could never complete. Per-batch work is proportional
-to units arriving for touched keys; untouched in-flight txs sit in the
-state store and are never re-walked.
+dedup set (unit log appends replay at-least-once). The completion gate
+is SET equality: {mapped receipt_ids} == {executed receipt_ids},
+nonempty, with the seed present and every data dep matched
+(n_data == n_deps) — the completeness gate of transactions.rs:354-369
+per key. Set (not count) equality matters: the unit-log file source
+orders by modification time with unspecified tie-breaking, so appends
+can be CONSUMED out of order. A count gate (n_exec == n_mapped) fires
+early under reorder — e.g. consuming {seed+map(R1)}, {map(R3)+exec(R2)+
+data}, {exec(R3)} before {map(R2)+exec(R1)} gives 2 maps vs 2 execs and
+emits the tx without R1. The set gate is reorder-proof because the
+router co-files map(child) with exec(parent) and map(seed receipts)
+with the seed (per tx per append, see the sharded-append note in
+KeyedRouter): any S with mapped(S) == executed(S) ⊇ seeds and closed
+under spawn-children equals the full receipt closure. On fire the tx's
+units are emitted downstream and the key's state collapses to a compact
+tombstone (buffers dropped, ``n_mapped = COMPLETED``) — replay
+protection: units for an already-emitted tx (partial re-read of old
+unit-log files) are swallowed rather than rebuilding dangling state
+that could never complete. Per-batch work is proportional to units
+arriving for touched keys; untouched in-flight txs sit in the state
+store and are never re-walked.
 
 Two interchangeable engines for stage 2 (selected at runtime):
 
@@ -76,10 +88,16 @@ def has_tws_protocol() -> bool:
     without ``google.protobuf`` the query crashes with
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before the first batch.
     ``vendor.ensure_protobuf`` discovers a pure-python runtime bundled by
-    public SDKs on the host when pip/network are unavailable."""
+    public SDKs on the host when pip/network are unavailable.
+
+    ``for_workers=True``: tws needs protobuf on the *python workers* too —
+    a vendored shim first activated after the JVM launched is driver-only
+    (workers' env snapshot predates the PYTHONPATH change), so report
+    unavailable and let ``engine="auto"`` fall back to apiws instead of
+    crashing mid-query."""
     from clickhouse_provider_spark.vendor import ensure_protobuf
 
-    return ensure_protobuf()
+    return ensure_protobuf(for_workers=True)
 
 from clickhouse_provider_spark import storage
 from clickhouse_provider_spark.operators import transactions as TX
@@ -122,11 +140,17 @@ class KeyedRouter:
     """Stage 1: block batches → tx_hash-tagged unit log + TxCache state."""
 
     def __init__(
-        self, spark: SparkSession, warehouse: str, units_dir: str, state_dir: str
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        units_dir: str,
+        state_dir: str,
+        unit_shards: int = 8,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.units_dir = units_dir
+        self.unit_shards = unit_shards
         self.state = VersionedState(spark, state_dir)
 
     def _read(self, part: str, batch_id: int, default: DataFrame) -> DataFrame:
@@ -237,20 +261,26 @@ class KeyedRouter:
                 )
             ),
         )
-        # ONE file per append (WAL-style): the assembler's maxFilesPerTrigger
-        # batches at file granularity, so a multi-file append could be split
-        # mid-block across micro-batches — and the completion gate
-        # (n_exec == n_mapped) is only sound at block boundaries (the
-        # reference processes per block, transactions.rs:354-369). E.g. a
-        # split between exec(R2) and map(R3) fires the gate early and emits
-        # a partial tx. One file per router batch keeps each block's units
-        # atomic; at higher throughput shard by tx_hash bucket with
-        # per-bucket single files instead of raising file count.
+        # Sharded WAL append: hash-partition the batch's units by tx_hash
+        # into ``unit_shards`` files (Spark HashPartitioning =
+        # pmod(hash(tx_hash), N)), one file per non-empty shard. The
+        # completion gate (n_exec == n_mapped) is only sound at block
+        # boundaries PER TX (the reference processes per block,
+        # transactions.rs:354-369): a mid-block split between exec(R2) and
+        # map(R3) of the SAME tx would fire the gate early and emit a
+        # partial tx. Sharding by tx_hash preserves exactly that: every
+        # unit of a given tx from this append lands in ONE file, so no
+        # assembler micro-batch boundary (file granularity,
+        # maxFilesPerTrigger) can split a tx's per-block unit group. Units
+        # of different txs may land in different files — the gate is
+        # per-key, so their relative order is irrelevant. This replaces
+        # the earlier single-writer coalesce(1) append (an ingest
+        # bottleneck: one task serialized every unit of every block).
         (
             seed_units.unionByName(map_units)
             .unionByName(exec_units)
             .unionByName(data_units)
-            .coalesce(1)
+            .repartition(self.unit_shards, F.col("tx_hash"))
             .write.mode("append")
             .parquet(self.units_dir)
         )
@@ -329,6 +359,19 @@ class TxAssembler(StatefulProcessor):
         if fresh:
             self.units.appendList(fresh)
         if has_seed and n_mapped > 0 and n_exec == n_mapped and n_data == n_deps:
+            # counts agree — cheap pre-check; confirm with the reorder-proof
+            # SET gate (module doc): mapped ids == executed ids, derived
+            # from the dedup keys already in state ("m:<id>" / "e:<id>").
+            mapped_ids, executed_ids = set(), set()
+            for (k,) in self.seen.keys():
+                if k.startswith("m:"):
+                    mapped_ids.add(k[2:])
+                elif k.startswith("e:"):
+                    executed_ids.add(k[2:])
+            complete = mapped_ids == executed_ids
+        else:
+            complete = False
+        if complete:
             out = pd.DataFrame(
                 [(key[0], k, j) for k, j in self.units.get()],
                 columns=["tx_hash", "kind", "unit_json"],
@@ -425,7 +468,16 @@ def _make_assemble_fn(ttl_ms: int | None = None):
                     has_seed = True
                     kinds.append("seed")
                     jsons.append(r.unit_json)
+        # reorder-proof SET gate (module doc): mapped ids == executed ids,
+        # derived from the dedup keys ("m:<id>" / "e:<id>"); the count
+        # comparison alone fires early when unit-log files are consumed
+        # out of append order (mtime ties in the file source).
+        complete = False
         if has_seed and n_mapped > 0 and n_exec == n_mapped and n_data == n_deps:
+            mapped_ids = {k[2:] for k in seen_set if k.startswith("m:")}
+            executed_ids = {k[2:] for k in seen_set if k.startswith("e:")}
+            complete = mapped_ids == executed_ids
+        if complete:
             out = pd.DataFrame(
                 {"tx_hash": key[0], "kind": kinds, "unit_json": jsons}
             )

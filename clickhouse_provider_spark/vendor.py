@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import re
 import sys
+import tempfile
 
 #: Known public bundles that embed a pure-python google.protobuf runtime.
 #: Probed in order; each entry is a directory containing ``google/protobuf``.
@@ -27,9 +28,30 @@ _BUNDLE_ROOTS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
-_SHIM_DIR = os.path.join(
-    os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_pb_shim"
-)
+
+def _shim_root() -> str:
+    """Parent dir for the shim: first entry of SPARK_LOCAL_DIRS (it is a
+    comma-separated *list* in Spark) or the platform tmpdir."""
+    dirs = os.environ.get("SPARK_LOCAL_DIRS")
+    if dirs:
+        head = dirs.split(",")[0].strip()
+        if head and os.path.isdir(head):
+            return head
+    return tempfile.gettempdir()
+
+
+#: mode-0700, unpredictable, owned-by-us shim dir (created lazily, cached
+#: for the process). A fixed path under world-writable /tmp would let
+#: another local user pre-create google/protobuf and have arbitrary code
+#: imported by the driver and every worker via PYTHONPATH.
+_shim_dir: str | None = None
+
+
+def _get_shim_dir() -> str:
+    global _shim_dir
+    if _shim_dir is None:
+        _shim_dir = tempfile.mkdtemp(prefix="spark_graft_pb_shim-", dir=_shim_root())
+    return _shim_dir
 
 #: Major version of the protobuf gencode pyspark ships (StateMessage_pb2
 #: says "Protobuf Python Version: 6.33.0"). A bundled runtime must match
@@ -50,34 +72,69 @@ def _bundle_version(pb_dir: str) -> tuple[int, ...] | None:
 
 def _build_shim(pb_dir: str) -> str | None:
     """Shim dir exposing only ``google/protobuf`` (symlink), so none of
-    the bundle's other top-level modules leak onto sys.path."""
-    google_dir = os.path.join(_SHIM_DIR, "google")
+    the bundle's other top-level modules leak onto sys.path.
+
+    The shim lives in a fresh mkdtemp (0700) dir, so the link path cannot
+    pre-exist as attacker-controlled content; still, refuse anything at the
+    link path that is not a symlink to exactly ``pb_dir``."""
+    shim = _get_shim_dir()
+    google_dir = os.path.join(shim, "google")
     link = os.path.join(google_dir, "protobuf")
     try:
         os.makedirs(google_dir, exist_ok=True)
-        if os.path.islink(link) and os.readlink(link) != pb_dir:
-            os.remove(link)
-        if not os.path.exists(link):
+        if os.path.islink(link):
+            if os.readlink(link) != pb_dir:
+                os.remove(link)
+        elif os.path.lexists(link):
+            return None  # unexpected non-symlink at the link path: reject
+        if not os.path.lexists(link):
             os.symlink(pb_dir, link)
-        return _SHIM_DIR
+        return shim
     except OSError:
         return None
 
 
-def ensure_protobuf() -> bool:
-    """Make ``google.protobuf`` importable (driver AND python workers),
-    preferring a real installation; returns whether it is available.
+#: True once a shim was activated while NO SparkSession existed yet — i.e.
+#: the PYTHONPATH change made it into the JVM's (and thus every python
+#: worker's) environment. A shim first activated AFTER the JVM launched is
+#: importable on the driver but invisible to workers (their env snapshot
+#: predates it), so tws would crash with
+#: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE instead of falling back.
+_shim_reaches_workers: bool | None = None
 
-    Worker propagation: PYTHONPATH is set in ``os.environ`` — local-mode
-    python workers inherit the driver JVM's environment, which inherits
-    this process's environment at JVM launch, so this must run BEFORE the
-    SparkSession is created (import-time callers, e.g. the pytest skipif
-    at collection, satisfy that naturally). On a real cluster, ship
-    protobuf with the usual mechanisms (pip on the image / --py-files).
+
+def _active_session_exists() -> bool:
+    if "pyspark" not in sys.modules:
+        return False
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession() is not None
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
+def ensure_protobuf(for_workers: bool = False) -> bool:
+    """Make ``google.protobuf`` importable, preferring a real installation;
+    returns whether it is available.
+
+    ``for_workers=True`` additionally requires that python WORKERS will see
+    it too: a real installation always qualifies; a vendored shim only if it
+    was activated before any SparkSession existed (PYTHONPATH is inherited
+    by workers from the JVM environment, captured at JVM launch). Callers
+    deciding whether ``transformWithStateInPandas`` can run must pass True.
+
+    On a real cluster, ship protobuf with the usual mechanisms (pip on the
+    image / --py-files); this module is then a no-op.
     """
+    global _shim_reaches_workers
     try:
         import google.protobuf  # noqa: F401
 
+        # real install (or previously-activated shim): workers covered iff
+        # not a post-session shim activation
+        if for_workers and _shim_reaches_workers is False:
+            return False
         return True
     except ImportError:
         pass
@@ -94,7 +151,10 @@ def ensure_protobuf() -> bool:
         # gencode minor (6.33) may lead the bundled runtime minor (6.32):
         # the runtime's ValidateProtobufRuntimeVersion would reject that
         # pairing even though descriptors/wire format are stable within a
-        # major — use its documented escape hatch for this vendored case.
+        # major — use its documented escape hatch, scoped to this vendored
+        # attempt: set only around the confirming import, restored on
+        # failure so an unrelated protobuf user never inherits it silently.
+        prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
         os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         existing = os.environ.get("PYTHONPATH", "")
         if shim not in existing.split(os.pathsep):
@@ -106,7 +166,19 @@ def ensure_protobuf() -> bool:
         try:
             import google.protobuf  # noqa: F401
 
+            if _shim_reaches_workers is None:
+                _shim_reaches_workers = not _active_session_exists()
+            if for_workers and not _shim_reaches_workers:
+                return False
             return True
         except ImportError:
+            if prev_check is None:
+                os.environ.pop(
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+                )
+            else:
+                os.environ[
+                    "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+                ] = prev_check
             continue
     return False

@@ -219,7 +219,7 @@ def test_stream_restart_from_checkpoint(spark, server, tmp_path_factory):
     ckpt = str(tmp_path_factory.mktemp("ckpt_http_restart"))
     want = list(range(server["first"], server["last"] + 1))
 
-    def run(got, stop_after_heights):
+    def run(got, stop_after_heights, interval="300 milliseconds"):
         q = (
             spark.readStream.format("neardata")
             .option("url", server["url"])
@@ -232,7 +232,7 @@ def test_stream_restart_from_checkpoint(spark, server, tmp_path_factory):
                 )
             )
             .option("checkpointLocation", ckpt)
-            .trigger(processingTime="300 milliseconds")
+            .trigger(processingTime=interval)
             .start()
         )
         deadline = time.monotonic() + 90
@@ -243,7 +243,11 @@ def test_stream_restart_from_checkpoint(spark, server, tmp_path_factory):
         q.stop()
 
     first_run: list = []
-    run(first_run, stop_after_heights=3)  # stop mid-chain → checkpoint ahead of start
+    # 2 s between micro-batches: the 0.3 s poll reliably stops the query
+    # between batches, so the first run deterministically ends mid-chain
+    # (on a fast machine a 300 ms trigger drains all 5 heights before the
+    # poll loop can react → checkpoint would NOT be mid-chain)
+    run(first_run, stop_after_heights=3, interval="2 seconds")
     done1 = {h for b in first_run for h in b}
     assert len(done1) >= 3 and len(done1) < len(want)
 

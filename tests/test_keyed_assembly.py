@@ -185,6 +185,70 @@ def test_tws_engine_end_to_end(spark, keyed_out, tmp_path_factory):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), name
 
 
+def test_out_of_order_unit_files_never_emit_partial_tx(spark, tmp_path_factory):
+    """Reorder regression (round-4 divergence): the unit-log file source
+    orders by modification time with unspecified tie-breaking, so appends
+    can be CONSUMED out of append order. With the old count gate
+    (n_exec == n_mapped) the order [b100, b102, b103, b101] fires T1's
+    completion after b103 — 2 maps {R1,R3} vs 2 execs {R2,R3} — emitting
+    the tx blob as [R2,R3] (receipt R1 silently missing, the failure mode
+    the reference hard-panics on, transactions.rs:332-342). The set gate
+    must hold the tx open until mapped ids == executed ids."""
+    import json as _json
+    import shutil
+    import time
+
+    src = tmp_path_factory.mktemp("reorder_drops")
+    for b in FC.make_chain():
+        h = b["block"]["header"]["height"]
+        (src / f"block-{h:012d}.json").write_text(_json.dumps(b))
+    wh = str(tmp_path_factory.mktemp("wh_reorder"))
+    # one block per router batch, ONE unit file per append (unit_shards via
+    # run_keyed_router default is per-batch; order files afterwards by hand)
+    q1 = run_keyed_router(
+        spark, str(src), wh,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_router_ro")),
+        max_files_per_trigger=1,
+    )
+    q1.awaitTermination(240)
+    units_src = os.path.join(wh, "_tx_units")
+    # group part files by append (mtime), preserving append order
+    by_mtime: dict[float, list[str]] = {}
+    for f in os.listdir(units_src):
+        if f.endswith(".parquet"):
+            m = os.path.getmtime(os.path.join(units_src, f))
+            by_mtime.setdefault(round(m, 1), []).append(f)
+    appends = [by_mtime[m] for m in sorted(by_mtime)]
+    assert len(appends) == 5  # one per block
+    # pathological consumption order: move block 101's append (index 1,
+    # holding T1's map(R2)+exec(R1)) to the END via explicit mtimes
+    order = [appends[0], appends[2], appends[3], appends[4], appends[1]]
+    wh2 = str(tmp_path_factory.mktemp("wh_reorder2"))
+    units2 = os.path.join(wh2, "_tx_units")
+    os.makedirs(units2)
+    now = time.time()
+    for i, group in enumerate(order):
+        for f in group:
+            dst = os.path.join(units2, f)
+            shutil.copy(os.path.join(units_src, f), dst)
+            os.utime(dst, (now + 10 * i, now + 10 * i))  # distinct mtimes
+    shutil.copytree(os.path.join(wh, "blocks"), os.path.join(wh2, "blocks"))
+    q2 = run_keyed_assembler(
+        spark, wh2,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_asm_ro")),
+        max_files_per_trigger=1,  # every append its own micro-batch
+    )
+    q2.awaitTermination(240)
+    raw = spark.read.parquet(os.path.join(wh2, "transactions"))
+    t1_rows = raw.filter(F.col("transaction_hash") == "T1").collect()
+    # exactly one emission, with the COMPLETE receipt list — a partial
+    # [R2,R3] emission would appear here even though dedup-on-read hides it
+    assert len(t1_rows) == 1
+    blob = json.loads(t1_rows[0]["transaction"])
+    assert [r["receipt"]["receipt_id"] for r in blob["receipts"]] == ["R1", "R2", "R3"]
+    assert {r["transaction_hash"] for r in raw.collect()} == {"T1", "T2", "T3"}
+
+
 def test_completed_tombstone_blocks_replayed_tail(spark, keyed_out, tmp_path_factory):
     """Replaying the unit log into the SAME assembler checkpoint after the
     txs already completed must emit nothing: the per-key tombstone swallows

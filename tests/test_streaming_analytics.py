@@ -12,10 +12,13 @@ from clickhouse_provider_spark.streaming import sessionize, windows
 def events_stream_dir(spark, tmp_path_factory):
     """events table split into 3 height-ordered parquet chunks so the
     stream sees multiple micro-batches."""
+    from clickhouse_provider_spark.session import load_tables
+
     src = tmp_path_factory.mktemp("events_chunks")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
+    # load_tables normalizes ts to canonical ns-LongType regardless of the
+    # driver's parquet encoding (see tests/test_schema_drift.py)
+    ev = load_tables(spark, "/root/testdata/sf0.01")["events"].withColumn(
+        "ts_us", F.expr("ts DIV 1000")
     )
     n = ev.count()
     ordered = ev.orderBy("ts_us", "event_id")

@@ -55,18 +55,31 @@ def test_entry_on_stripped_session(spark):
     assert df.count() >= 0
 
 
-def test_nanos_schema_fallback(spark):
-    """The explicit-schema fallback reads events even if the conf can't be
-    applied (simulated by calling the fallback path directly)."""
-    import os
+def test_nanos_schema_fallback(spark, tmp_path):
+    """The explicit-schema fallback maps timestamp[ns] parquet columns to
+    LongType even when the nanosAsLong conf can't be applied (simulated by
+    calling the fallback path directly). The fallback is specific to the
+    INT64 TIMESTAMP(NANOS) encoding — synthesize such a file (the shipped
+    testdata's encoding is driver-owned and has changed before)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from clickhouse_provider_spark.session import _nanos_as_long_schema
 
-    path = os.path.join(TEST_SF_DIR, "events.parquet")
-    if not os.path.exists(path):
-        pytest.skip("no events table at this SF")
+    path = str(tmp_path / "events_ns.parquet")
+    ns = [1_700_000_000_000_000_000 + i for i in range(5)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(ns, pa.int64()).cast(pa.timestamp("ns")),
+            }
+        ),
+        path,
+    )
     schema = _nanos_as_long_schema(path)
     df = spark.read.schema(schema).parquet(path)
-    assert df.count() > 0
+    assert df.count() == 5
     ts_field = [f for f in df.schema.fields if f.name == "ts"]
     assert ts_field and ts_field[0].dataType.simpleString() == "bigint"
+    assert df.agg({"ts": "min"}).collect()[0][0] == ns[0]
