@@ -185,7 +185,21 @@ def test_tws_engine_end_to_end(spark, keyed_out, tmp_path_factory):
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), name
 
 
-def test_out_of_order_unit_files_never_emit_partial_tx(spark, tmp_path_factory):
+@pytest.mark.parametrize(
+    "engine",
+    [
+        "apiws",
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not has_tws_protocol(), reason="google.protobuf absent"
+            ),
+        ),
+    ],
+)
+def test_out_of_order_unit_files_never_emit_partial_tx(
+    spark, tmp_path_factory, engine
+):
     """Reorder regression (round-4 divergence): the unit-log file source
     orders by modification time with unspecified tie-breaking, so appends
     can be CONSUMED out of append order. With the old count gate
@@ -212,13 +226,17 @@ def test_out_of_order_unit_files_never_emit_partial_tx(spark, tmp_path_factory):
     )
     q1.awaitTermination(240)
     units_src = os.path.join(wh, "_tx_units")
-    # group part files by append (mtime), preserving append order
-    by_mtime: dict[float, list[str]] = {}
+    # group part files by append job (the UUID shared by all part files of
+    # one write), ordered by each job's earliest mtime
+    by_job: dict[str, list[str]] = {}
     for f in os.listdir(units_src):
         if f.endswith(".parquet"):
-            m = os.path.getmtime(os.path.join(units_src, f))
-            by_mtime.setdefault(round(m, 1), []).append(f)
-    appends = [by_mtime[m] for m in sorted(by_mtime)]
+            job = f.split("-", 2)[2].rsplit("-", 1)[0]  # part-NNNNN-<uuid>-cNNN
+            by_job.setdefault(job, []).append(f)
+    appends = sorted(
+        by_job.values(),
+        key=lambda fs: min(os.path.getmtime(os.path.join(units_src, f)) for f in fs),
+    )
     assert len(appends) == 5  # one per block
     # pathological consumption order: move block 101's append (index 1,
     # holding T1's map(R2)+exec(R1)) to the END via explicit mtimes
@@ -237,6 +255,7 @@ def test_out_of_order_unit_files_never_emit_partial_tx(spark, tmp_path_factory):
         spark, wh2,
         checkpoint=str(tmp_path_factory.mktemp("ckpt_asm_ro")),
         max_files_per_trigger=1,  # every append its own micro-batch
+        engine=engine,
     )
     q2.awaitTermination(240)
     raw = spark.read.parquet(os.path.join(wh2, "transactions"))
