@@ -207,6 +207,31 @@ def test_cosine_near_pairs_symmetric_threshold(spark, tables):
     assert len(pairs) == 59  # sf0.01 ground truth (verified vs oracle)
 
 
+def test_banded_lsh_pairs_subset_of_exact_with_high_recall(spark, tables):
+    """Candidate-first near-dup pairs: every survivor must also be in the
+    exact all-pairs result (the exact filter guarantees precision 1.0);
+    recall vs exact is the banding S-curve — assert the measured floor so
+    a banding regression (wrong planes, wrong grouping) is loud."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.cosine_near_pairs(
+            tables["embeddings"], threshold=0.4
+        ).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.banded_lsh_pairs(
+            tables["embeddings"], threshold=0.4, n_bands=8, band_planes=4, dim=64
+        ).collect()
+    }
+    assert banded <= exact
+    # measured 40/59 ≈ 0.68 at sf0.01 — threshold 0.4 sits low on the
+    # banding S-curve (per-pair hit prob at cos=0.4 is ~0.76 theoretical);
+    # production dedup thresholds (≥0.9) sit near 1.0. The floor pins
+    # banding regressions (wrong planes/grouping), not the S-curve itself.
+    assert len(banded) / len(exact) >= 0.6
+
+
 def test_multimodal_features_roundtrip(spark, tables):
     media = multimodal.documents_as_media(tables["documents"].limit(50))
     feats = multimodal.extract_features(media).collect()

@@ -154,3 +154,15 @@ def test_curation_single_shuffle(spark, tables):
 def test_tfidf_stays_jvm_side(spark, tables):
     plan = plan_of(build("text_tfidf_top_terms", spark, tables))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_embedding_pairs_no_cartesian(spark, tables):
+    """The candidate-first form must never degenerate to all-pairs: the
+    candidate join keys on (band, sig) — equi-join, so no CartesianProduct
+    and no BroadcastNestedLoopJoin anywhere in the plan (the O(n²) exact
+    form lives only in similarity.cosine_near_pairs as a test baseline)."""
+    plan = plan_of(build("dedup_embedding_pairs", spark, tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # signature compute is JVM codegen, not a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
