@@ -182,3 +182,49 @@ def q_text_token_rarity(spark, t):
 )
 def q_corpus_curation(spark, t):
     return text.curated_corpus(t["documents"])
+
+
+# Multimodal ------------------------------------------------------------------
+
+
+@register(
+    "multimodal_feature_stats",
+    # The mapInPandas feature extractor's integer outputs (byte count +
+    # 16-bin high-nibble histogram) are exactly reproducible in SQL from
+    # the blob's hex encoding: high nibble of byte i == hex char 2i. The
+    # float entropy feature is exercised by tests/test_llm_ops.py, not
+    # the oracle (log2 folds differ across engines).
+    oracle="""
+    WITH b AS (SELECT doc_id AS media_id, encode(text) AS blob FROM documents),
+    n AS (SELECT media_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+                 hex(blob) AS hx
+          FROM b),
+    nib AS (
+      SELECT media_id,
+             unnest(list_transform(range(CAST(n_bytes AS INT)),
+                                   i -> substr(hx, 2*CAST(i AS INT)+1, 1))) AS c
+      FROM n
+    ),
+    cnt AS (SELECT media_id, histogram(c) AS m FROM nib GROUP BY media_id)
+    SELECT n.media_id, n.n_bytes,
+           list_transform(range(16), b -> CAST(coalesce(
+             cnt.m[substr('0123456789ABCDEF', CAST(b AS INT)+1, 1)][1], 0)
+             AS BIGINT)) AS histogram
+    FROM n LEFT JOIN cnt USING (media_id)
+    """,
+    doc="Multimodal binary-column features: documents adapted to the "
+    "opaque-blob media table (operators/multimodal.py), byte count + "
+    "16-bin byte histogram extracted via Arrow-batched mapInPandas "
+    "(vectorized numpy per blob; the decode step is the injected decoder "
+    "— identity here, PIL/codec in production). Scale: blobs move as "
+    "Arrow chunks, never row-at-a-time; feature output is fixed-width so "
+    "downstream ops prune the blob column immediately.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_feature_stats(spark, t):
+    from clickhouse_provider_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(t["documents"])
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "histogram"
+    )
