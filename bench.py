@@ -78,6 +78,62 @@ def previous_round() -> tuple[str | None, dict[str, float]]:
     return None, {}
 
 
+def bench_ingest(spark, n_replicas: int | None = None) -> dict:
+    """Pipeline-half throughput: the actions-mode extraction DAG
+    (block JSON → actions/events/data rows, reference actions.rs:341-670)
+    over the fixture chain replicated to ``n_replicas`` height-shifted
+    copies, executed JVM-side to the noop sink. The reference publishes no
+    throughput figures (BASELINE.md), so this records OUR blocks/s and
+    rows/s so regressions in the streaming-transform half show up
+    round-over-round — the query section only covers the serving half.
+
+    Replication happens as DataFrame ops (explode a replica index and
+    shift block.header.height), so the measured work is the real
+    extraction plan over n_replicas × 5 distinct blocks."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_provider_spark.operators import actions as ACT
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    n_replicas = n_replicas or int(os.environ.get("SPARK_GRAFT_INGEST_REPLICAS", "2000"))
+    fixture = Path(__file__).resolve().parent / "fixtures" / "blocks.jsonl"
+    if not fixture.exists():
+        return {}
+    base = spark.read.schema(BLOCK_SCHEMA).json(str(fixture))
+    n_base = base.count()
+    blocks = (
+        base.crossJoin(
+            spark.range(n_replicas).select((F.col("id") * 10).alias("_shift"))
+        )
+        .withColumn(
+            "block",
+            F.col("block").withField(
+                "header",
+                F.col("block.header").withField(
+                    "height", F.col("block.header.height") + F.col("_shift")
+                ),
+            ),
+        )
+        .drop("_shift")
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .localCheckpoint(eager=True)  # materialize inputs: time ONLY the DAG
+    )
+    n_blocks = n_base * n_replicas
+    tables = ACT.extract_tables(blocks)
+    start = time.perf_counter()
+    for df in tables.values():
+        force(df)
+    elapsed = time.perf_counter() - start
+    rows = sum(df.count() for df in tables.values())  # untimed
+    return {
+        "blocks": n_blocks,
+        "rows_out": rows,
+        "sec": round(elapsed, 3),
+        "blocks_per_sec": round(n_blocks / elapsed, 1),
+        "rows_per_sec": round(rows / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -120,6 +176,8 @@ def main() -> None:
     mins = {n: round(min(xs), 3) for n, xs in samples.items()}
     spreads = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
 
+    ingest = bench_ingest(spark)
+
     total = round(sum(timings.values()), 3)
     prev_name, prev = previous_round()
     out = {
@@ -131,6 +189,7 @@ def main() -> None:
         "queries_spread": spreads,  # max - min across samples
         "reps": max(1, REPS),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest": ingest,  # pipeline-half throughput (actions-mode DAG)
     }
     if prev:
         out["prev_round"] = prev_name
