@@ -121,6 +121,104 @@ def compact_table(
 
 
 # ---------------------------------------------------------------------------
+# chain-reorg repair
+# ---------------------------------------------------------------------------
+
+
+def reorg_repair(
+    spark: SparkSession,
+    warehouse: str,
+    fork_height: int,
+    tables: list[str] | None = None,
+    bucket_size: int | None = None,
+) -> dict[str, dict]:
+    """Roll every table back to the state strictly below ``fork_height``.
+
+    The reference's answer to a chain reorganization is the continuity
+    assert + operator intervention (prev_hash mismatch panics,
+    main.rs:161-170, transactions.rs:185-191); re-ingest then relies on
+    ReplacingMergeTree to absorb the overlap — but rows from orphaned
+    blocks (same sort key never re-written, e.g. a receipt that only
+    existed on the dead fork) would survive forever. This job is the
+    explicit repair: delete everything at/above the fork so re-ingest
+    from ``fork_height`` reconstructs exactly the canonical chain, and
+    the resume watermark (max(block_height), SURVEY §2A #3) lands at
+    ``fork_height - 1`` automatically.
+
+    100 TB shape: height-bucket partitioning makes this O(affected
+    buckets), never a table scan —
+
+    - buckets fully above the fork are dropped by directory rename (no
+      read; dropped-row counts come from parquet footers),
+    - the single boundary bucket is filtered and atomically swapped
+      (same staged/backup protocol as :func:`compact_table`),
+    - buckets below the fork are untouched (their files keep their
+      inodes — asserted in tests/test_maintenance.py).
+
+    Returns per-table ``{"rows_dropped", "buckets_dropped",
+    "buckets_rewritten"}``.
+    """
+    from clickhouse_provider_spark.storage import DEFAULT_BUCKET, PARTITION_HEIGHT
+
+    bucket_size = bucket_size or DEFAULT_BUCKET
+    fork_bucket = fork_height // bucket_size
+    report = {}
+    for name in tables or list(PARTITION_HEIGHT):
+        path = os.path.join(warehouse, name)
+        if not os.path.isdir(path):
+            continue
+        height_col = PARTITION_HEIGHT[name]
+        key = SORT_KEYS[name]
+        rows_dropped = buckets_dropped = buckets_rewritten = 0
+        for bdir in sorted(glob(os.path.join(path, "height_bucket=*"))):
+            b = int(bdir.rsplit("=", 1)[1])
+            if b < fork_bucket:
+                continue  # entirely below the fork: untouched
+            if b > fork_bucket:
+                rows_dropped += _footer_rows(bdir)
+                old = os.path.join(path, f"_reorged_{b}_{uuid.uuid4().hex[:8]}")
+                os.rename(bdir, old)
+                shutil.rmtree(old)
+                buckets_dropped += 1
+                continue
+            # boundary bucket: keep rows strictly below the fork
+            before = _footer_rows(bdir)
+            kept = spark.read.parquet(bdir).filter(F.col(height_col) < fork_height)
+            tmp = os.path.join(warehouse, f"_reorg_{name}_{uuid.uuid4().hex[:8]}")
+            writer = kept.sortWithinPartitions(*key).write.mode("overwrite")
+            for col in BLOOM_COLUMNS.get(name, []):
+                writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+            writer.parquet(tmp)
+            marker = os.path.join(tmp, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            staged = os.path.join(path, f"_staged_{b}_{uuid.uuid4().hex[:8]}")
+            os.rename(tmp, staged)
+            old = os.path.join(path, f"_old_{b}_{uuid.uuid4().hex[:8]}")
+            os.rename(bdir, old)
+            os.rename(staged, bdir)
+            shutil.rmtree(old)
+            rows_dropped += before - _footer_rows(bdir)
+            buckets_rewritten += 1
+        report[name] = {
+            "rows_dropped": rows_dropped,
+            "buckets_dropped": buckets_dropped,
+            "buckets_rewritten": buckets_rewritten,
+        }
+    return report
+
+
+def _footer_rows(bucket_dir: str) -> int:
+    """Row count from parquet footers — no data pages read."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob(os.path.join(bucket_dir, "*.parquet"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout
 # ---------------------------------------------------------------------------
 

@@ -95,6 +95,71 @@ def test_zorder_preserves_rows(spark, tmp_path):
     assert out.agg(F.sum("x")).collect()[0][0] == sum(range(1000))
 
 
+@pytest.fixture()
+def multi_bucket_wh(spark, tmp_path_factory):
+    """A blocks table spanning 3 height buckets (small bucket_size) so the
+    repair exercises drop-whole-bucket, rewrite-boundary, and untouched."""
+    wh = str(tmp_path_factory.mktemp("reorg_wh"))
+    rows = [
+        (h, f"Hash{h}", f"Hash{h-1}", 1_700_000_000_000_000_000 + h)
+        for h in range(100, 130)
+    ]
+    df = spark.createDataFrame(
+        rows, "block_height long, block_hash string, prev_hash string, block_timestamp long"
+    )
+    storage.write_table(df, wh, "blocks", bucket_size=10)
+    return wh
+
+
+def test_reorg_repair_partition_pruned_rollback(spark, multi_bucket_wh):
+    wh = multi_bucket_wh
+    path = f"{wh}/blocks"
+    untouched = sorted(glob.glob(f"{path}/height_bucket=10/*.parquet"))
+    inodes_before = [os.stat(f).st_ino for f in untouched]
+    report = maintenance.reorg_repair(spark, wh, fork_height=115, bucket_size=10)
+    r = report["blocks"]
+    # heights 100-114 survive, 115-129 dropped
+    left = spark.read.parquet(path)
+    assert left.count() == 15
+    assert left.agg(F.max("block_height")).collect()[0][0] == 114
+    assert r["rows_dropped"] == 15
+    assert r["buckets_dropped"] == 1  # bucket 12 (120-129) dropped whole
+    assert r["buckets_rewritten"] == 1  # bucket 11 (110-119) filtered
+    # bucket 10 (100-109) untouched: same files, same inodes (no rewrite)
+    after = sorted(glob.glob(f"{path}/height_bucket=10/*.parquet"))
+    assert [os.stat(f).st_ino for f in after] == inodes_before
+    # resume watermark lands just below the fork → re-ingest starts at 115
+    assert (
+        storage.read_table(spark, wh, "blocks").agg(F.max("block_height")).collect()[0][0]
+        == 114
+    )
+
+
+def test_reorg_repair_then_reingest_is_canonical(spark, multi_bucket_wh):
+    """Orphaned rows that ReplacingMergeTree-style dedup could never expel
+    (sort key unique to the dead fork) are gone after repair + re-ingest."""
+    wh = multi_bucket_wh
+    maintenance.reorg_repair(spark, wh, fork_height=115, bucket_size=10)
+    # canonical chain rewrites 115+ with different hashes
+    rows = [
+        (h, f"Canon{h}", f"Canon{h-1}", 1_700_000_000_000_000_000 + h)
+        for h in range(115, 130)
+    ]
+    storage.write_table(
+        spark.createDataFrame(
+            rows,
+            "block_height long, block_hash string, prev_hash string, block_timestamp long",
+        ),
+        wh,
+        "blocks",
+        bucket_size=10,
+    )
+    view = storage.read_table(spark, wh, "blocks")
+    assert view.count() == 30
+    hashes = {r["block_hash"] for r in view.filter(F.col("block_height") >= 115).collect()}
+    assert hashes == {f"Canon{h}" for h in range(115, 130)}  # no orphans
+
+
 def test_analyze_stats_sidecar(spark, fragmented):
     stats = maintenance.analyze_table(spark, fragmented, "events")
     path = f"{fragmented}/events/_stats.json"
