@@ -1,0 +1,131 @@
+"""Scale probe: how do the headline plans behave as data grows?
+
+Replicates the fact tables (lineitem / orders / events) K× with shifted
+keys — DataFrame-side, so the probe measures the real plans over genuinely
+larger inputs — and times a representative query set at each factor. A plan
+that "would still work at 1000 executors reading 100 TB" must scale ~O(n)
+here (shuffle-bound aggs/joins) with efficiency time(k)/(k·time(1)) staying
+near or below 1; super-linear growth flags a plan that degenerates
+(all-pairs join, driver collect, broadcast flipping to shuffle with a
+too-big dim).
+
+Usage: python tools/scale_probe.py [factors ...]   (default: 1 2 4)
+Prints one JSON line: {"factors": [...], "queries": {name: {k: sec}},
+"efficiency": {name: {k: time_k / (k * time_1)}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.plans import CATALOG
+from clickhouse_provider_spark.session import get_spark, load_tables
+
+#: shuffle-heavy representatives: scan+agg, multiway join, join+window agg,
+#: events time-bucket agg, LSH self-join
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "q18_large_volume_customers",
+    "daily_counts",
+    "dedup_lsh_pairs",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def scaled_tables(spark, base: dict, k: int) -> dict:
+    """Fact tables replicated k× with shifted join/group keys (dims kept):
+    orderkeys/event ids move into disjoint ranges per replica so join
+    fan-outs and group cardinalities grow realistically instead of
+    multiplying duplicate keys."""
+    if k == 1:
+        return base
+    t = dict(base)
+    okey_span = 10_000_000_000
+    rep = lambda: spark.range(k).select(F.col("id").alias("_r"))  # noqa: E731
+    t["lineitem"] = (
+        base["lineitem"]
+        .crossJoin(rep())
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("_r") * okey_span)
+        .drop("_r")
+    )
+    t["orders"] = (
+        base["orders"]
+        .crossJoin(rep())
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_r") * okey_span)
+        .drop("_r")
+    )
+    t["events"] = (
+        base["events"]
+        .crossJoin(rep())
+        .withColumn("event_id", F.col("event_id") + F.col("_r") * okey_span)
+        # shift replicas one day apart so time-bucket groups also grow
+        .withColumn("ts", F.col("ts") + F.col("_r") * F.lit(86_400_000_000_000))
+        .drop("_r")
+    )
+    t["documents"] = (
+        base["documents"]
+        .crossJoin(rep())
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * okey_span)
+        # perturb text per replica: exact k-fold duplicates would grow the
+        # near-dup pair count quadratically by construction (every bucket
+        # holds k copies of each doc) — a different workload than "corpus got
+        # k× bigger with the same dup structure"
+        .withColumn(
+            "text", F.concat("text", F.lit(" replica-"), F.col("_r").cast("string"))
+        )
+        .drop("_r")
+    )
+    # register views so SQL-built plans see the scaled relations too
+    for name in ("lineitem", "orders", "events", "documents"):
+        t[name].createOrReplaceTempView(name)
+    return t
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_probe")
+    timings: dict[str, dict[int, float]] = {n: {} for n in PROBE_QUERIES}
+    for k in factors:
+        base = load_tables(spark, sf_dir)  # fresh views per factor
+        t = scaled_tables(spark, base, k)
+        for name in PROBE_QUERIES:
+            _force(CATALOG[name].build(spark, t))  # warm (codegen, listing)
+            start = time.perf_counter()
+            _force(CATALOG[name].build(spark, t))
+            timings[name][k] = round(time.perf_counter() - start, 3)
+    base_factor = factors[0]
+    efficiency = {
+        n: {
+            k: round(ts[k] / ((k / base_factor) * ts[base_factor]), 2)
+            for k in factors
+            if k != base_factor and ts.get(base_factor)
+        }
+        for n, ts in timings.items()
+    }
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "factors": factors,
+                "queries": timings,
+                "efficiency": efficiency,  # <1: sublinear, ~1: linear, >1: degenerating
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
