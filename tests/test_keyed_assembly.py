@@ -268,6 +268,51 @@ def test_out_of_order_unit_files_never_emit_partial_tx(
     assert {r["transaction_hash"] for r in raw.collect()} == {"T1", "T2", "T3"}
 
 
+def test_random_chain_streaming_matches_batch_fixpoint(spark, tmp_path_factory):
+    """Differential over a generated chain (tests/random_chain.py): the
+    streaming router→assembler→fan-out path must produce row-identical
+    fan-out tables to the batch fixpoint (operators/transactions.assemble)
+    on a closed random receipt forest — random spawn depths, cross-block
+    executions, and data receipts that can arrive AFTER their consumer."""
+    import json as _json
+
+    from clickhouse_provider_spark.operators import transactions as TX
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+    from tests.random_chain import make_random_chain
+
+    chain = make_random_chain(seed=7, n_blocks=16)
+    src = tmp_path_factory.mktemp("rand_chain")
+    for b in chain:
+        h = b["block"]["header"]["height"]
+        (src / f"block-{h:012d}.json").write_text(_json.dumps(b))
+    # batch side reads the SAME files: the RDD-based json reader re-encodes
+    # raw-captured JSON strings (e.g. status.Failure source bytes) compactly
+    # while the file scan preserves source spacing — a parser-path nuance
+    # that would diff the blobs even though the assembly is identical
+    blocks_df = spark.read.schema(BLOCK_SCHEMA).json(str(src))
+    batch = TX.assemble(blocks_df)
+    assert batch["incomplete"].count() == 0  # generator guarantees closure
+    n_txs = batch["transactions"].count()
+    assert n_txs >= 5  # non-trivial instance
+    wh = str(tmp_path_factory.mktemp("wh_rand"))
+    q1 = run_keyed_router(
+        spark, str(src), wh,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_rr")),
+        max_files_per_trigger=4,
+    )
+    q1.awaitTermination(300)
+    q2 = run_keyed_assembler(
+        spark, wh,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt_ra")),
+        max_files_per_trigger=4,
+    )
+    q2.awaitTermination(300)
+    for name in ("transactions", "account_txs", "block_txs", "receipt_txs"):
+        a = sorted(map(tuple, batch[name].collect()))
+        s = sorted(map(tuple, storage.read_table(spark, wh, name).collect()))
+        assert a == s, f"{name}: batch {len(a)} rows vs streaming {len(s)}"
+
+
 def test_completed_tombstone_blocks_replayed_tail(spark, keyed_out, tmp_path_factory):
     """Replaying the unit log into the SAME assembler checkpoint after the
     txs already completed must emit nothing: the per-key tombstone swallows
