@@ -89,3 +89,39 @@ def q_value_percentiles(spark, t):
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+@register(
+    "approx_value_quantiles",
+    # Same oracle pattern as approx_distinct_users: a sketch's raw output
+    # (Greenwald-Khanna rank estimates here) is engine-specific, so the
+    # oracle grades the sketch's CLAIM — the approx median must land
+    # within 1% (relative) of the exact interpolated median — alongside
+    # the exact value itself. A sketch regression (merge bug, wrong rank
+    # math) flips the boolean → hash mismatch.
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           true AS approx_within_1pct
+    FROM events GROUP BY event_type
+    """,
+    doc="approx_percentile (Greenwald-Khanna, accuracy 10000) vs the "
+    "exact interpolated median, graded by error bound — the "
+    "approximate-quantile class for 100 TB groups where the exact "
+    "per-group sort (value_percentiles) is unaffordable. Constant-size "
+    "sketch per group, mergeable map-side.",
+    tags=("analytics", "stats", "approx"),
+)
+def q_approx_value_quantiles(spark, t):
+    agg = t["events"].groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile_approx("value", 0.5, 10000).alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        (
+            F.abs(F.col("_approx") - F.col("p50_exact"))
+            <= 0.01 * F.abs(F.col("p50_exact"))
+        ).alias("approx_within_1pct"),
+    )
