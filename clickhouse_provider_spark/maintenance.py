@@ -208,6 +208,62 @@ def reorg_repair(
     return report
 
 
+def detect_fork(
+    spark: SparkSession, warehouse: str, bucket: int = 1_000_000
+) -> int | None:
+    """Lowest block height whose ``prev_block_hash`` does not match the
+    stored previous block's hash — the fork point to hand to
+    :func:`reorg_repair` (detection half of the reference's continuity
+    assert, transactions.rs:185-191, turned from a panic into a queryable
+    fact). Returns None when the stored chain is consistent.
+
+    Same two-phase shape as ``operators.transactions.chain_violations``:
+    a per-bucket lag (parallel, no global single-task sort) plus a lag
+    over the one-row-per-bucket boundary summary — O(n) with a bounded
+    final step, so it runs against the full blocks table at any scale.
+    A missing height also surfaces (its successor's prev_hash can't match
+    the hash of the block before the gap)."""
+    from pyspark.sql.window import Window as W
+
+    from clickhouse_provider_spark import storage
+
+    b = storage.read_table(spark, warehouse, "blocks").select(
+        "block_height", "block_hash", "prev_block_hash"
+    )
+    bkt = F.floor(F.col("block_height") / F.lit(bucket))
+    wb = W.partitionBy(bkt).orderBy("block_height")
+    within = (
+        b.withColumn("actual_prev", F.lag("block_hash").over(wb))
+        .filter(
+            F.col("actual_prev").isNotNull()
+            & (F.col("actual_prev") != F.col("prev_block_hash"))
+        )
+        .select(F.col("block_height").alias("violation_height"))
+    )
+    summary = b.groupBy(bkt.alias("bkt")).agg(
+        F.min_by(
+            F.struct("block_height", "prev_block_hash"), F.col("block_height")
+        ).alias("first"),
+        F.max_by(F.struct("block_height", "block_hash"), F.col("block_height")).alias(
+            "last"
+        ),
+    )
+    wo = W.orderBy("bkt")
+    boundary = (
+        summary.withColumn("prev_last", F.lag("last").over(wo))
+        .filter(
+            F.col("prev_last").isNotNull()
+            & (F.col("prev_last.block_hash") != F.col("first.prev_block_hash"))
+        )
+        .select(F.col("first.block_height").alias("violation_height"))
+    )
+    return (
+        within.unionByName(boundary)
+        .agg(F.min("violation_height"))
+        .collect()[0][0]
+    )
+
+
 def _footer_rows(bucket_dir: str) -> int:
     """Row count from parquet footers — no data pages read."""
     import pyarrow.parquet as pq

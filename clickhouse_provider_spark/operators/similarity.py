@@ -381,6 +381,74 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index AS THE TABLE LAYOUT: vectors written
+    ``partitionBy(cell_id)`` so a query's nprobe cells are nprobe
+    partition DIRECTORIES — Spark's partition pruning turns "probe 2 of
+    1024 cells" into "read 2/1024 of the data" with no index structure
+    beyond the directory tree. Centroids (n_cells rows) persist under
+    ``_centroids`` (underscore prefix: invisible to partition discovery),
+    so queries don't retrain."""
+    import os
+
+    cents = centroids or ivf_train_centroids(
+        emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _argmax_cell(emb, cents, id_col, vec_col).drop("cos_to_centroid")
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a materialized IVF layout (:func:`ivf_write_index`).
+
+    Cell selection reads the n_cells-row centroid table to the driver —
+    O(n_cells), the one intentionally-driver-side step (same as a planner
+    reading a partition manifest) — then the candidate scan filters
+    ``cell_id IN (probes)``, which Catalyst turns into partition-directory
+    pruning (asserted in tests/test_llm_ops.py): the corpus outside the
+    probed cells is never opened."""
+    import os
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    probes = [
+        r["cell_id"]
+        for r in cents.select(
+            "cell_id", cosine(F.col("centroid"), q).alias("c")
+        )
+        .orderBy(F.col("c").desc(), "cell_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(probes))
+    return (
+        idx.select(
+            F.col(id_col),
+            F.col("cell_id"),
+            cosine(F.col(vec_col), q).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_norms(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector L2 norm + per-label aggregates feedstock."""
     return emb.select(

@@ -139,6 +139,31 @@ def test_ivf_topk_recall(spark, tables):
     assert len({r["vec_id"] for r in half} & set(exact)) / 10 >= 0.4
 
 
+def test_ivf_index_layout_partition_pruned_query(spark, tables, tmp_path):
+    """The materialized IVF layout: write vectors partitionBy(cell_id),
+    query via ivf_query_index — results must match the in-memory ivf_topk
+    with the same centroids, and the candidate scan must carry a cell_id
+    PartitionFilter (the probe reads nprobe directories, not the corpus)."""
+    emb = tables["embeddings"]
+    cents = similarity.ivf_train_centroids(emb, n_cells=8, iters=3)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(emb, path, centroids=cents)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = similarity.ivf_query_index(spark, path, qvec, k=11, nprobe=2)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got._jdf.queryExecution(), "formatted"
+    )
+    seg = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert seg and "cell_id" in seg[0]  # directory pruning, not a full scan
+    rows = [r for r in got.collect() if r["vec_id"] != 0][:10]  # drop self-hit
+    want = similarity.ivf_topk(
+        emb, 0, k=10, n_cells=8, nprobe=2, centroids=cents
+    ).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in want]
+    for a, b in zip(rows, want):
+        assert a["cos_sim"] == pytest.approx(b["cos_sim"], abs=1e-12)
+
+
 @pytest.fixture(scope="module")
 def clustered_vectors(spark):
     """4 well-separated clusters of 24 vectors along axes 0-3 of an 8-dim

@@ -105,7 +105,7 @@ def multi_bucket_wh(spark, tmp_path_factory):
         for h in range(100, 130)
     ]
     df = spark.createDataFrame(
-        rows, "block_height long, block_hash string, prev_hash string, block_timestamp long"
+        rows, "block_height long, block_hash string, prev_block_hash string, block_timestamp long"
     )
     storage.write_table(df, wh, "blocks", bucket_size=10)
     return wh
@@ -148,7 +148,7 @@ def test_reorg_repair_then_reingest_is_canonical(spark, multi_bucket_wh):
     storage.write_table(
         spark.createDataFrame(
             rows,
-            "block_height long, block_hash string, prev_hash string, block_timestamp long",
+            "block_height long, block_hash string, prev_block_hash string, block_timestamp long",
         ),
         wh,
         "blocks",
@@ -158,6 +158,41 @@ def test_reorg_repair_then_reingest_is_canonical(spark, multi_bucket_wh):
     assert view.count() == 30
     hashes = {r["block_hash"] for r in view.filter(F.col("block_height") >= 115).collect()}
     assert hashes == {f"Canon{h}" for h in range(115, 130)}  # no orphans
+
+
+def test_detect_fork_finds_lowest_violation_and_repair_clears_it(
+    spark, tmp_path_factory
+):
+    """Detection half of the reorg story: a consistent chain reports None;
+    after a fork (blocks 115+ replaced by an orphan branch whose first
+    block doesn't link to stored 114), detect_fork returns the fork
+    height — across a bucket boundary too — and reorg_repair at that
+    height restores consistency."""
+    wh = str(tmp_path_factory.mktemp("fork_wh"))
+    good = [
+        (h, f"Hash{h}", f"Hash{h-1}", 1_700_000_000_000_000_000 + h)
+        for h in range(100, 115)
+    ]
+    orphan = [
+        (h, f"Orph{h}", f"Orph{h-1}" if h > 115 else "HashDEAD", 0)
+        for h in range(115, 125)
+    ]
+    schema = "block_height long, block_hash string, prev_block_hash string, block_timestamp long"
+    storage.write_table(
+        spark.createDataFrame(good + orphan, schema), wh, "blocks", bucket_size=10
+    )
+    assert maintenance.detect_fork(spark, wh, bucket=10) == 115
+    maintenance.reorg_repair(spark, wh, fork_height=115, bucket_size=10)
+    assert maintenance.detect_fork(spark, wh, bucket=10) is None
+    # boundary case: violation exactly at a bucket edge (120) is seen by
+    # the boundary lag, not the within-bucket one
+    wh2 = str(tmp_path_factory.mktemp("fork_wh2"))
+    rows = [
+        (h, f"Hash{h}", f"Hash{h-1}" if h != 120 else "HashDEAD", 0)
+        for h in range(100, 130)
+    ]
+    storage.write_table(spark.createDataFrame(rows, schema), wh2, "blocks", bucket_size=10)
+    assert maintenance.detect_fork(spark, wh2, bucket=10) == 120
 
 
 def test_analyze_stats_sidecar(spark, fragmented):
