@@ -119,12 +119,14 @@ def bench_ingest(spark, n_replicas: int | None = None) -> dict:
         .localCheckpoint(eager=True)  # materialize inputs: time ONLY the DAG
     )
     n_blocks = n_base * n_replicas
-    tables = ACT.extract_tables(blocks)
+    tables = {k: df.persist() for k, df in ACT.extract_tables(blocks).items()}
     start = time.perf_counter()
     for df in tables.values():
-        force(df)
+        force(df)  # populates the cache: timed work = extraction + persist
     elapsed = time.perf_counter() - start
-    rows = sum(df.count() for df in tables.values())  # untimed
+    rows = sum(df.count() for df in tables.values())  # served from cache
+    for df in tables.values():
+        df.unpersist()
     return {
         "blocks": n_blocks,
         "rows_out": rows,

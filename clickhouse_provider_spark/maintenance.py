@@ -174,7 +174,9 @@ def reorg_repair(
             b = int(bdir.rsplit("=", 1)[1])
             if b < fork_bucket:
                 continue  # entirely below the fork: untouched
-            if b > fork_bucket:
+            # a fork exactly on a bucket edge means the edge bucket holds
+            # no surviving rows — rename-drop it, don't rewrite-to-empty
+            if b > fork_bucket or fork_height % bucket_size == 0:
                 rows_dropped += _footer_rows(bdir)
                 old = os.path.join(path, f"_reorged_{b}_{uuid.uuid4().hex[:8]}")
                 os.rename(bdir, old)

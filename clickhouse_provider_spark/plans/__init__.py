@@ -86,7 +86,10 @@ def _rotate_for_official_window(catalog: dict) -> None:
     def tier(name: str) -> tuple:
         if name in PRIORITY_REPAIRED:
             return (0, PRIORITY_REPAIRED.index(name))
-        if name in PRIORITY_NEVER_GREEN or name not in LAST_GREEN_ROUND:
+        # tier 1 = no official green yet: PRIORITY_NEVER_GREEN's members
+        # are exactly the names absent from LAST_GREEN_ROUND (asserted
+        # below), so absence alone decides — the tuple documents intent
+        if name not in LAST_GREEN_ROUND:
             return (1, order.index(name))
         return (2, LAST_GREEN_ROUND[name], order.index(name))
 
@@ -94,6 +97,11 @@ def _rotate_for_official_window(catalog: dict) -> None:
     catalog.clear()
     catalog.update(reordered)
 
+
+# stale-tuple guard: a name added to LAST_GREEN_ROUND must be removed from
+# PRIORITY_NEVER_GREEN, or the rotation's tiers silently disagree
+assert set(PRIORITY_NEVER_GREEN).isdisjoint(LAST_GREEN_ROUND)
+assert set(PRIORITY_REPAIRED).isdisjoint(PRIORITY_NEVER_GREEN)
 
 _rotate_for_official_window(CATALOG)
 

@@ -175,7 +175,15 @@ def _normalize_ts_ns(df):
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Register every testdata parquet table as a temp view and return the
     DataFrames. Filters/projections against these views push down to the
-    parquet scan (verify with ``df.explain('formatted')`` → PushedFilters).
+    parquet scan (verify with ``df.explain('formatted')`` → PushedFilters)
+    — with one deliberate exception: predicates on the events table's
+    canonical ns ``ts`` filter post-scan, because ``ts`` is a derived
+    column under timestamp-encoded testdata (:func:`_normalize_ts_ns`),
+    exactly as they did under the original ``ts DIV 1000`` expression form
+    (an expression filter never reached the scan either). Pushdown on
+    every other events column (user_id, event_type, …) is unaffected. At
+    100 TB, time pruning comes from time-bucketed PARTITIONING of the
+    produced tables (storage.py), not events.parquet row-group stats.
 
     Works on a *vanilla* SparkSession: load-bearing confs are applied at
     runtime here (see :func:`ensure_runtime_confs`).

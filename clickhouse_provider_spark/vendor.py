@@ -94,22 +94,28 @@ def _build_shim(pb_dir: str) -> str | None:
         return None
 
 
-#: True once a shim was activated while NO SparkSession existed yet — i.e.
-#: the PYTHONPATH change made it into the JVM's (and thus every python
-#: worker's) environment. A shim first activated AFTER the JVM launched is
-#: importable on the driver but invisible to workers (their env snapshot
-#: predates it), so tws would crash with
+#: True once a shim was activated while the py4j gateway JVM had NOT yet
+#: launched — i.e. the PYTHONPATH change makes it into the JVM's (and thus
+#: every python worker's) environment. A shim first activated AFTER the
+#: JVM launched is importable on the driver but invisible to workers
+#: (their env snapshot predates it — even across session stop/recreate,
+#: the gateway JVM and its env persist), so tws would crash with
 #: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE instead of falling back.
 _shim_reaches_workers: bool | None = None
 
 
-def _active_session_exists() -> bool:
+def _jvm_gateway_launched() -> bool:
+    """Whether the py4j gateway JVM has already started. The env snapshot
+    workers inherit is taken at GATEWAY launch, not session creation — a
+    stopped session leaves the JVM (and its stale env) alive for the next
+    session, so probing getActiveSession() would wrongly report a
+    post-JVM shim activation as worker-visible."""
     if "pyspark" not in sys.modules:
         return False
     try:
-        from pyspark.sql import SparkSession
+        from pyspark import SparkContext
 
-        return SparkSession.getActiveSession() is not None
+        return SparkContext._gateway is not None  # noqa: SLF001
     except Exception:  # pragma: no cover - defensive
         return False
 
@@ -167,7 +173,7 @@ def ensure_protobuf(for_workers: bool = False) -> bool:
             import google.protobuf  # noqa: F401
 
             if _shim_reaches_workers is None:
-                _shim_reaches_workers = not _active_session_exists()
+                _shim_reaches_workers = not _jvm_gateway_launched()
             if for_workers and not _shim_reaches_workers:
                 return False
             return True

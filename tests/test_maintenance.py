@@ -160,6 +160,24 @@ def test_reorg_repair_then_reingest_is_canonical(spark, multi_bucket_wh):
     assert hashes == {f"Canon{h}" for h in range(115, 130)}  # no orphans
 
 
+def test_reorg_repair_fork_on_bucket_edge_drops_whole_bucket(
+    spark, multi_bucket_wh
+):
+    """fork_height exactly on a bucket boundary: the edge bucket holds no
+    surviving rows, so it must be rename-dropped, not rewritten to an
+    empty directory."""
+    wh = multi_bucket_wh
+    report = maintenance.reorg_repair(spark, wh, fork_height=120, bucket_size=10)
+    r = report["blocks"]
+    assert r["buckets_dropped"] == 1 and r["buckets_rewritten"] == 0
+    assert r["rows_dropped"] == 10
+    left = spark.read.parquet(f"{wh}/blocks")
+    assert left.count() == 20
+    assert left.agg(F.max("block_height")).collect()[0][0] == 119
+    # no lingering empty partition dir
+    assert not glob.glob(f"{wh}/blocks/height_bucket=12*")
+
+
 def test_detect_fork_finds_lowest_violation_and_repair_clears_it(
     spark, tmp_path_factory
 ):
