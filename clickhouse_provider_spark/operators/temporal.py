@@ -1,0 +1,239 @@
+"""Temporal join / rollup operators Spark lacks as built-ins.
+
+Three operators, each expressed as a composition of existing DataFrame ops
+(no UDFs, no driver-side loops) so Catalyst/Tungsten keep the whole plan in
+codegen:
+
+- :func:`asof_join` — point-in-time ("most recent prior") join, the
+  time-series primitive ClickHouse exposes as ``ASOF JOIN`` (the serving DB
+  the reference writes into; its consumers can run ASOF queries against the
+  produced tables today, so this repo must express them too).
+- :func:`range_join_binned` — interval/range join without a cartesian
+  product, via the standard bin-and-equi-join rewrite (the "range join
+  optimization" pattern; Spark's optimizer would otherwise pick
+  BroadcastNestedLoopJoin for a pure inequality join).
+- :func:`hypertable_rollup` — multi-resolution time-bucket continuous
+  aggregate (TimescaleDB "hypertable rollup" / ClickHouse materialized-view
+  cascade shape), computed HIERARCHICALLY: raw → finest bucket, each coarser
+  level re-aggregated from the previous one.
+
+Scale notes (100 TB):
+
+- ``asof_join`` is ONE shuffle on the join key (both sides union first, so
+  left and right co-partition by construction), then a streamed window per
+  key — no per-key cross join, no state blowup. Skewed keys can be salted
+  by appending a coarse time bucket to the partition key (the window is
+  order-correct within a key-bucket as long as buckets are processed with
+  carry-in; for bounded-staleness joins use ``tolerance`` ≤ bucket width and
+  duplicate each right row into the next bucket).
+- ``range_join_binned`` turns an O(|L|·|R|) nested loop into an equi-join on
+  ``floor(ts / bin)``: each interval explodes into its covered bins
+  (≤ ``ceil(len/bin)+1`` rows), each event hashes to exactly one bin. Pick
+  ``bin_width`` ≥ the max interval length so intervals land in ≤ 2 bins.
+- ``hypertable_rollup`` re-aggregates hour → day → week from the PREVIOUS
+  level, so the big shuffle over raw data happens once at the finest
+  resolution; coarser levels shuffle only bucket-cardinality rows (~1/3600th
+  of the input for hour buckets). Decimal sums make the re-aggregation exact
+  (float sums would drift between the direct and hierarchical paths).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tiebreak: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward, inclusive as-of join: for each left row, attach the right
+    row with the greatest ``right_ts`` ≤ ``left_ts`` for the same ``key``
+    (NULLs when no prior right row exists).
+
+    Implementation: tag sides, union, and take ``last(value, ignorenulls)``
+    over a per-key window ordered by ``(ts, side, tiebreak)`` — right rows
+    sort BEFORE left rows at equal timestamps, so an exactly-simultaneous
+    right row is matched (ClickHouse ``ASOF JOIN ... ON l.ts >= r.ts``
+    semantics, and DuckDB's ``ASOF LEFT JOIN`` default). ``tiebreak`` (a
+    RIGHT-side column) makes the order among equal-``right_ts`` right rows
+    total, so ties resolve deterministically (latest ``tiebreak`` wins).
+
+    ``tolerance_us``: if set, matches older than ``left_ts - tolerance_us``
+    are nulled out (pandas ``merge_asof(tolerance=...)`` shape) — the
+    bounded-staleness form that also enables time-bucket salting at scale.
+
+    Returns all left columns plus ``matched_<right_ts>`` and the requested
+    ``value_cols`` (right-side names prefixed ``matched_``).
+    """
+    lcols = list(left.columns)
+    carry = list(value_cols)
+    # Right-side payloads get private names pre-union so a column present on
+    # BOTH sides (events as-of-joined to events share `value`) can't leak
+    # left values into the ignorenulls window.
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).cast("long").alias("__ts"),
+        F.lit(1).alias("__side"),
+        # tiebreak orders RIGHT rows only (a left row's window result is
+        # unaffected by its order relative to other left rows at the same
+        # ts, since right rows sort before it either way)
+        F.lit(None).alias("__tb"),
+        F.lit(None).cast("long").alias("__m_ts"),
+        *[F.lit(None).alias(f"__v_{c}") for c in carry],
+        *[F.col(c) for c in lcols],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).cast("long").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tiebreak).alias("__tb"),
+        F.col(right_ts).cast("long").alias("__m_ts"),
+        *[F.col(c).alias(f"__v_{c}") for c in carry],
+        *[F.lit(None).alias(c) for c in lcols],
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = l.unionByName(r, allowMissingColumns=False).withColumn(
+        "__last_ts", F.last("__m_ts", ignorenulls=True).over(w)
+    )
+    for c in carry:
+        m = m.withColumn(f"matched_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+    stale: Column = F.lit(False)
+    if tolerance_us is not None:
+        stale = F.col("__ts") - F.col("__last_ts") > F.lit(tolerance_us)
+    m = m.filter(F.col("__side") == 1)
+    match_ts = F.when(stale, F.lit(None)).otherwise(F.col("__last_ts")).alias("matched_ts")
+    out_vals = [
+        F.when(stale, F.lit(None)).otherwise(F.col(f"matched_{c}")).alias(f"matched_{c}")
+        for c in carry
+    ]
+    return m.select(*lcols, match_ts, *out_vals)
+
+
+def range_join_binned(
+    left: DataFrame,
+    left_ts: str,
+    intervals: DataFrame,
+    start: str,
+    end: str,
+    bin_width_us: int,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Interval join ``left.ts ∈ [start, end)`` as an equi-join on time bins.
+
+    Each interval is exploded into the bins it covers
+    (``sequence(start div w, (end-1) div w)``); each left row computes its
+    single bin; the join is then a plain shuffled equi-join on
+    ``(bin [, extra_key])`` followed by the exact range filter. No
+    BroadcastNestedLoopJoin / CartesianProduct appears in the plan
+    (asserted in tests/test_temporal.py).
+
+    Empty intervals (``end <= start``) produce no bins and thus no matches.
+    Returns the joined rows (all interval columns + all left columns).
+    """
+    if bin_width_us <= 0:
+        raise ValueError("bin_width_us must be positive")
+    # Explicit aliases: both sides may share lineage (e.g. intervals derived
+    # from the same events table), which would make bare column references
+    # ambiguous in the self-join.
+    iv = (
+        intervals.filter(F.col(end) > F.col(start))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} DIV {bin_width_us}"),
+                    F.expr(f"({end} - 1) DIV {bin_width_us}"),
+                )
+            ),
+        )
+        .alias("__iv")
+    )
+    lv = left.withColumn("__bin", F.expr(f"{left_ts} DIV {bin_width_us}")).alias(
+        "__lv"
+    )
+    on = F.col("__iv.__bin") == F.col("__lv.__bin")
+    if extra_key is not None:
+        on = on & (F.col(f"__iv.{extra_key}") == F.col(f"__lv.{extra_key}"))
+    joined = iv.join(lv, on, "inner").filter(
+        (F.col(f"__lv.{left_ts}") >= F.col(f"__iv.{start}"))
+        & (F.col(f"__lv.{left_ts}") < F.col(f"__iv.{end}"))
+    )
+    cols = [F.col(f"__iv.{c}").alias(c) for c in intervals.columns] + [
+        F.col(f"__lv.{c}").alias(c)
+        for c in left.columns
+        if c not in intervals.columns
+    ]
+    return joined.select(*cols)
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str,
+    dims: Sequence[str],
+    sum_col: Column,
+    resolutions_us: Sequence[tuple[str, int]],
+) -> DataFrame:
+    """Multi-resolution continuous aggregate, computed hierarchically.
+
+    ``resolutions_us`` is (label, width_us) pairs, FINEST FIRST; each width
+    must divide the next (hour → day → week), so every coarser bucket is an
+    exact union of finer ones and the level-(k+1) aggregate can be computed
+    from level k's output instead of rescanning raw data. ``sum_col`` must
+    be a decimal expression (exact re-aggregation; float sums would make
+    the hierarchical result diverge from a direct groupBy).
+
+    Output: ``resolution, bucket_us, *dims, n, sum_value`` (sum as double).
+    """
+    for (la, wa), (lb, wb) in zip(resolutions_us, resolutions_us[1:]):
+        if wb % wa != 0:
+            raise ValueError(f"{lb} width {wb} not a multiple of {la} width {wa}")
+    label0, w0 = resolutions_us[0]
+    level = (
+        events.groupBy(
+            F.expr(f"({ts_col} DIV {w0}) * {w0}").alias("bucket_us"), *dims
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(sum_col).alias("__sum"))
+    )
+    outs = [
+        level.select(
+            F.lit(label0).alias("resolution"),
+            "bucket_us",
+            *dims,
+            "n",
+            F.col("__sum").cast("double").alias("sum_value"),
+        )
+    ]
+    for label, width in resolutions_us[1:]:
+        level = (
+            level.groupBy(
+                F.expr(f"(bucket_us DIV {width}) * {width}").alias("bucket_us"),
+                *dims,
+            )
+            .agg(F.sum("n").alias("n"), F.sum("__sum").alias("__sum"))
+        )
+        outs.append(
+            level.select(
+                F.lit(label).alias("resolution"),
+                "bucket_us",
+                *dims,
+                "n",
+                F.col("__sum").cast("double").alias("sum_value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

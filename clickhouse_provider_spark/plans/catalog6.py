@@ -1,0 +1,385 @@
+"""Catalog batch 6: temporal operators Spark lacks as built-ins (as-of
+join, binned range join, hierarchical hypertable rollup), ClickHouse-parity
+behavioral analytics (windowFunnel / retention — functions the reference's
+serving DB offers its consumers over the produced tables), and deterministic
+hash sampling for corpus rebalancing.
+
+Differential-test design notes:
+
+- ``asof_last_purchase``'s oracle uses DuckDB's NATIVE ``ASOF LEFT JOIN`` —
+  a completely different algorithm (sort-probe) from our union+window plan,
+  so agreement is strong evidence of correct point-in-time semantics.
+  Determinism holds because (user_id, ts) is duplicate-free in the testdata
+  at every SF (verified 0.001/0.01/0.1).
+- ``range_join_1h_windows``'s oracle is a plain inequality join (DuckDB
+  IEJoin); ours is the bin-and-equi-join rewrite. Same-result ⇒ the rewrite
+  is semantics-preserving, while the Spark plan contains NO
+  BroadcastNestedLoopJoin/CartesianProduct (asserted in tests).
+- ``hypertable_rollup_1h1d1w``'s oracle computes every resolution DIRECTLY
+  from raw rows; Spark re-aggregates coarser levels from finer ones.
+  Decimal sums make both paths bit-equal.
+- Sampling entries share exact md5-prefix thresholds with their oracles
+  (md5 is bit-identical across engines; fixed-width lowercase-hex compare
+  equals numeric compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators.sampling import (
+    fraction_to_hex_threshold,
+    hash_fraction_sample,
+    reservoir_per_group,
+)
+from clickhouse_provider_spark.operators.temporal import (
+    asof_join,
+    hypertable_rollup,
+    range_join_binned,
+)
+from clickhouse_provider_spark.plans.catalog import (
+    D18_6,
+    as_double,
+    dec,
+    register,
+    ts_us,
+)
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+WEEK_US = 7 * DAY_US
+
+_STRATA = {"click": 0.1, "view": 0.1, "error": 0.5, "purchase": 1.0, "signup": 0.25}
+_SALT = "s5"
+_RSALT = "r5"
+
+
+def _events_us(t):
+    return t["events"].select(
+        "event_id", "user_id", ts_us().alias("ts_us"), "event_type", "value"
+    )
+
+
+@register(
+    "asof_last_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           p.ts_us AS last_purchase_ts_us,
+           p.value AS last_purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+    doc="Point-in-time (as-of) join: each click gets the user's most recent "
+    "prior-or-simultaneous purchase. Spark side: operators/temporal.asof_join "
+    "(tag → union → last(ignorenulls) over a per-key window) — ONE shuffle on "
+    "user_id, no per-key cross join; oracle is DuckDB's native ASOF LEFT "
+    "JOIN, an independent algorithm. The ClickHouse serving layer exposes "
+    "the same operator as ASOF JOIN to consumers of the reference's tables.",
+    tags=("analytics", "temporal"),
+)
+def q_asof_last_purchase(spark, t):
+    e = _events_us(t)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_cols=["value"],
+        tiebreak="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("matched_ts").alias("last_purchase_ts_us"),
+        F.col("matched_value").alias("last_purchase_value"),
+    )
+
+
+@register(
+    "range_join_1h_windows",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS interval_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + {HOUR_US} AS end_us
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT epoch_us(ts) AS ts_us, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    )
+    SELECT p.interval_id, count(*) AS n_events,
+           CAST(sum(e.v) AS DOUBLE) AS sum_value
+    FROM p JOIN e ON e.ts_us >= p.start_us AND e.ts_us < p.end_us
+    GROUP BY p.interval_id
+    """,
+    doc="Interval join (events within the hour after each purchase) via the "
+    "bin-and-equi-join rewrite (operators/temporal.range_join_binned): "
+    "intervals explode into covered hour-bins, events hash to one bin, then "
+    "a plain shuffled equi-join + exact range filter — the plan has NO "
+    "BroadcastNestedLoopJoin (guarded in tests/test_temporal.py), where a "
+    "naive inequality join would be O(|L|x|R|). Oracle: DuckDB IEJoin on "
+    "the raw inequality.",
+    tags=("analytics", "temporal"),
+)
+def q_range_join_1h_windows(spark, t):
+    e = _events_us(t).select("ts_us", dec("value", D18_6).alias("v"))
+    iv = (
+        _events_us(t)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts_us").alias("start_us"),
+            (F.col("ts_us") + HOUR_US).alias("end_us"),
+        )
+    )
+    joined = range_join_binned(
+        e, "ts_us", iv, "start_us", "end_us", bin_width_us=HOUR_US
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        as_double(F.sum("v")).alias("sum_value"),
+    )
+
+
+@register(
+    "hypertable_rollup_1h1d1w",
+    oracle=f"""
+    SELECT 'hour' AS resolution,
+           (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS bucket_us, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', (epoch_us(ts) // {DAY_US}) * {DAY_US}, event_type,
+           count(*), CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', (epoch_us(ts) // {WEEK_US}) * {WEEK_US}, event_type,
+           count(*), CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+    doc="Multi-resolution continuous aggregate (hour/day/week x event_type) "
+    "computed HIERARCHICALLY (operators/temporal.hypertable_rollup): raw "
+    "rows shuffle once into hour buckets; day re-aggregates hour's output, "
+    "week re-aggregates day's — at 100 TB the coarser levels touch ~1/3600th "
+    "of the data. Decimal sums keep the hierarchical path bit-equal to the "
+    "oracle's direct per-resolution aggregation (TimescaleDB "
+    "continuous-aggregate / ClickHouse materialized-view-cascade shape).",
+    tags=("analytics", "temporal"),
+)
+def q_hypertable_rollup(spark, t):
+    e = _events_us(t).select("ts_us", "event_type", dec("value", D18_6).alias("v"))
+    return hypertable_rollup(
+        e,
+        "ts_us",
+        ["event_type"],
+        F.col("v"),
+        [("hour", HOUR_US), ("day", DAY_US), ("week", WEEK_US)],
+    )
+
+
+def _strata_sql_pred(key_sql: str, stratum_sql: str, salt: str) -> str:
+    parts = []
+    for stratum, frac in _STRATA.items():
+        if frac >= 1.0:
+            parts.append(f"{stratum_sql} = '{stratum}'")
+        else:
+            thr = fraction_to_hex_threshold(frac)
+            parts.append(
+                f"({stratum_sql} = '{stratum}' AND "
+                f"substr(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 8) < '{thr}')"
+            )
+    return " OR ".join(parts)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_strata_sql_pred("event_id", "event_type", _SALT)}
+    """,
+    doc="Deterministic per-class Bernoulli sampling by md5-prefix threshold "
+    "(operators/sampling.hash_fraction_sample): downsample dominant classes "
+    "(click/view 10%), keep rare ones (purchase 100%) — corpus rebalancing. "
+    "Map-only: zero shuffle (guarded in tests), reproducible across runs, "
+    "engines, and partitionings; md5 is bit-identical in Spark and DuckDB.",
+    tags=("llm", "sampling"),
+)
+def q_sample_stratified(spark, t):
+    return hash_fraction_sample(
+        t["events"],
+        key_col="event_id",
+        salt=_SALT,
+        fractions=_STRATA,
+        stratum_col="event_type",
+    ).select("event_id", "event_type")
+
+
+@register(
+    "sample_reservoir",
+    oracle=f"""
+    SELECT event_type, event_id, sample_rank FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY substr(md5('{_RSALT}' || CAST(event_id AS VARCHAR)), 1, 8),
+                        event_id
+             ) AS sample_rank
+      FROM events
+    ) WHERE sample_rank <= 20
+    """,
+    doc="Deterministic k-per-group sample (k=20 per event_type) as top-k by "
+    "hash order (operators/sampling.reservoir_per_group) — a seeded "
+    "reservoir's distribution with exact reproducibility. One shuffle on "
+    "the group key; shuffle volume bounded by k x partitions per group "
+    "when pre-ranked per partition.",
+    tags=("llm", "sampling"),
+)
+def q_sample_reservoir(spark, t):
+    return reservoir_per_group(
+        t["events"].select("event_type", "event_id"),
+        group_col="event_type",
+        key_col="event_id",
+        salt=_RSALT,
+        k=20,
+    ).select("event_type", "event_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+@register(
+    "window_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.t1, c.t2, p.t3,
+           CASE
+             WHEN p.t3 IS NOT NULL AND p.t3 - s.t1 <= {7 * DAY_US}
+                  AND c.t2 - s.t1 <= {7 * DAY_US} THEN 3
+             WHEN c.t2 IS NOT NULL AND c.t2 - s.t1 <= {7 * DAY_US} THEN 2
+             ELSE 1
+           END AS level
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    doc="Greedy 3-stage funnel (signup -> first later click -> first later "
+    "purchase, 7-day window) — the ClickHouse windowFunnel() shape the "
+    "reference's serving DB offers (greedy first-match chain, documented "
+    "deviation: windowFunnel searches all chains). Spark side: three keyed "
+    "aggregations + left joins on user_id; each stage's input shrinks, AQE "
+    "co-partitions the joins.",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel(spark, t):
+    e = _events_us(t).select("user_id", "ts_us", "event_type")
+    win = 7 * DAY_US
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.when(
+                F.col("t3").isNotNull()
+                & (F.col("t3") - F.col("t1") <= win)
+                & (F.col("t2") - F.col("t1") <= win),
+                F.lit(3),
+            )
+            .when(
+                F.col("t2").isNotNull() & (F.col("t2") - F.col("t1") <= win),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("level"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) // {DAY_US} AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), a AS (
+      SELECT e.user_id, s.cohort_day,
+             (epoch_us(e.ts) // {DAY_US}) - s.cohort_day AS dd
+      FROM events e JOIN s ON e.user_id = s.user_id
+    )
+    SELECT cohort_day, count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN dd = 1 THEN user_id END) AS d1_users,
+           count(DISTINCT CASE WHEN dd = 3 THEN user_id END) AS d3_users,
+           count(DISTINCT CASE WHEN dd = 7 THEN user_id END) AS d7_users
+    FROM a GROUP BY cohort_day
+    """,
+    doc="Cohort retention (ClickHouse retention() shape): users grouped by "
+    "first-signup day; distinct actives at day +1/+3/+7. Spark side: one "
+    "keyed join (signup day broadcast-sized per user) + one aggregation "
+    "with multiple conditional count-distincts (Expand-based, single "
+    "logical shuffle).",
+    tags=("analytics", "behavioral"),
+)
+def q_retention_cohorts(spark, t):
+    e = _events_us(t).select("user_id", "ts_us")
+    s = (
+        _events_us(t)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.expr(f"min(ts_us) DIV {DAY_US}").alias("cohort_day"))
+    )
+    a = e.join(s, "user_id").select(
+        "user_id",
+        "cohort_day",
+        (F.expr(f"ts_us DIV {DAY_US}") - F.col("cohort_day")).alias("dd"),
+    )
+    return a.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("dd") == 1, F.col("user_id"))).alias("d1_users"),
+        F.countDistinct(F.when(F.col("dd") == 3, F.col("user_id"))).alias("d3_users"),
+        F.countDistinct(F.when(F.col("dd") == 7, F.col("user_id"))).alias("d7_users"),
+    )
