@@ -46,6 +46,10 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    # catalog-6 temporal operators (round 5): custom join/rollup plans
+    "asof_last_purchase",
+    "range_join_1h_windows",
+    "hypertable_rollup_1h1d1w",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
