@@ -37,6 +37,10 @@ PROBE_QUERIES = [
     "q18_large_volume_customers",
     "daily_counts",
     "dedup_lsh_pairs",
+    # temporal operators (round 5): union+window as-of, bin-explode
+    # interval join — both must stay ~O(n) or the rewrite has degenerated
+    "asof_last_purchase",
+    "range_join_1h_windows",
 ]
 
 
@@ -70,8 +74,13 @@ def scaled_tables(spark, base: dict, k: int) -> dict:
         base["events"]
         .crossJoin(rep())
         .withColumn("event_id", F.col("event_id") + F.col("_r") * okey_span)
-        # shift replicas one day apart so time-bucket groups also grow
-        .withColumn("ts", F.col("ts") + F.col("_r") * F.lit(86_400_000_000_000))
+        # shift replicas past the base span (~30 days) so their time ranges
+        # are DISJOINT: the scaled workload is "k× more history at the same
+        # event density", and time-bucket groups grow k×. (A sub-span shift
+        # would instead densify the same window — interval-join and as-of
+        # outputs would then grow ~k² by construction, measuring a different
+        # workload than data growth.)
+        .withColumn("ts", F.col("ts") + F.col("_r") * F.lit(40 * 86_400_000_000_000))
         .drop("_r")
     )
     t["documents"] = (
