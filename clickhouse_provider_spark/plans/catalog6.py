@@ -383,3 +383,120 @@ def q_retention_cohorts(spark, t):
         F.countDistinct(F.when(F.col("dd") == 3, F.col("user_id"))).alias("d3_users"),
         F.countDistinct(F.when(F.col("dd") == 7, F.col("user_id"))).alias("d7_users"),
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           value,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER w AS valid_to_us
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    doc="SCD-2 dimension builder: each user's purchase-value history as "
+    "versioned validity intervals (valid_to = next change's ts, NULL for "
+    "the open current row) via lead() — the warehouse pattern that turns "
+    "a change stream into a point-in-time-joinable dimension (the as-of "
+    "join and the binned range join both consume this shape). One shuffle "
+    "on user_id; windows stream within partitions.",
+    tags=("analytics", "temporal"),
+)
+def q_scd2_intervals(spark, t):
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        _events_us(t)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts_us", "value")
+        .select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            "value",
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w).alias("valid_to_us"),
+        )
+    )
+
+
+@register(
+    "sliding_event_counts",
+    oracle=f"""
+    SELECT ((epoch_us(ts) // {HOUR_US // 4}) - t.k) * {HOUR_US // 4} AS window_start_us,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) t
+    WHERE epoch_us(ts) < ((epoch_us(ts) // {HOUR_US // 4}) - t.k) * {HOUR_US // 4} + {HOUR_US}
+      AND ((epoch_us(ts) // {HOUR_US // 4}) - t.k) >= 0
+    GROUP BY 1, 2
+    """,
+    doc="Sliding (hopping) windows: 1-hour windows every 15 minutes per "
+    "event_type, via Spark's native window(slideDuration) — each event "
+    "expands to len/slide=4 epoch-aligned windows before a single "
+    "aggregation shuffle (the Expand shape streaming uses for hopping "
+    "windows; batch twin of streaming/windows.py). Oracle derives the "
+    "same 4 aligned windows per event with a range(4) cross join.",
+    tags=("analytics", "temporal", "streaming-analog"),
+)
+def q_sliding_event_counts(spark, t):
+    e = _events_us(t).withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    return (
+        e.groupBy(F.window("event_time", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "token_budget_selection",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+    doc="Token-budget corpus selection: per source domain, take documents "
+    "in priority order (longest first, doc_id tiebreak) until the "
+    "cumulative whitespace-token count hits the 800-token budget — the mixing "
+    "step that caps each domain's contribution to a training corpus. "
+    "Exact-integer running sum over one window shuffle on source; at "
+    "100 TB the priority order comes from a quality score and the budget "
+    "per domain from the mixture weights, same plan.",
+    tags=("llm", "curation"),
+)
+def q_token_budget_selection(spark, t):
+    from pyspark.sql.window import Window as W
+
+    d = t["documents"].select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
