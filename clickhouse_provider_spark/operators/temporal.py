@@ -237,3 +237,65 @@ def hypertable_rollup(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def funnel_levels(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    stage_conds: Sequence[Column],
+    window_us: int,
+) -> DataFrame:
+    """EXACT N-stage funnel (ClickHouse ``windowFunnel`` semantics, default
+    mode): per key, the highest stage k such that SOME chain of events
+    e1 ≤ e2 ≤ ... ≤ ek (row order: ``ts`` then ``order_col``) matches the
+    stage conditions with ``ts(ek) - ts(e1) <= window_us``.
+
+    Not greedy: rather than chaining from the earliest stage-1 event (which
+    misses chains a later stage-1 event would enable), compute per event
+    the OPTIMAL chain start via composed window maxima —
+
+        start_1(e) = max ts over stage-1 rows ≤ e
+        start_k(e) = max start_{k-1} over stage-k-1... rows ≤ e
+
+    ``start_{k-1}`` is monotone non-decreasing in row order, so the max
+    over stage-(k-1) rows ≤ e IS the chain with the latest possible start
+    among chains of length k-1 ending at-or-before e; a chain ending at a
+    stage-k event e fits the window iff ``ts(e) - start_{k-1}(e) <=
+    window_us``. One shuffle on the key; N-1 window columns over the same
+    sorted partition (a single Window exec, no extra exchanges).
+
+    Returns (key, level) — level in [1, N] for keys with at least one
+    stage-1 event; keys with none are absent.
+    """
+    n = len(stage_conds)
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts, order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    df = events
+    prev = F.when(stage_conds[0], F.col(ts))
+    df = df.withColumn("__start_1", F.max(prev).over(w))
+    for k in range(2, n + 1):
+        carried = F.when(stage_conds[k - 1], F.col(f"__start_{k - 1}"))
+        df = df.withColumn(f"__start_{k}", F.max(carried).over(w))
+    # __start_k at a stage-k row e is the best chain start; levels:
+    reached = [
+        F.max(
+            F.when(
+                stage_conds[k - 1]
+                & (F.col(ts) - F.col(f"__start_{k}") <= F.lit(window_us)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias(f"__r_{k}")
+        for k in range(1, n + 1)
+    ]
+    agg = df.groupBy(key).agg(*reached)
+    level = F.lit(0)
+    for k in range(1, n + 1):
+        level = F.when(F.col(f"__r_{k}") == 1, F.lit(k)).otherwise(level)
+    return agg.select(key, level.cast("int").alias("level")).filter(
+        F.col("level") >= 1
+    )

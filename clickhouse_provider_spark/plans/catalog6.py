@@ -500,3 +500,62 @@ def q_token_budget_selection(spark, t):
         .filter(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@register(
+    "window_funnel_exact",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), s1 AS (
+      SELECT *, max(CASE WHEN event_type = 'signup' THEN ts_us END) OVER w AS start_1
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' THEN start_1 END) OVER w AS start_2
+      FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+      SELECT *, max(CASE WHEN event_type = 'purchase' THEN start_2 END) OVER w AS start_3
+      FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'signup'
+                  AND ts_us - start_1 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN event_type = 'click'
+                  AND ts_us - start_2 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r2,
+        max(CASE WHEN event_type = 'purchase'
+                  AND ts_us - start_3 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN r3 = 1 THEN 3 WHEN r2 = 1 THEN 2 ELSE 1 END AS INT) AS level
+    FROM r WHERE r1 = 1 OR r2 = 1 OR r3 = 1
+    """,
+    doc="EXACT windowFunnel (signup -> click -> purchase, 7-day window): "
+    "unlike the greedy `window_funnel` entry (documented deviation: "
+    "earliest-event chaining misses chains a later start enables), "
+    "operators/temporal.funnel_levels computes per event the OPTIMAL "
+    "chain start via composed window maxima — start_k is monotone in row "
+    "order, so 'latest stage-(k-1) chain start at-or-before e' is one "
+    "max-window column per stage. ClickHouse windowFunnel default-mode "
+    "semantics, one shuffle on user_id, N-1 window columns over one sort.",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel_exact(spark, t):
+    e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
+    from clickhouse_provider_spark.operators.temporal import funnel_levels
+
+    return funnel_levels(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_us=7 * DAY_US,
+    )

@@ -232,3 +232,51 @@ class TestSampling:
     def test_reservoir_k_exceeds_group(self, spark):
         df = spark.range(3).select(F.col("id").alias("k"), F.lit("g").alias("g"))
         assert reservoir_per_group(df, "g", "k", "rs", 10).count() == 3
+
+
+class TestFunnelLevels:
+    def _run(self, spark, rows, window_us):
+        from pyspark.sql import Row
+        from clickhouse_provider_spark.operators.temporal import funnel_levels
+
+        df = spark.createDataFrame(
+            [Row(u=u, eid=i, ts=ts, et=et) for i, (u, ts, et) in enumerate(rows)]
+        )
+        out = funnel_levels(
+            df,
+            key="u",
+            ts="ts",
+            order_col="eid",
+            stage_conds=[F.col("et") == "s", F.col("et") == "c", F.col("et") == "p"],
+            window_us=window_us,
+        )
+        return {r["u"]: r["level"] for r in out.collect()}
+
+    def test_exact_beats_greedy(self, spark):
+        # greedy chains from the EARLIEST signup (ts=0) and concludes the
+        # purchase at ts=1000 is out of window; the exact semantics find
+        # the chain (950, 960, 1000) within window=100
+        rows = [
+            (1, 0, "s"), (1, 10, "c"), (1, 950, "s"), (1, 960, "c"), (1, 1000, "p"),
+        ]
+        assert self._run(spark, rows, 100)[1] == 3
+
+    def test_out_of_window_stops_at_reached_level(self, spark):
+        rows = [(1, 0, "s"), (1, 50, "c"), (1, 1000, "p")]
+        assert self._run(spark, rows, 100)[1] == 2  # purchase too late
+
+    def test_order_matters(self, spark):
+        # purchase BEFORE any click: no s<=c<=p chain
+        rows = [(1, 0, "s"), (1, 10, "p"), (1, 20, "c")]
+        assert self._run(spark, rows, 100)[1] == 2
+
+    def test_no_stage1_absent(self, spark):
+        rows = [(1, 0, "c"), (1, 10, "p")]
+        assert self._run(spark, rows, 100) == {}
+
+    def test_matches_oracle_semantics_on_catalog_entry(self, spark, tables, duck):
+        from tools.parity import compare
+
+        sdf = CATALOG["window_funnel_exact"].build(spark, tables).toPandas()
+        odf = duck.execute(CATALOG["window_funnel_exact"].oracle).df()
+        assert not compare(sdf, odf)
