@@ -228,3 +228,99 @@ def q_multimodal_feature_stats(spark, t):
     return multimodal.extract_features(media).select(
         "media_id", "n_bytes", "histogram"
     )
+
+
+@register(
+    "similarity_pq_topk",
+    # PQ twin of similarity_ivf_topk's oracle stance: seeded md5-ranked
+    # codebooks (no k-means refinement in the oracle-checked form), min-L2
+    # assignment written as dot(v,v) - 2*dot(v,c) + dot(c,c) in BOTH
+    # engines (identical float-op order), ADC sum in fixed subspace order
+    # p0+p1+...+p15 (never an unordered SUM over doubles). 16 subspaces x
+    # 32 codewords, ADC top-50 window re-ranked by true cosine to top-10.
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    r AS (SELECT vec_id, e, md5('pq|' || CAST(vec_id AS VARCHAR)) AS _r FROM v),
+    cw AS (
+      SELECT row_number() OVER (ORDER BY _r) - 1 AS code, e
+      FROM r ORDER BY _r LIMIT 32
+    ),
+    subs AS (SELECT unnest(range(16)) AS sub_id),
+    cbs AS (
+      SELECT s.sub_id, c.code,
+             list_slice(c.e, s.sub_id * 4 + 1, (s.sub_id + 1) * 4) AS cwv
+      FROM cw c CROSS JOIN subs s
+    ),
+    vs AS (
+      SELECT vec_id, s.sub_id,
+             list_slice(e, s.sub_id * 4 + 1, (s.sub_id + 1) * 4) AS sv
+      FROM v CROSS JOIN subs s
+    ),
+    assigned AS (
+      SELECT vec_id, sub_id, code FROM (
+        SELECT vs.vec_id, vs.sub_id, cbs.code,
+               row_number() OVER (
+                 PARTITION BY vs.vec_id, vs.sub_id
+                 ORDER BY (list_dot_product(vs.sv, vs.sv)
+                           - 2 * list_dot_product(vs.sv, cbs.cwv)
+                           + list_dot_product(cbs.cwv, cbs.cwv)) ASC, cbs.code
+               ) AS rn
+        FROM vs JOIN cbs ON vs.sub_id = cbs.sub_id
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT sub_id, sv AS qv FROM vs WHERE vec_id = 0),
+    partials AS (
+      SELECT cbs.sub_id, cbs.code, list_dot_product(q.qv, cbs.cwv) AS pd
+      FROM cbs JOIN q ON cbs.sub_id = q.sub_id
+    ),
+    scores AS (
+      SELECT a.vec_id,
+             sum(CASE WHEN a.sub_id = 0 THEN p.pd END) AS p0,
+             sum(CASE WHEN a.sub_id = 1 THEN p.pd END) AS p1,
+             sum(CASE WHEN a.sub_id = 2 THEN p.pd END) AS p2,
+             sum(CASE WHEN a.sub_id = 3 THEN p.pd END) AS p3,
+             sum(CASE WHEN a.sub_id = 4 THEN p.pd END) AS p4,
+             sum(CASE WHEN a.sub_id = 5 THEN p.pd END) AS p5,
+             sum(CASE WHEN a.sub_id = 6 THEN p.pd END) AS p6,
+             sum(CASE WHEN a.sub_id = 7 THEN p.pd END) AS p7,
+             sum(CASE WHEN a.sub_id = 8 THEN p.pd END) AS p8,
+             sum(CASE WHEN a.sub_id = 9 THEN p.pd END) AS p9,
+             sum(CASE WHEN a.sub_id = 10 THEN p.pd END) AS p10,
+             sum(CASE WHEN a.sub_id = 11 THEN p.pd END) AS p11,
+             sum(CASE WHEN a.sub_id = 12 THEN p.pd END) AS p12,
+             sum(CASE WHEN a.sub_id = 13 THEN p.pd END) AS p13,
+             sum(CASE WHEN a.sub_id = 14 THEN p.pd END) AS p14,
+             sum(CASE WHEN a.sub_id = 15 THEN p.pd END) AS p15
+      FROM assigned a JOIN partials p ON a.sub_id = p.sub_id AND a.code = p.code
+      GROUP BY a.vec_id
+    ),
+    top AS (
+      SELECT vec_id, (p0 + p1 + p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9 + p10 + p11 + p12 + p13 + p14 + p15) AS approx_dot
+      FROM scores WHERE vec_id <> 0
+      ORDER BY approx_dot DESC, vec_id LIMIT 50
+    ),
+    qq AS (SELECT e AS qfull FROM v WHERE vec_id = 0)
+    SELECT t.vec_id, t.approx_dot,
+           list_dot_product(v.e, qq.qfull)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qq.qfull, qq.qfull)))
+             AS cos_sim
+    FROM top t JOIN v USING (vec_id) CROSS JOIN qq
+    ORDER BY cos_sim DESC, t.vec_id LIMIT 10
+    """,
+    doc="Product-quantization ANN top-k (similarity.pq_topk): 16 subspaces "
+    "x 32 seeded codewords; candidates are scanned as 16 small ints per "
+    "vector (16x memory compression vs raw floats, 26x with 5-bit "
+    "packing) and scored by ADC — per-subspace dot(query_slice, codeword) "
+    "lookups in a broadcast 512-row table, summed in fixed order — then "
+    "the ADC top-50 window re-ranked by TRUE cosine to the final 10 "
+    "(recall dial; true top-10 fully inside the window on this corpus). "
+    "The memory-compression half of FAISS-style IVF-PQ (compose with "
+    "ivf_assignments for the partition-pruning half). Codebook/encode "
+    "plan: broadcast codebooks, map-side argmin per (vector, subspace).",
+    tags=("llm", "similarity"),
+)
+def q_similarity_pq_topk(spark, t):
+    from clickhouse_provider_spark.operators import similarity
+
+    return similarity.pq_topk(t["embeddings"], query_vec_id=0, k=10)

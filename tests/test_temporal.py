@@ -280,3 +280,11 @@ class TestFunnelLevels:
         sdf = CATALOG["window_funnel_exact"].build(spark, tables).toPandas()
         odf = duck.execute(CATALOG["window_funnel_exact"].oracle).df()
         assert not compare(sdf, odf)
+
+    def test_single_shuffle_plan(self, spark, tables):
+        # the exact funnel is not just more correct than the greedy
+        # 3-join form — it's cheaper: one exchange on user_id + window
+        # columns, no joins at all
+        plan = CATALOG["window_funnel_exact"].build(spark, tables)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
