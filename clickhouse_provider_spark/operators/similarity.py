@@ -635,3 +635,125 @@ def pq_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfpq_write_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 3,
+    n_sub: int = 16,
+    n_codes: int = 32,
+    sub_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed FAISS-style IVF-PQ index: coarse cells AS
+    the partition layout (pruning half) + PQ codes AS the row payload
+    (compression half). The main index table is ``(vec_id, codes[],
+    cell_id=partition)`` — NO vector column, so the candidate scan reads
+    n_sub small ints per row instead of dim floats. Sidecars (underscore
+    prefix, invisible to partition discovery): ``_centroids`` (n_cells
+    rows), ``_codebooks`` (n_sub x n_codes rows), ``_vectors`` (full
+    vectors, touched only to re-rank the final window).
+    """
+    import os
+
+    cents = ivf_train_centroids(emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cbs = pq_codebooks(
+        emb, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)
+    codes_arr = (
+        pq_encode(emb, cbs, n_sub=n_sub, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code"))).alias("sc"))
+        .select(id_col, F.transform("sc", lambda s: s["code"]).alias("codes"))
+    )
+    assigned = _argmax_cell(emb, cents, id_col, vec_col).select(id_col, "cell_id")
+    (
+        assigned.join(codes_arr, id_col)
+        .write.partitionBy("cell_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
+    cbs.write.mode("overwrite").parquet(os.path.join(path, "_codebooks"))
+    emb.select(id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "_vectors")
+    )
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    n_sub: int = 16,
+    sub_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a materialized IVF-PQ index: probe ``nprobe``
+    cells (partition-directory pruning), ADC-score their CODES against a
+    broadcast per-(subspace, code) partial-dot table, re-rank the top
+    ``rerank`` window with true cosine from ``_vectors``, return ``k``.
+
+    Driver-side steps are O(n_cells) + O(n_sub x n_codes): the centroid
+    read for probe selection and nothing else — codes, partials, and
+    vectors all stay distributed.
+    """
+    import os
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    probes = [
+        r["cell_id"]
+        for r in cents.select("cell_id", cosine(F.col("centroid"), q).alias("c"))
+        .orderBy(F.col("c").desc(), "cell_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    qsubs = spark.createDataFrame(
+        [
+            (s, [float(x) for x in query_vec[s * sub_dim : (s + 1) * sub_dim]])
+            for s in range(n_sub)
+        ],
+        "sub_id int, qv array<double>",
+    )
+    partials = (
+        spark.read.parquet(os.path.join(path, "_codebooks"))
+        .join(F.broadcast(qsubs), "sub_id")
+        .select("sub_id", "code", dot(F.col("qv"), F.col("codeword")).alias("pd"))
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(probes))
+    per_sub = [
+        F.sum(F.when(F.col("sub_id") == s, F.col("pd"))).alias(f"p{s}")
+        for s in range(n_sub)
+    ]
+    approx = (
+        idx.select(id_col, F.posexplode("codes").alias("sub_id", "code"))
+        .join(F.broadcast(partials), ["sub_id", "code"])
+        .groupBy(id_col)
+        .agg(*per_sub)
+    )
+    adc = F.col("p0")
+    for s in range(1, n_sub):
+        adc = adc + F.col(f"p{s}")
+    window = (
+        approx.select(F.col(id_col), adc.alias("approx_dot"))
+        .orderBy(F.col("approx_dot").desc(), F.col(id_col))
+        .limit(rerank)
+    )
+    vecs = spark.read.parquet(os.path.join(path, "_vectors"))
+    return (
+        window.join(vecs, id_col)
+        .select(
+            F.col(id_col),
+            "approx_dot",
+            cosine(F.col(vec_col), q).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -449,3 +449,38 @@ def test_pq_topk_recall_and_exact_rerank(spark, tables):
     for r in pq:
         assert r["cos_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-12)
     assert len({r["vec_id"] for r in pq} & set(exact_top10)) / 10 >= 0.6
+
+
+def test_ivfpq_index_layout_and_query(spark, tables, tmp_path):
+    """The composed IVF-PQ index: the main table stores codes (no vector
+    column — the compression claim is structural), queries prune to the
+    probed cell partitions, hits carry exact cosines, and a full-probe
+    full-window query recovers the exact brute-force top-k."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "ivfpq")
+    emb = tables["embeddings"]
+    similarity.ivfpq_write_index(emb, path, n_cells=4, iters=1)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    # structural: index rows are (vec_id, codes, cell_id) only
+    idx_schema = set(spark.read.parquet(path).columns)
+    assert idx_schema == {"vec_id", "codes", "cell_id"}
+    # partition pruning reaches the scan
+    res = similarity.ivfpq_query_index(spark, path, qv, k=10, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell_id" in plan.replace("#", "").replace(" ", " ") or "cell_id IN" in plan
+    rows = res.collect()
+    assert 0 < len(rows) <= 10
+    exact = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.cosine_topk(emb, 0, k=500).collect()
+    }
+    for r in rows:
+        if r["vec_id"] != 0:
+            assert r["cos_sim"] == pytest.approx(exact[r["vec_id"]], abs=1e-12)
+    # full probe + full window (minus the query vector itself) == exact top-k
+    n = emb.count()
+    full = similarity.ivfpq_query_index(spark, path, qv, k=11, nprobe=4, rerank=n)
+    got = [r["vec_id"] for r in full.collect() if r["vec_id"] != 0][:10]
+    want = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()]
+    assert got == want
