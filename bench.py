@@ -50,6 +50,9 @@ HEADLINE = [
     "asof_last_purchase",
     "range_join_1h_windows",
     "hypertable_rollup_1h1d1w",
+    # round-5 flagships: single-shuffle exact funnel, PQ ANN (ADC + rerank)
+    "window_funnel_exact",
+    "similarity_pq_topk",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
