@@ -148,3 +148,35 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def frame_slices(
+    media: DataFrame, stride: int = 256, frame_bytes: int = 64
+) -> DataFrame:
+    """Byte-level frame sampler over opaque blobs: one row per sampled
+    frame, sliced JVM-side with binary ``substr`` — the container-level
+    step of video/audio frame extraction (seek to offset, hand a small
+    window to the codec). The expensive decode stays downstream (plug the
+    sliced frame into ``extract_features``' decoder); this stage is pure
+    codegen: sequence+explode fan-out, byte slice, fixed-width digests —
+    zero Python, zero shuffles.
+
+    Offsets run 0, stride, … through ``octet_length(content)`` inclusive
+    (a final empty tail frame marks end-of-stream, mirroring a demuxer's
+    EOF sentinel). Emits per-frame byte count and md5-of-hex digest —
+    both exactly reproducible from the blob's hex encoding by the DuckDB
+    oracle (no float math anywhere).
+    """
+    n = F.octet_length("content")
+    frames = media.select(
+        "media_id",
+        F.col("content"),
+        F.explode(F.sequence(F.lit(0), n, F.lit(stride))).alias("frame_off"),
+    )
+    frame = F.expr(f"substr(content, frame_off + 1, {frame_bytes})")
+    return frames.select(
+        "media_id",
+        F.col("frame_off").cast("long").alias("frame_off"),
+        F.octet_length(frame).cast("long").alias("frame_n_bytes"),
+        F.md5(F.hex(frame)).alias("frame_md5"),
+    )

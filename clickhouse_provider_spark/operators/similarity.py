@@ -774,3 +774,38 @@ def ivfpq_query_index(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth path
+    for embedding columns at corpus scale (4x smaller than float32, 8x
+    smaller than the float64 compute form; ADC/dot kernels consume the
+    codes directly).
+
+    ``scale = max(|x|)``; ``code = floor(x * 127 / scale + 0.5)`` (round
+    half toward +inf, written out as floor(+0.5) so both engines — and the
+    DuckDB oracle — evaluate the identical IEEE expression; a zero vector
+    quantizes to all-zero codes). Emits the codes plus exact integer
+    summaries (sum/min/max) — codes are integers in [-127, 127], so their
+    sums are order-independent in double math.
+
+    Map-only codegen over the scan: zero shuffles at any corpus size.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs))
+    code = lambda x: F.when(  # noqa: E731
+        scale > 0, F.floor(x * F.lit(127.0) / scale + F.lit(0.5))
+    ).otherwise(F.lit(0)).cast("long")
+    codes = F.transform(e, code)
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        codes.alias("codes"),
+    )

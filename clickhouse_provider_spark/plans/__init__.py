@@ -24,7 +24,7 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
 #: Entries broken by the round-4 testdata re-encode, repaired in round 5 —
 #: they lead the official window to get fresh greens.

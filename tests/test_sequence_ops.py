@@ -1,0 +1,116 @@
+"""Edge semantics for the ordered-sequence operators (catalog batch 7):
+tie ordering, non-overlapping counts, argMax total order, quantization
+edges, frame-slice boundaries — pinned on tiny hand-built frames so the
+oracle-parity test can't silently agree on the easy cases only."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import multimodal, similarity
+from clickhouse_provider_spark.operators.sequence import (
+    argmax_by_key,
+    event_tag_strings,
+    sequence_count,
+    sequence_match,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string, value double"
+    )
+
+
+def test_tag_string_orders_by_ts_then_tag(spark):
+    # same-ts events must order by tag — deterministic under any shuffle
+    df = _events(
+        spark,
+        [(1, 10, "view", 0.0), (1, 10, "click", 0.0), (1, 5, "signup", 0.0)],
+    )
+    seqs = event_tag_strings(df).collect()
+    assert seqs[0]["seq"] == "scv"  # signup first (ts=5), then c<v at ts=10
+
+
+def test_sequence_match_is_subsequence_not_adjacency(spark):
+    df = _events(
+        spark,
+        [(1, i, t, 0.0) for i, t in enumerate(["view", "error", "click", "error", "purchase"])],
+    )
+    out = sequence_match(event_tag_strings(df), "v.*c.*p").collect()
+    assert out[0]["seq_matched"] is True
+
+
+def test_sequence_count_non_overlapping(spark):
+    # c p c p  -> 2 chains; c c p -> 1 chain (greedy left-to-right)
+    rows = [(1, i, t, 0.0) for i, t in enumerate(["click", "purchase", "click", "purchase"])]
+    rows += [(2, i, t, 0.0) for i, t in enumerate(["click", "click", "purchase"])]
+    df = _events(spark, rows)
+    out = {
+        r["user_id"]: r["chain_count"]
+        for r in sequence_count(event_tag_strings(df), "c[^p]*p").collect()
+    }
+    assert out == {1: 2, 2: 1}
+
+
+def test_argmax_total_order_on_ts_tie(spark):
+    # two rows tie on ts: the (event_type, value) tail breaks the tie the
+    # same way on every run/partitioning
+    df = _events(
+        spark, [(1, 10, "view", 2.0), (1, 10, "view", 9.0), (1, 3, "click", 1.0)]
+    )
+    r = argmax_by_key(df, "user_id", ["ts_us", "event_type", "value"]).collect()[0]
+    assert (r["last_ts_us"], r["last_event_type"], r["last_value"]) == (10, "view", 9.0)
+    assert (r["first_ts_us"], r["first_event_type"]) == (3, "click")
+
+
+def test_quantize_int8_edges(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, -1.0]), (2, [0.5, -0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    assert rows[0]["codes"] == [0, 0] and rows[0]["scale"] == 0.0  # zero vec
+    assert rows[1]["codes"] == [127, -127]  # floor(-127 + 0.5) = -127
+    assert rows[2]["codes"] == [127, -63]  # scale=0.5: floor(-63.5 + 0.5) = -63
+    assert rows[1]["code_min"] >= -127 and rows[1]["code_max"] <= 127
+
+
+def test_quantize_int8_rounding_matches_formula(spark):
+    # pin the exact floor(x*127/scale + 0.5) convention (half toward +inf)
+    import math
+
+    vec = [1.0, -1.0, 0.5, -0.25, 0.003]
+    emb = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = similarity.quantize_int8(emb).collect()[0]
+    scale = max(abs(float(x)) for x in vec)
+    expect = [math.floor(float(x) * 127.0 / scale + 0.5) for x in vec]
+    assert row["codes"] == expect
+
+
+def test_frame_slices_boundaries(spark):
+    # 300-byte blob, stride 256, frame 64: offsets 0 (full 64), 256 (44-byte
+    # tail) — and NO empty frame since 300 is off-grid
+    media = spark.createDataFrame(
+        [(1, b"x" * 300)], "media_id long, content binary"
+    )
+    out = {r["frame_off"]: r for r in multimodal.frame_slices(media).collect()}
+    assert set(out) == {0, 256}
+    assert out[0]["frame_n_bytes"] == 64
+    assert out[256]["frame_n_bytes"] == 44
+    # exact multiple: final empty EOF frame IS emitted
+    media2 = spark.createDataFrame([(2, b"y" * 256)], "media_id long, content binary")
+    out2 = {r["frame_off"]: r["frame_n_bytes"] for r in multimodal.frame_slices(media2).collect()}
+    assert out2 == {0: 64, 256: 0}
+
+
+def test_sequence_and_quantize_plans_stay_jvm_side(spark, tables):
+    from clickhouse_provider_spark.plans import CATALOG
+
+    for name in ("seq_match_user_paths", "argmax_latest_event",
+                 "embedding_quantize_int8", "multimodal_frame_sample",
+                 "pii_scrub_props"):
+        plan = CATALOG[name].build(spark, tables)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+        # map-only entries must not shuffle at all
+        if name in ("embedding_quantize_int8", "multimodal_frame_sample", "pii_scrub_props"):
+            assert "Exchange" not in plan, name
