@@ -1,0 +1,134 @@
+"""Incremental MinHash-LSH dedup index — maintain the banded signature
+table on disk so corpus growth costs O(new docs), not O(corpus).
+
+At 100 TB, recomputing shingles+minhash for the whole corpus on every
+ingest batch is the scale-killer in naive dedup pipelines. The index
+stores one row per (doc, band): ``doc_id, band_hash, batch_id``,
+hive-partitioned by ``band_id`` (so a band-scoped probe prunes to 1/B of
+the index) and sorted by ``band_hash`` within files (row-group min/max
+then prunes within the band). Appending a batch computes signatures for
+the NEW docs only; candidate discovery joins the (small) new batch's
+band rows against the index — broadcastable whenever the ingest batch
+fits, so the historical index never shuffles.
+
+The same banding as :func:`dedup.lsh_candidate_pairs` (md5-slice
+minhashes, band concat), so incremental candidates provably equal the
+batch operator's candidates restricted to pairs touching new docs —
+pinned by test (tests/test_dedup_index.py).
+
+This is the dedup twin of ``similarity.ivf_write_index`` /
+``ivfpq_write_index`` (ANN side) and ``rollup.py`` (aggregate side):
+every expensive derived artifact in the engine has an incremental
+maintenance path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators.dedup import (
+    BAND_SIZE,
+    N_HASHES,
+    minhash_signatures,
+)
+
+
+def band_rows(
+    docs: DataFrame,
+    band_size: int = BAND_SIZE,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): the melted banded-signature relation
+    — one explode over the per-doc signature row."""
+    sig = minhash_signatures(docs, n_hashes=n_hashes)
+    n_bands = n_hashes // band_size
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_index_append(
+    docs: DataFrame, path: str, batch_id: int, **band_kwargs
+) -> None:
+    """Append one ingest batch's band rows to the index (batch 0 creates
+    it). Signature compute touches ONLY ``docs``; the write is an append
+    of new files under each band_id partition — existing files are never
+    rewritten, so concurrent readers stay consistent and the append cost
+    is O(new docs) regardless of index size."""
+    (
+        band_rows(docs, **band_kwargs)
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .repartition("band_id")
+        .sortWithinPartitions("band_hash")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(path)
+    )
+
+
+def lsh_new_candidates(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame:
+    """Candidate pairs introduced by ``batch_id``: every (doc_a < doc_b)
+    sharing a band where at least one side is from the new batch and the
+    other is not newer. Equals the full-corpus
+    ``dedup.lsh_candidate_pairs`` restricted to pairs touching the new
+    docs (given the index holds batches 0..batch_id).
+
+    Plan shape: the new side is one ingest batch — broadcast it; the
+    historical index is probed per (band_id, band_hash) with partition
+    pruning on band_id, and NEVER shuffles. Hot buckets cost m·n_new
+    pairs — the true output size, not incidental skew.
+    """
+    idx = spark.read.parquet(path)
+    new = idx.filter(F.col("batch_id") == int(batch_id))
+    seen = idx.filter(F.col("batch_id") <= int(batch_id))
+    pairs = (
+        F.broadcast(new.alias("n"))
+        .join(
+            seen.alias("s"),
+            (F.col("n.band_id") == F.col("s.band_id"))
+            & (F.col("n.band_hash") == F.col("s.band_hash"))
+            & (F.col("n.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "s.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def lsh_index_batches(spark: SparkSession, path: str) -> list[int]:
+    """Distinct batch ids present in the index (resume/monitoring)."""
+    if not os.path.exists(path):
+        return []
+    return [
+        r["batch_id"]
+        for r in spark.read.parquet(path)
+        .select("batch_id")
+        .distinct()
+        .orderBy("batch_id")
+        .collect()
+    ]

@@ -53,3 +53,28 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only until
+    the watermark passes it, then evicts — the stream form of the batch
+    ``dedup_exact`` operator and the ingest-time guard ClickHouse gets
+    from ReplacingMergeTree merges (reference README.md ReplacingMergeTree
+    DDL; our batch twin is storage.py's dedup-on-read).
+
+    Contract: duplicates arriving within the watermark delay of the first
+    occurrence are dropped; a duplicate arriving later than the delay MAY
+    be re-emitted (its fingerprint was evicted) — exactly the replay
+    window the reference absorbs with ReplacingMergeTree, so downstream
+    sinks still apply sort-key dedup-on-read. State is O(distinct keys
+    per watermark window), independent of stream length — the property
+    that makes exact streaming dedup viable at 100 TB/day.
+    """
+    df = with_event_time(events)
+    df = df.withWatermark("event_time", watermark)
+    return df.dropDuplicatesWithinWatermark(keys or ["event_id"])

@@ -97,3 +97,34 @@ def test_windowed_counts_stream_matches_batch(spark, events_stream_dir, tmp_path
     assert got.exceptAll(expect).count() == 0
     finalized = got.select("window_start").distinct().count()
     assert finalized >= expect.select("window_start").distinct().count() - 3
+
+
+def test_stream_dedup_within_watermark(spark, events_stream_dir, tmp_path_factory):
+    """Duplicated input stream -> dropDuplicatesWithinWatermark restores the
+    exact distinct set (all dups here arrive within the watermark), matching
+    the batch dedup twin; state stays bounded by construction."""
+    src, ev = events_stream_dir
+    dup_src = str(tmp_path_factory.mktemp("dup_chunks"))
+    base = spark.read.parquet(src + "/chunk=*")
+    # each chunk twice -> every event_id seen twice across micro-batches
+    for i in range(2):
+        base.write.mode("append").parquet(dup_src + f"/copy={i}")
+    ckpt = str(tmp_path_factory.mktemp("ckpt_dedup"))
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dup_src + "/copy=*")
+    )
+    q = (
+        windows.dedup_within_watermark(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("dedup_stream")
+    n_events = ev.count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
