@@ -53,6 +53,11 @@ HEADLINE = [
     # round-5 flagships: single-shuffle exact funnel, PQ ANN (ADC + rerank)
     "window_funnel_exact",
     "similarity_pq_topk",
+    # catalog-7 sequence analytics (one combiner-friendly shuffle each)
+    # + the map-only scrub path (regex redaction inside the scan stage)
+    "seq_match_user_paths",
+    "argmax_latest_event",
+    "pii_scrub_props",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
