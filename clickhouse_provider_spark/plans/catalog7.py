@@ -224,3 +224,51 @@ def q_pii_scrub_props(spark, t):
             F.regexp_replace("props", _EMAIL_RE, "[EMAIL]"), _NUM_RE, "[NUM]"
         ).alias("scrubbed"),
     )
+
+
+@register(
+    "bloom_runtime_semijoin",
+    # The oracle is the PLAIN semi join: bloom false positives are
+    # eliminated by the exact verify join, so the composed operator is
+    # value-identical to IN (...) for any filter sizing — that equality
+    # is precisely what this entry gates.
+    oracle="""
+    SELECT l_suppkey, count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                        JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_name = 'NATION_9')
+    GROUP BY l_suppkey
+    """,
+    doc="Big-big semi join with an explicit runtime bloom filter "
+    "(operators/runtime_filter.py): the dim keys fold into a few-KB md5 "
+    "bitset (driver artifact, bounded by m_bits — not a data collect), "
+    "the fact is pruned map-side INSIDE the scan stage, and the exact "
+    "semi join runs on survivors only — at 100 TB the fact's shuffle is "
+    "proportional to the match count, not the table size, which is what "
+    "keeps non-broadcastable joins alive. ClickHouse's bloom skip "
+    "indexes play this role on the reference's tables (reference "
+    "README.md DDL); Spark's AQE row-level runtime filtering is the "
+    "automatic form — this is the deterministic, caller-sized one.",
+    tags=("analytics", "join"),
+)
+def q_bloom_runtime_semijoin(spark, t):
+    from clickhouse_provider_spark.operators import runtime_filter
+    from clickhouse_provider_spark.plans.catalog import D18_6, as_double, dec
+
+    dim = (
+        t["supplier"]
+        .join(
+            t["nation"].filter(F.col("n_name") == "NATION_9"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    picked = runtime_filter.bloom_semi_join(
+        t["lineitem"], dim, "l_suppkey", "s_suppkey"
+    )
+    return picked.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        as_double(F.sum(dec("l_quantity", D18_6))).alias("sum_qty"),
+    )

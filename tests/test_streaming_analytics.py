@@ -128,3 +128,53 @@ def test_stream_dedup_within_watermark(spark, events_stream_dir, tmp_path_factor
     n_events = ev.count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_sessionize_stream_on_rocksdb_state_store(spark, events_stream_dir, tmp_path_factory):
+    """The stateful operators must run unchanged on the RocksDB state
+    store provider — the backend that keeps streaming state off-heap and
+    larger-than-memory at production scale (the default HDFS-backed map
+    holds every key in executor memory). Same closed ∪ open == batch
+    equality as the default-provider test."""
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rocks"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/chunk=*")
+        )
+        q = (
+            sessionize.sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("closed_sessions_rocks")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    closed = spark.table("closed_sessions_rocks")
+    all_sessions = closed.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    ).unionByName(sessionize.open_sessions(ev))
+    from clickhouse_provider_spark.plans import CATALOG
+    from clickhouse_provider_spark.session import load_tables
+
+    batch = (
+        CATALOG["user_sessions"]
+        .build(spark, load_tables(spark, "/root/testdata/sf0.01"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    assert all_sessions.exceptAll(batch).count() == 0
+    assert batch.exceptAll(all_sessions).count() == 0
+    assert closed.count() > 0
