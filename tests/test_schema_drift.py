@@ -130,3 +130,68 @@ def test_nanos_values_identical_across_encodings(spark, encoded_dirs):
         ).collect()[0]
         sums[name] = (row["s"], row["mn"], row["mx"], row["n"])
     assert len(set(sums.values())) == 1, sums
+
+
+# --- embeddings drift -------------------------------------------------------
+
+#: Embedding-family entries that would break if the driver re-encodes the
+#: embeddings parquet (the same class of risk the ts re-encode realized).
+EMB_FAMILY = ["similarity_topk", "embedding_norms", "embedding_quantize_int8"]
+
+
+def _write_embedding_encodings(tmpdir: str) -> dict[str, str]:
+    """The sf0.001 embeddings table re-encoded two plausible ways
+    (element type float32 — current — and float64; vec_id int64 — current
+    — and int32); every other table symlinked unchanged."""
+    src_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    table = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+
+    def recode(emb_type, vec_id_type) -> pa.Table:
+        t = table
+        i = t.schema.get_field_index("embedding")
+        t = t.set_column(
+            i, pa.field("embedding", emb_type), t.column("embedding").cast(emb_type)
+        )
+        j = t.schema.get_field_index("vec_id")
+        t = t.set_column(
+            j, pa.field("vec_id", vec_id_type), t.column("vec_id").cast(vec_id_type)
+        )
+        return t
+
+    encodings = {
+        "f32_id64": recode(pa.list_(pa.float32()), pa.int64()),  # current
+        "f64_id64": recode(pa.list_(pa.float64()), pa.int64()),
+        "f32_id32": recode(pa.list_(pa.float32()), pa.int32()),
+    }
+    out = {}
+    for name, tbl in encodings.items():
+        sf_dir = os.path.join(tmpdir, name)
+        os.makedirs(sf_dir)
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet") and f != "embeddings.parquet":
+                os.symlink(os.path.join(src_dir, f), os.path.join(sf_dir, f))
+        pq.write_table(tbl, os.path.join(sf_dir, "embeddings.parquet"))
+        out[name] = sf_dir
+    return out
+
+
+@pytest.fixture(scope="module")
+def embedding_dirs(tmp_path_factory):
+    tmpdir = str(tmp_path_factory.mktemp("emb_encodings"))
+    yield _write_embedding_encodings(tmpdir)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_embedding_family_parity_under_every_encoding(spark, embedding_dirs):
+    """Both engines read the SAME re-encoded file, and every embedding
+    consumer casts elements to double before arithmetic — so Spark and
+    DuckDB must agree under each encoding (float64 files carry more
+    precision than the float32 original; agreement is per-encoding, not
+    across encodings)."""
+    from tools.parity import run_parity
+
+    for enc_name, sf_dir in embedding_dirs.items():
+        failures = run_parity(
+            names=EMB_FAMILY, sf_dir=sf_dir, spark=spark, verbose=False
+        )
+        assert not failures, f"{enc_name}: {failures}"
