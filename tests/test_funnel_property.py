@@ -1,0 +1,79 @@
+"""Property test for the exact windowFunnel: the composed-window-maxima
+implementation vs an INDEPENDENT brute-force chain enumeration, on random
+per-user event streams (duplicate timestamps, interleaved noise events,
+boundary windows). The brute force enumerates actual index chains — a
+completely different algorithm, so agreement over random inputs is strong
+evidence the maxima recurrence implements the declared semantics."""
+
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators.temporal import funnel_levels
+
+STAGES = ["s", "c", "p"]
+WINDOW = 10
+
+
+def brute_force_level(events: list[tuple[int, int, str]]) -> int:
+    """Max k s.t. SOME strictly-ordered index chain matches stages[0..k-1]
+    with ts(last) - ts(first) <= WINDOW. Events sorted by (ts, event_id)
+    — the same total order the operator declares."""
+    rows = sorted(events)
+    best = 0
+    for k in range(1, len(STAGES) + 1):
+        for idxs in combinations(range(len(rows)), k):
+            if [rows[i][2] for i in idxs] != STAGES[:k]:
+                continue
+            if rows[idxs[-1]][0] - rows[idxs[0]][0] <= WINDOW:
+                best = max(best, k)
+                break
+    return best
+
+
+#: one user's stream: up to 8 events, small ts range (forces duplicate
+#: timestamps and window-boundary chains), noise type 'x' included
+user_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.sampled_from(STAGES + ["x"]),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_funnel_levels_match_brute_force(spark, users):
+    rows = []
+    expected = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        tagged = []
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            tagged.append((ts, eid, et))
+            eid += 1
+        lvl = brute_force_level(tagged)
+        if lvl >= 1:
+            expected[uid] = lvl
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(
+            df,
+            key="user_id",
+            ts="ts_us",
+            order_col="event_id",
+            stage_conds=[F.col("event_type") == s for s in STAGES],
+            window_us=WINDOW,
+        ).collect()
+    }
+    assert got == expected

@@ -178,3 +178,45 @@ def test_sessionize_stream_on_rocksdb_state_store(spark, events_stream_dir, tmp_
     assert all_sessions.exceptAll(batch).count() == 0
     assert batch.exceptAll(all_sessions).count() == 0
     assert closed.count() > 0
+
+
+def test_funnel_stream_matches_batch_exact_funnel(spark, events_stream_dir, tmp_path_factory):
+    """In-order replay of the streaming funnel state machine == the exact
+    batch funnel (composed monotone window maxima), level for level; and
+    the upgrade stream is strictly increasing per user."""
+    from clickhouse_provider_spark.operators.temporal import funnel_levels
+    from clickhouse_provider_spark.streaming import funnel
+
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_funnel"))
+    stages = ["signup", "click", "purchase"]
+    window_us = 7 * 86_400_000_000
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        funnel.funnel_stream(stream, stages, window_us)
+        .writeStream.format("memory")
+        .queryName("funnel_upgrades")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("funnel_upgrades")
+    got = out.groupBy("user_id").agg(F.max("level").alias("level"))
+    batch = funnel_levels(
+        ev.select("user_id", "event_id", "ts_us", "event_type"),
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[F.col("event_type") == s for s in stages],
+        window_us=window_us,
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert out.count() > 0
+    # upgrade stream: one row per (user, level), levels strictly increasing
+    assert out.groupBy("user_id", "level").count().filter("count > 1").count() == 0
