@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def event_tag_strings(
@@ -105,3 +106,54 @@ def argmax_by_key(
     out += [F.col(f"_mx.{c}").alias(f"last_{c}") for c in cols]
     out += [F.col(f"_mn.{c}").alias(f"first_{c}") for c in cols]
     return agg.select(*out)
+
+
+def timed_chain_match(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    stage_conds: list[Column],
+    max_gaps_us: list[int],
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` with time conditions —
+    ``(?1)(?t<=g1)(?2)(?t<=g2)(?3)…``: per key, does SOME ordered event
+    chain match the stage conditions with EACH adjacent step at most
+    ``max_gaps_us[i]`` after the previous one?
+
+    Exact (not greedy), by the same composed-monotone-maxima trick as
+    ``temporal.funnel_levels``, but carrying the PREVIOUS STEP's
+    timestamp instead of the chain start:
+
+        p_1(e) = max ts over stage-1 rows ≤ e
+        p_k(e) = max ts over stage-k rows e' ≤ e
+                 with ts(e') - p_{k-1}(e') <= max_gaps_us[k-2]
+
+    Carrying the max is exact because a LATER previous-step timestamp is
+    always feasible-superset for the next gap constraint (gaps point
+    backward), so the maximum dominates every other chain. p_k is a
+    running max → one shuffle on the key, n window columns over one
+    sorted partition, no self-joins, no per-key explosion.
+
+    Returns (key, matched boolean, completed_ts_us nullable long — the
+    latest chain-completion time) for every key present in ``df``.
+    """
+    n = len(stage_conds)
+    assert len(max_gaps_us) == n - 1, "need one gap per adjacent stage pair"
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts, order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = df.withColumn(
+        "__p_1", F.max(F.when(stage_conds[0], F.col(ts))).over(w)
+    )
+    for k in range(2, n + 1):
+        ok = stage_conds[k - 1] & (
+            F.col(ts) - F.col(f"__p_{k - 1}") <= F.lit(int(max_gaps_us[k - 2]))
+        )
+        out = out.withColumn(f"__p_{k}", F.max(F.when(ok, F.col(ts))).over(w))
+    return out.groupBy(key).agg(
+        F.max(F.col(f"__p_{n}")).isNotNull().alias("matched"),
+        F.max(F.col(f"__p_{n}")).alias("completed_ts_us"),
+    )

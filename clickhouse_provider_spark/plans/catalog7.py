@@ -272,3 +272,66 @@ def q_bloom_runtime_semijoin(spark, t):
         F.count(F.lit(1)).alias("n_items"),
         as_double(F.sum(dec("l_quantity", D18_6))).alias("sum_qty"),
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "seq_match_timed",
+    # Same composed-maxima recurrence spelled in SQL windows — the
+    # carried quantity is the PREVIOUS step's timestamp, gated by each
+    # step's own gap bound (ClickHouse (?1)(?t<=g1)(?2)(?t<=g2)(?3)).
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), s1 AS (
+      SELECT *, max(CASE WHEN event_type = 'signup' THEN ts_us END) OVER w AS p1
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click'
+                          AND ts_us - p1 <= {2 * _DAY_US} THEN ts_us END)
+                  OVER w AS p2
+      FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s3 AS (
+      SELECT *, max(CASE WHEN event_type = 'purchase'
+                          AND ts_us - p2 <= {5 * _DAY_US} THEN ts_us END)
+                  OVER w AS p3
+      FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, max(p3) IS NOT NULL AS matched,
+           max(p3) AS completed_ts_us
+    FROM s3 GROUP BY user_id
+    """,
+    doc="ClickHouse sequenceMatch with TIME conditions — "
+    "(?1)(?t<=2d)(?2)(?t<=5d)(?3): signup, then a click within 2 days, "
+    "then a purchase within 5 days of that click. operators/sequence."
+    "timed_chain_match: exact (non-greedy) via composed monotone window "
+    "maxima carrying the previous step's timestamp — a later prior-step "
+    "time is feasibility-dominant for a backward gap bound, so the "
+    "running max is the optimal chain, ONE shuffle on user_id, no "
+    "self-joins. Complements window_funnel_exact (whole-chain bound) "
+    "with per-step bounds.",
+    tags=("analytics", "sequence"),
+)
+def q_seq_match_timed(spark, t):
+    from clickhouse_provider_spark.operators.sequence import timed_chain_match
+
+    e = t["events"].select(
+        "user_id", "event_id", ts_us().alias("ts_us"), "event_type"
+    )
+    return timed_chain_match(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_gaps_us=[2 * _DAY_US, 5 * _DAY_US],
+    )

@@ -114,3 +114,53 @@ def test_sequence_and_quantize_plans_stay_jvm_side(spark, tables):
         # map-only entries must not shuffle at all
         if name in ("embedding_quantize_int8", "multimodal_frame_sample", "pii_scrub_props"):
             assert "Exchange" not in plan, name
+
+
+def _timed(spark, rows, gaps):
+    from clickhouse_provider_spark.operators.sequence import timed_chain_match
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    out = timed_chain_match(
+        df,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "s",
+            F.col("event_type") == "c",
+            F.col("event_type") == "p",
+        ],
+        max_gaps_us=gaps,
+    ).collect()
+    return {r["user_id"]: (r["matched"], r["completed_ts_us"]) for r in out}
+
+
+def test_timed_chain_per_step_bound_not_whole_window(spark):
+    # s@0, c@8, p@16 with gaps [10, 10]: every STEP fits (8, 8) but the
+    # whole chain (16) would fail a 10-window funnel — timed must match
+    rows = [(1, 1, 0, "s"), (1, 2, 8, "c"), (1, 3, 16, "p")]
+    assert _timed(spark, rows, [10, 10])[1][0] is True
+    # and a single oversized step fails even though the total fits
+    rows = [(2, 1, 0, "s"), (2, 2, 1, "c"), (2, 3, 15, "p")]
+    assert _timed(spark, rows, [10, 10])[2][0] is False
+
+
+def test_timed_chain_is_not_greedy(spark):
+    # s@0 then c@30 violates gap 10; the LATER s@25 rescues the chain —
+    # a greedy earliest-start scan would miss it
+    rows = [(1, 1, 0, "s"), (1, 2, 25, "s"), (1, 3, 30, "c"), (1, 4, 35, "p")]
+    got = _timed(spark, rows, [10, 10])
+    assert got[1] == (True, 35)
+
+
+def test_timed_chain_reports_latest_completion(spark):
+    rows = [
+        (1, 1, 0, "s"), (1, 2, 5, "c"), (1, 3, 9, "p"),
+        (1, 4, 12, "c"), (1, 5, 20, "p"),
+    ]
+    # the only valid chain is s@0 → c@5 → p@9: c@12 exceeds the first gap
+    # (12-0 > 10) and p@20 exceeds the second from c@5 (20-5 > 10), so
+    # the later events must NOT inflate completed_ts_us
+    assert _timed(spark, rows, [10, 10])[1] == (True, 9)
