@@ -77,3 +77,59 @@ def test_funnel_levels_match_brute_force(spark, users):
         ).collect()
     }
     assert got == expected
+
+
+def brute_force_timed(events, gaps) -> tuple[bool, int | None]:
+    """Independent reference for timed_chain_match: enumerate index chains
+    matching STAGES with each adjacent gap within bounds; return (matched,
+    latest completion ts)."""
+    rows = sorted(events)
+    n = len(STAGES)
+    best_end = None
+    for idxs in combinations(range(len(rows)), n):
+        if [rows[i][2] for i in idxs] != STAGES:
+            continue
+        ok = all(
+            rows[idxs[j + 1]][0] - rows[idxs[j]][0] <= gaps[j]
+            for j in range(n - 1)
+        )
+        if ok:
+            end = rows[idxs[-1]][0]
+            best_end = end if best_end is None else max(best_end, end)
+    return best_end is not None, best_end
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_timed_chain_match_matches_brute_force(spark, users):
+    from clickhouse_provider_spark.operators.sequence import timed_chain_match
+
+    gaps = [7, 4]
+    rows = []
+    expected = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        tagged = []
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            tagged.append((ts, eid, et))
+            eid += 1
+        if tagged:  # keys with no rows are absent from the output relation
+            expected[uid] = brute_force_timed(tagged, gaps)
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    got = {
+        r["user_id"]: (r["matched"], r["completed_ts_us"])
+        for r in timed_chain_match(
+            df,
+            key="user_id",
+            ts="ts_us",
+            order_col="event_id",
+            stage_conds=[F.col("event_type") == s for s in STAGES],
+            max_gaps_us=gaps,
+        ).collect()
+    }
+    assert got == expected
