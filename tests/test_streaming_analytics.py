@@ -103,17 +103,30 @@ def test_stream_dedup_within_watermark(spark, events_stream_dir, tmp_path_factor
     """Duplicated input stream -> dropDuplicatesWithinWatermark restores the
     exact distinct set (all dups here arrive within the watermark), matching
     the batch dedup twin; state stays bounded by construction."""
+    import glob
+    import os
+
     src, ev = events_stream_dir
     dup_src = str(tmp_path_factory.mktemp("dup_chunks"))
-    base = spark.read.parquet(src + "/chunk=*")
-    # each chunk twice -> every event_id seen twice across micro-batches
-    for i in range(2):
-        base.write.mode("append").parquet(dup_src + f"/copy={i}")
+    # each time-ordered chunk twice -> every event_id seen twice across
+    # micro-batches, with arrival in EVENT-TIME order (the operator's
+    # in-order contract: a legit row arriving behind the watermark would
+    # be dropped as late, which is replay-window semantics, not dedup).
+    # FileStreamSource orders by modification time, so pin mtimes
+    # explicitly — same-ms writes would otherwise tie and interleave.
+    for i in range(3):
+        chunk = spark.read.parquet(src + f"/chunk={i}")
+        for copy in range(2):
+            out_dir = dup_src + f"/b{i}_{copy}"
+            chunk.write.parquet(out_dir)
+            stamp = 1_000_000_000 + (i * 2 + copy) * 60
+            for f in glob.glob(out_dir + "/*.parquet"):
+                os.utime(f, (stamp, stamp))
     ckpt = str(tmp_path_factory.mktemp("ckpt_dedup"))
     stream = (
-        spark.readStream.schema(base.schema)
+        spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(dup_src + "/copy=*")
+        .parquet(dup_src + "/b*")
     )
     q = (
         windows.dedup_within_watermark(stream, keys=["event_id"])
