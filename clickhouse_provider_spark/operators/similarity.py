@@ -601,8 +601,9 @@ def pq_topk(
     cbs = pq_codebooks(
         emb, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
-    codes = pq_encode(
-        emb, cbs, n_sub=n_sub, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
+    codes = pq_encode_arrow(
+        emb, cbs, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim,
+        id_col=id_col, vec_col=vec_col,
     )
     qsubs = [
         F.struct(
@@ -681,7 +682,7 @@ def ivfpq_write_index(
         emb, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
     codes_arr = (
-        pq_encode(emb, cbs, n_sub=n_sub, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col)
+        pq_encode_arrow(emb, cbs, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col)
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("sub_id", "code"))).alias("sc"))
         .select(id_col, F.transform("sc", lambda s: s["code"]).alias("codes"))
@@ -809,3 +810,83 @@ def quantize_int8(
         F.array_max(codes).alias("code_max"),
         codes.alias("codes"),
     )
+
+
+def pq_encode_arrow(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int = 16,
+    n_codes: int = 32,
+    sub_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched PQ encoder — same function as :func:`pq_encode`
+    (min-L2 codeword per subspace, ties → lowest code), computed as
+    vectorized numpy per Arrow batch instead of the vectors × codes join.
+
+    The join form materializes |emb|·n_sub·n_codes rows through a
+    broadcast join + two-stage aggregate; at bench scale that dominates
+    the whole PQ query. Here the same arithmetic runs as a handful of
+    numpy array ops per batch (mapInPandas), with IEEE op order kept
+    IDENTICAL to the join form and the SQL oracle: every dot is the
+    left-to-right fold ``((x0·y0 + x1·y1) + x2·y2) + x3·y3`` (explicit
+    unrolled adds — never np.dot/einsum, whose summation order is
+    unspecified), and d2 is ``(v·v - 2·v·c) + c·c``. Ties therefore
+    break bit-identically, and ``np.argmin``'s first-minimum rule IS the
+    lexicographic (d2, code) struct-min (codes ascend along the axis).
+    Asserted row-identical to the join form in tests/test_llm_ops.py.
+
+    This is the deliberate "Python where builtins genuinely lose"
+    exception: the work is dense per-row linear algebra over a tiny
+    broadcast constant — exactly the Arrow-batch + numpy shape — while
+    the relational form pays per-row join/agg machinery for it.
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    rows = codebooks.collect()
+    cb = np.zeros((n_sub, n_codes, sub_dim), dtype=np.float64)
+    for r in rows:
+        cb[int(r["sub_id"]), int(r["code"])] = [float(x) for x in r["codeword"]]
+    # cw2[s,c]: left-to-right self-dot fold, identical to dot(c, c)
+    cw2 = np.zeros((n_sub, n_codes), dtype=np.float64)
+    for j in range(sub_dim):
+        cw2 += cb[:, :, j] * cb[:, :, j]
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("sub_id", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(n, n_sub, sub_dim)
+            sv2 = np.zeros((n, n_sub), dtype=np.float64)
+            svc = np.zeros((n, n_sub, n_codes), dtype=np.float64)
+            for j in range(sub_dim):
+                sv2 += V[:, :, j] * V[:, :, j]
+                svc += V[:, :, j, None] * cb[None, :, :, j]
+            d2 = (sv2[:, :, None] - 2.0 * svc) + cw2[None, :, :]
+            codes = np.argmin(d2, axis=2)  # first min == lowest code on ties
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_sub),
+                    "sub_id": np.tile(np.arange(n_sub, dtype=np.int32), n),
+                    "code": codes.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(batches, out_schema)

@@ -316,8 +316,12 @@ def q_multimodal_feature_stats(spark, t):
     "the ADC top-50 window re-ranked by TRUE cosine to the final 10 "
     "(recall dial; true top-10 fully inside the window on this corpus). "
     "The memory-compression half of FAISS-style IVF-PQ (compose with "
-    "ivf_assignments for the partition-pruning half). Codebook/encode "
-    "plan: broadcast codebooks, map-side argmin per (vector, subspace).",
+    "ivf_assignments for the partition-pruning half). Encode stage: "
+    "Arrow-batched vectorized numpy (pq_encode_arrow — dense per-row "
+    "linear algebra over a tiny broadcast constant, the deliberate "
+    "Python exception; 1.6x the relational join form at bench scale), "
+    "row-identical to the join encoder and the SQL oracle by unrolled "
+    "left-to-right float folds.",
     tags=("llm", "similarity"),
 )
 def q_similarity_pq_topk(spark, t):

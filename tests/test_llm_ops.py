@@ -484,3 +484,24 @@ def test_ivfpq_index_layout_and_query(spark, tables, tmp_path):
     got = [r["vec_id"] for r in full.collect() if r["vec_id"] != 0][:10]
     want = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()]
     assert got == want
+
+
+def test_pq_encode_arrow_equals_join_form(spark, tables):
+    """The Arrow-batched numpy encoder and the relational join encoder are
+    the same function: identical (vec_id, sub_id, code) rows — including
+    ties, which both break toward the lowest code over bit-equal d2."""
+    from clickhouse_provider_spark.operators import similarity
+
+    cbs = similarity.pq_codebooks(tables["embeddings"]).localCheckpoint(
+        eager=True
+    )
+    a = similarity.pq_encode_arrow(tables["embeddings"], cbs).withColumn(
+        "sub_id", F.col("sub_id").cast("int")
+    )
+    b = similarity.pq_encode(tables["embeddings"], cbs).select(
+        "vec_id", F.col("sub_id").cast("int").alias("sub_id"),
+        F.col("code").cast("int").alias("code"),
+    )
+    a = a.select("vec_id", "sub_id", F.col("code").cast("int").alias("code"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
