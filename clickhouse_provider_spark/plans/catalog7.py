@@ -140,18 +140,32 @@ def q_argmax_latest_event(spark, t):
            CAST(list_sum(codes) AS BIGINT) AS code_sum,
            list_min(codes) AS code_min,
            list_max(codes) AS code_max,
-           codes
+           array_to_string(codes, ',') AS codes_csv
     FROM c
     """,
     doc="Symmetric per-vector int8 quantization (similarity.quantize_int8) "
     "— the embedding storage/bandwidth path at corpus scale: 4x smaller "
     "than float32, codes feed ADC/dot kernels directly. floor(x*127/scale"
     "+0.5) is the identical IEEE expression in both engines; summaries "
-    "are integer-exact. Map-only codegen over the scan — zero shuffles.",
+    "are integer-exact. Map-only codegen over the scan — zero shuffles. "
+    "The code vector is emitted CSV-serialized (codes_csv): the official "
+    "driver canonicalizes results with a raw-column pandas sort, which "
+    "cannot order list cells — top-level arrays are banned from "
+    "oracle-checked entries (tests/test_catalog_guard.py).",
     tags=("llm", "similarity"),
 )
 def q_embedding_quantize_int8(spark, t):
-    return similarity.quantize_int8(t["embeddings"])
+    q = similarity.quantize_int8(t["embeddings"])
+    return q.select(
+        "vec_id",
+        "scale",
+        "code_sum",
+        "code_min",
+        "code_max",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
 
 
 @register(

@@ -207,9 +207,10 @@ def q_corpus_curation(spark, t):
     ),
     cnt AS (SELECT media_id, histogram(c) AS m FROM nib GROUP BY media_id)
     SELECT n.media_id, n.n_bytes,
-           list_transform(range(16), b -> CAST(coalesce(
-             cnt.m[substr('0123456789ABCDEF', CAST(b AS INT)+1, 1)][1], 0)
-             AS BIGINT)) AS histogram
+           array_to_string(
+             list_transform(range(16), b -> CAST(coalesce(
+               cnt.m[substr('0123456789ABCDEF', CAST(b AS INT)+1, 1)][1], 0)
+               AS BIGINT)), ',') AS histogram_csv
     FROM n LEFT JOIN cnt USING (media_id)
     """,
     doc="Multimodal binary-column features: documents adapted to the "
@@ -218,7 +219,10 @@ def q_corpus_curation(spark, t):
     "(vectorized numpy per blob; the decode step is the injected decoder "
     "— identity here, PIL/codec in production). Scale: blobs move as "
     "Arrow chunks, never row-at-a-time; feature output is fixed-width so "
-    "downstream ops prune the blob column immediately.",
+    "downstream ops prune the blob column immediately. The histogram is "
+    "emitted CSV-serialized (histogram_csv): the official driver's "
+    "canonicalizer cannot sort list cells, so top-level arrays are "
+    "banned from oracle-checked entries (tests/test_catalog_guard.py).",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_feature_stats(spark, t):
@@ -226,7 +230,11 @@ def q_multimodal_feature_stats(spark, t):
 
     media = multimodal.documents_as_media(t["documents"])
     return multimodal.extract_features(media).select(
-        "media_id", "n_bytes", "histogram"
+        "media_id",
+        "n_bytes",
+        F.array_join(
+            F.transform("histogram", lambda c: c.cast("string")), ","
+        ).alias("histogram_csv"),
     )
 
 

@@ -60,8 +60,20 @@ def _norm_cell(v) -> str:
 
 
 def canon(df: pd.DataFrame) -> tuple[list[str], list[str]]:
-    """(sorted column names, sorted canonical row strings)."""
+    """(sorted column names, sorted canonical row strings).
+
+    The official driver canonicalizes by sorting the RAW columns with
+    ``DataFrame.sort_values`` before hashing — which raises
+    ``TypeError: unhashable type`` on list/dict cells (this shipped two
+    blind reds in round 5, when this sim stringified rows first and so
+    happily hashed list columns the driver could not). Mirror the driver:
+    run the raw-column sort first so any entry that would die officially
+    dies here too. The stringified sort below is still what we compare on
+    (exact, engine-portable cell normalization).
+    """
     cols = sorted(df.columns)
+    if len(df) and cols:
+        df[cols].sort_values(by=cols)  # driver-fidelity probe; result unused
     rows = []
     for rec in df[cols].itertuples(index=False, name=None):
         rows.append("\x1f".join(_norm_cell(v) for v in rec))
