@@ -6,16 +6,18 @@ The correctness driver samples the FIRST 50 entries of ``queries()`` in
 insertion order, so the catalog is re-ordered after registration to put the
 entries that most need a fresh official row at the front:
 
-1. **Repaired this round** (``PRIORITY_REPAIRED``): the ``events.ts``-family
-   entries that errored in round 4 after the driver re-encoded the testdata
-   (``timestamp[us]`` vs the prior INT64 TIMESTAMP(NANOS)) — fixed centrally
-   in ``session.load_tables`` (ts → canonical ns LongType) and needing fresh
-   official greens.
+1. **Repaired this round** (``PRIORITY_REPAIRED``): round 6 repairs the two
+   entries that errored in round 5 — ``embedding_quantize_int8`` and
+   ``multimodal_feature_stats`` emitted top-level array columns the
+   driver's canonicalizer cannot sort (now CSV-serialized in both engines);
+   they are also the only two entries never officially hash-green.
 2. **Never hash-green** (``PRIORITY_NEVER_GREEN``): entries that have never
    had an official ``hash_match: true`` row in any round (``no_oracle`` or
-   out-of-window so far).
+   out-of-window so far). Empty for round 6 — after r5, every other entry
+   has been green at least once; brand-new entries land here automatically
+   (absent from ``LAST_GREEN_ROUND``).
 3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
-   frozen from CORRECTNESS_r0{1..4}.json; ties keep insertion order) — so
+   frozen from CORRECTNESS_r0{1..5}.json; ties keep insertion order) — so
    long-unverified entries cycle back into the window before recently
    verified ones.
 
@@ -26,36 +28,29 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
 from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
-#: Entries broken by the round-4 testdata re-encode, repaired in round 5 —
-#: they lead the official window to get fresh greens.
+#: The two entries that errored officially in round 5 (array-column
+#: canonicalizer kill), repaired this round — they lead the official
+#: window to get their first-ever official greens.
 PRIORITY_REPAIRED = (
-    "time_range", "latest_watermark", "user_history", "daily_counts",
-    "replacing_dedup", "running_total", "session_gaps", "user_sessions",
-    "tumbling_event_counts", "range_frame_window",
+    "embedding_quantize_int8", "multimodal_feature_stats",
 )
 
-#: Entries with no official ``hash_match: true`` in ANY round so far
-#: (oracle-graded this round; they follow the repaired set in the window).
-PRIORITY_NEVER_GREEN = (
-    "similarity_ann_lsh", "similarity_ivf_topk", "approx_distinct_users",
-)
+#: Entries with no official ``hash_match: true`` in ANY round so far.
+#: Empty after round 5 (everything else has been green at least once);
+#: brand-new entries fall into this tier automatically by being absent
+#: from LAST_GREEN_ROUND.
+PRIORITY_NEVER_GREEN = ()
 
-#: name -> round of most recent official hash-green (CORRECTNESS_r0{1..4}).
+#: name -> round of most recent official hash-green (CORRECTNESS_r0{1..5}).
 #: Frozen so the rotation is deterministic and file-independent; refresh
 #: each round from the latest CORRECTNESS file.
 LAST_GREEN_ROUND = {
     **{n: 2 for n in (
-        "above_avg_orders", "anti_join_not_exists", "chain_continuity",
-        "cross_join_dims", "cube_sales", "date_parts",
-        "distinct_parts_per_flag", "except_nations", "first_last_window",
-        "grouping_sets_mixed", "having_big_brands", "in_subquery_nations",
-        "intersect_nations", "json_props_stats", "monthly_orders",
-        "null_handling", "ordered_string_agg", "pivot_priority_status",
-        "price_buckets", "q10_returned_revenue", "q14_promo_share",
-        "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
-        "q6_forecast_revenue", "q7_nation_volume", "rank_dense_percent",
-        "regex_classify", "rollup_sales", "semi_join_exists",
-        "string_brand_stats", "top3_per_group",
+        "chain_continuity", "cross_join_dims", "cube_sales", "date_parts",
+        "first_last_window", "grouping_sets_mixed", "in_subquery_nations",
+        "null_handling", "ordered_string_agg", "q10_returned_revenue",
+        "q14_promo_share", "q4_order_priority", "q6_forecast_revenue",
+        "q7_nation_volume", "rank_dense_percent", "regex_classify",
     )},
     **{n: 4 for n in (
         "corpus_curation", "dedup_embedding_pairs", "dedup_exact",
@@ -74,6 +69,24 @@ LAST_GREEN_ROUND = {
         "text_fingerprint", "text_lang_id", "text_ngram_repetition",
         "text_quality", "text_tfidf_top_terms", "text_token_rarity",
         "text_token_stats", "value_percentiles",
+    )},
+    **{n: 5 for n in (
+        "above_avg_orders", "anti_join_not_exists", "approx_distinct_users",
+        "approx_value_quantiles", "argmax_latest_event", "asof_last_purchase",
+        "bloom_runtime_semijoin", "daily_counts", "distinct_parts_per_flag",
+        "except_nations", "having_big_brands", "hypertable_rollup_1h1d1w",
+        "intersect_nations", "json_props_stats", "latest_watermark",
+        "monthly_orders", "multimodal_frame_sample", "pii_scrub_props",
+        "pivot_priority_status", "price_buckets", "q3_shipping_priority",
+        "q5_regional_revenue", "range_frame_window", "range_join_1h_windows",
+        "replacing_dedup", "retention_cohorts", "rollup_sales",
+        "running_total", "sample_reservoir", "sample_stratified",
+        "scd2_intervals", "semi_join_exists", "seq_match_timed",
+        "seq_match_user_paths", "session_gaps", "similarity_ann_lsh",
+        "similarity_ivf_topk", "similarity_pq_topk", "sliding_event_counts",
+        "string_brand_stats", "time_range", "token_budget_selection",
+        "top3_per_group", "tumbling_event_counts", "user_history",
+        "user_sessions", "window_funnel", "window_funnel_exact",
     )},
 }
 
