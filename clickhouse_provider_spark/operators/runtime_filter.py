@@ -14,7 +14,8 @@ join).
 
 This implementation is deterministic and engine-portable: bit positions
 come from md5 over the key (the same hash family the dedup/ANN operators
-use), the bitset folds driver-side into ``m/64`` long words — a fixed
+use), the bitset folds driver-side into ``m/32`` 32-bit words (32-bit so
+the probe side's double arithmetic stays exact) — a fixed
 few-KB artifact like a trained codebook, NOT a data-path collect — and
 membership tests are word/bit arithmetic in whole-stage codegen. At
 100 TB the build side is one combiner-friendly distinct over the dim

@@ -27,9 +27,36 @@ non-participating events before the groupBy keeps strings short.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+#: greedy quantifier (* + {m,} {m,n}) not already lazy, outside escapes
+#: and character classes — see :func:`_lazy_quantifiers`.
+_GREEDY_QUANT = _re.compile(
+    r"(\\.)"  # escaped char — copy verbatim
+    r"|(\[(?:\\.|[^\]])*\])"  # character class — copy verbatim
+    r"|((?:[*+]|\{\d+(?:,\d*)?\})(?!\?))"  # greedy quantifier — lazify
+)
+
+
+def _lazy_quantifiers(pattern: str) -> str:
+    """Rewrite every greedy quantifier in ``pattern`` to its lazy form
+    (``.*`` → ``.*?`` etc.), leaving escapes and character classes alone.
+
+    ClickHouse ``sequenceCount`` scans left-to-right and restarts counting
+    right after the EARLIEST completion of each chain; a greedy ``.*``
+    instead consumes to the LAST occurrence, silently undercounting (on
+    tags ``cpcp``, greedy ``c.*p`` finds 1 chain, ClickHouse finds 2).
+    Lazy quantifiers make java.util.regex's leftmost-earliest match order
+    coincide with ClickHouse's scan, so callers can write the natural
+    subsequence pattern translation directly.
+    """
+    return _GREEDY_QUANT.sub(
+        lambda m: m.group(0) + ("?" if m.group(3) else ""), pattern
+    )
 
 
 def event_tag_strings(
@@ -66,13 +93,20 @@ def sequence_match(seqs: DataFrame, pattern: str) -> DataFrame:
 
 def sequence_count(seqs: DataFrame, pattern: str) -> DataFrame:
     """ClickHouse ``sequenceCount``: number of NON-OVERLAPPING occurrences
-    of the pattern in the ordered tag string (left-to-right greedy — the
-    same scan order ClickHouse uses). Adds long ``chain_count``."""
+    of the pattern in the ordered tag string, counted in ClickHouse's scan
+    order — left-to-right, restarting right after the EARLIEST completion
+    of each chain. Greedy quantifiers in ``pattern`` are rewritten lazy
+    internally (:func:`_lazy_quantifiers`) so the natural translation
+    ``c.*p`` of ClickHouse ``(?1)(?2)`` counts every chain (greedy would
+    swallow to the last ``p`` and undercount). Adds long ``chain_count``.
+    """
     return seqs.withColumn(
         "chain_count",
-        F.size(F.regexp_extract_all("seq", F.lit(pattern), F.lit(0))).cast(
-            "long"
-        ),
+        F.size(
+            F.regexp_extract_all(
+                "seq", F.lit(_lazy_quantifiers(pattern)), F.lit(0)
+            )
+        ).cast("long"),
     )
 
 
@@ -125,35 +159,50 @@ def timed_chain_match(
     ``temporal.funnel_levels``, but carrying the PREVIOUS STEP's
     timestamp instead of the chain start:
 
-        p_1(e) = max ts over stage-1 rows ≤ e
-        p_k(e) = max ts over stage-k rows e' ≤ e
-                 with ts(e') - p_{k-1}(e') <= max_gaps_us[k-2]
+        c_1(e) = ts(e) if e satisfies stage 1
+        q_k(e) = max c_k over rows STRICTLY BEFORE e   (prefix excl. e)
+        c_k(e) = ts(e) if e satisfies stage k
+                 and ts(e) - q_{k-1}(e) <= max_gaps_us[k-2]
 
-    Carrying the max is exact because a LATER previous-step timestamp is
-    always feasible-superset for the next gap constraint (gaps point
-    backward), so the maximum dominates every other chain. p_k is a
-    running max → one shuffle on the key, n window columns over one
-    sorted partition, no self-joins, no per-key explosion.
+    The strict prefix (``rowsBetween(unboundedPreceding, -1)``) is what
+    makes one event unable to fill two consecutive pattern slots: a row
+    satisfying both stage k-1 and stage k only sees OTHER rows' stage-
+    (k-1) completions, matching ClickHouse ``sequenceMatch``'s rule that
+    each event is consumed by at most one slot (chain rows are therefore
+    strictly increasing in the (ts, order_col) total order — all
+    distinct events, though ties in raw ts between different rows still
+    chain with gap 0). Carrying the max is exact because a LATER
+    previous-step timestamp is always feasible-superset for the next gap
+    constraint (gaps point backward), so the maximum dominates every
+    other chain. Each q_k is a running max → one shuffle on the key, n-1
+    window columns over one sorted partition, no self-joins, no per-key
+    explosion.
 
     Returns (key, matched boolean, completed_ts_us nullable long — the
     latest chain-completion time) for every key present in ``df``.
     """
     n = len(stage_conds)
     assert len(max_gaps_us) == n - 1, "need one gap per adjacent stage pair"
-    w = (
+    w_prev = (
         W.partitionBy(key)
         .orderBy(ts, order_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    out = df.withColumn(
-        "__p_1", F.max(F.when(stage_conds[0], F.col(ts))).over(w)
-    )
+    out = df.withColumn("__c_1", F.when(stage_conds[0], F.col(ts)))
     for k in range(2, n + 1):
-        ok = stage_conds[k - 1] & (
-            F.col(ts) - F.col(f"__p_{k - 1}") <= F.lit(int(max_gaps_us[k - 2]))
+        q_prev = F.max(F.col(f"__c_{k - 1}")).over(w_prev)
+        out = out.withColumn(f"__q_{k - 1}", q_prev).withColumn(
+            f"__c_{k}",
+            F.when(
+                stage_conds[k - 1]
+                & (
+                    F.col(ts) - F.col(f"__q_{k - 1}")
+                    <= F.lit(int(max_gaps_us[k - 2]))
+                ),
+                F.col(ts),
+            ),
         )
-        out = out.withColumn(f"__p_{k}", F.max(F.when(ok, F.col(ts))).over(w))
     return out.groupBy(key).agg(
-        F.max(F.col(f"__p_{n}")).isNotNull().alias("matched"),
-        F.max(F.col(f"__p_{n}")).alias("completed_ts_us"),
+        F.max(F.col(f"__c_{n}")).isNotNull().alias("matched"),
+        F.max(F.col(f"__c_{n}")).alias("completed_ts_us"),
     )

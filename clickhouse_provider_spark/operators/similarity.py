@@ -847,9 +847,25 @@ def pq_encode_arrow(
     from pyspark.sql import types as T
 
     rows = codebooks.collect()
-    cb = np.zeros((n_sub, n_codes, sub_dim), dtype=np.float64)
+    # A missing (sub_id, code) cell would silently become an all-zero
+    # codeword that can win argmin — a row-level divergence from the join
+    # form, which never considers absent codes. Demand the codebook is
+    # complete and in range instead (callers train with kmeans_codebooks /
+    # seeded ranking, both of which emit exactly n_sub x n_codes rows).
+    if len(rows) != n_sub * n_codes:
+        raise ValueError(
+            f"codebooks must have exactly n_sub*n_codes={n_sub * n_codes} "
+            f"rows (got {len(rows)}); a partial codebook would decode "
+            "absent codes as zero vectors"
+        )
+    cb = np.full((n_sub, n_codes, sub_dim), np.nan, dtype=np.float64)
     for r in rows:
-        cb[int(r["sub_id"]), int(r["code"])] = [float(x) for x in r["codeword"]]
+        s, c = int(r["sub_id"]), int(r["code"])
+        if not (0 <= s < n_sub and 0 <= c < n_codes):
+            raise ValueError(f"codebook entry out of range: sub_id={s} code={c}")
+        cb[s, c] = [float(x) for x in r["codeword"]]
+    if np.isnan(cb).any():
+        raise ValueError("codebooks contain duplicate/missing (sub_id, code) cells")
     # cw2[s,c]: left-to-right self-dot fold, identical to dot(c, c)
     cw2 = np.zeros((n_sub, n_codes), dtype=np.float64)
     for j in range(sub_dim):

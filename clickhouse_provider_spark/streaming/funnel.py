@@ -40,8 +40,10 @@ FUNNEL_SCHEMA = T.StructType(
 )
 
 #: starts[i] = best chain start over stage-1→…→(i+1) chains so far
-#: (0 = not yet seen — event times are strictly positive), plus the
-#: highest level already emitted.
+#: (-1 = not yet seen; any real event time >= 0 beats it, so chains
+#: starting at epoch 0 are tracked correctly — the batch form treats
+#: "not seen" as NULL and has no sentinel at all), plus the highest
+#: level already emitted.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("starts", T.ArrayType(T.LongType())),
@@ -62,7 +64,7 @@ def _make_fn(stages: list[str], window_us: int):
             starts_raw, level = state.get
             starts = list(starts_raw)
         else:
-            starts, level = [0] * n, 0
+            starts, level = [-1] * n, 0
         rows: list[tuple[int, int, str]] = []
         for pdf in pdfs:
             rows.extend(
@@ -82,7 +84,7 @@ def _make_fn(stages: list[str], window_us: int):
                     starts[0] = ts
                 reached = 1
             else:
-                if starts[i - 1] == 0:
+                if starts[i - 1] == -1:
                     continue  # no chain of length i ends before this row
                 reached = i + 1 if ts - starts[i - 1] <= window_us else 0
                 # carry the chain start forward REGARDLESS of the window —

@@ -505,3 +505,27 @@ def test_pq_encode_arrow_equals_join_form(spark, tables):
     a = a.select("vec_id", "sub_id", F.col("code").cast("int").alias("code"))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_pq_encode_arrow_rejects_partial_codebook(spark):
+    """A codebook missing (sub_id, code) cells must raise, not silently
+    decode absent codes as zero vectors that can win argmin (the join form
+    never considers absent codes — the two would diverge row-by-row)."""
+    from clickhouse_provider_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)])], "vec_id long, embedding array<float>"
+    )
+    partial = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0, 0.0, 0.0])],
+        "sub_id int, code int, codeword array<double>",
+    )
+    with pytest.raises(ValueError, match="n_sub\\*n_codes"):
+        similarity.pq_encode_arrow(emb, partial, n_sub=2, n_codes=2, sub_dim=4)
+    out_of_range = spark.createDataFrame(
+        [(s, c, [0.0] * 4) for s in range(2) for c in range(2)]
+        + [(0, 7, [0.0] * 4)],
+        "sub_id int, code int, codeword array<double>",
+    ).filter("NOT (sub_id = 0 AND code = 0)")  # keep 4 rows, one invalid
+    with pytest.raises(ValueError, match="out of range|missing"):
+        similarity.pq_encode_arrow(emb, out_of_range, n_sub=2, n_codes=2, sub_dim=4)

@@ -164,3 +164,52 @@ def test_timed_chain_reports_latest_completion(spark):
     # (12-0 > 10) and p@20 exceeds the second from c@5 (20-5 > 10), so
     # the later events must NOT inflate completed_ts_us
     assert _timed(spark, rows, [10, 10])[1] == (True, 9)
+
+
+def test_sequence_count_lazy_matches_clickhouse_scan_order(spark):
+    # ClickHouse sequenceCount('(?1)(?2)') on tags c p c p finds 2 chains:
+    # it restarts after the EARLIEST completion. The natural regex
+    # translation 'c.*p' must count the same — greedy matching would
+    # consume to the last p and report 1 (the round-5 ADVICE divergence).
+    rows = [(1, i, t, 0.0) for i, t in enumerate(["click", "purchase", "click", "purchase"])]
+    df = _events(spark, rows)
+    out = sequence_count(event_tag_strings(df), "c.*p").collect()
+    assert out[0]["chain_count"] == 2
+
+
+def test_lazy_quantifier_rewrite_spares_classes_and_escapes():
+    from clickhouse_provider_spark.operators.sequence import _lazy_quantifiers
+
+    assert _lazy_quantifiers("c.*p") == "c.*?p"
+    assert _lazy_quantifiers("a+b{2,}c{1,3}") == "a+?b{2,}?c{1,3}?"
+    assert _lazy_quantifiers("c.*?p") == "c.*?p"  # already lazy: unchanged
+    assert _lazy_quantifiers("[a*+]x*") == "[a*+]x*?"  # class interior kept
+    assert _lazy_quantifiers(r"\*x*") == r"\*x*?"  # escaped literal kept
+
+
+def test_timed_chain_one_event_cannot_fill_two_slots(spark):
+    # With OVERLAPPING stage conditions, a single event satisfying both
+    # stage 1 and stage 2 must not chain with itself (ClickHouse
+    # sequenceMatch consumes each event for at most one slot).
+    from clickhouse_provider_spark.operators.sequence import timed_chain_match
+
+    conds = [F.col("event_type").isin("a", "b"), F.col("event_type") == "b"]
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long, event_type string"
+        )
+        out = timed_chain_match(
+            df, key="user_id", ts="ts_us", order_col="event_id",
+            stage_conds=conds, max_gaps_us=[10],
+        ).collect()
+        return {r["user_id"]: r["matched"] for r in out}
+
+    # lone 'b' satisfies both conds — must NOT self-chain
+    assert run([(1, 1, 5, "b")]) == {1: False}
+    # a@0 then b@5: real two-event chain
+    assert run([(2, 1, 0, "a"), (2, 2, 5, "b")]) == {2: True}
+    # b@0 then b@5: first b consumes stage 1, second completes stage 2
+    assert run([(3, 1, 0, "b"), (3, 2, 5, "b")]) == {3: True}
+    # same-ts distinct rows still chain (gap 0)
+    assert run([(4, 1, 7, "a"), (4, 2, 7, "b")]) == {4: True}

@@ -233,3 +233,45 @@ def test_funnel_stream_matches_batch_exact_funnel(spark, events_stream_dir, tmp_
     assert out.count() > 0
     # upgrade stream: one row per (user, level), levels strictly increasing
     assert out.groupBy("user_id", "level").count().filter("count > 1").count() == 0
+
+
+def test_funnel_state_fn_handles_epoch_zero_events():
+    """A chain starting at ts_us == 0 must be tracked: the 'not yet seen'
+    sentinel is -1, so epoch-0 stage-1 events record their chain start and
+    later stages complete (the old 0-sentinel silently dropped them)."""
+    import pandas as pd
+
+    from clickhouse_provider_spark.streaming.funnel import _make_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    fn = _make_fn(["signup", "click", "purchase"], window_us=100)
+    state = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "ts_us": [0, 5, 9],
+            "event_id": [1, 2, 3],
+            "event_type": ["signup", "click", "purchase"],
+        }
+    )
+    out = pd.concat(list(fn((7,), iter([pdf]), state)))
+    # upgrades to levels 1, 2, 3 — level 3 proves the epoch-0 chain start
+    # survived into starts[] (batch equality for ts > 0 is pinned by
+    # test_funnel_stream_matches_batch_exact_funnel)
+    assert list(out["level"]) == [1, 2, 3]
+    assert list(out["reached_ts_us"]) == [0, 5, 9]
+    starts, level = state.get
+    assert level == 3 and starts[0] == 0
