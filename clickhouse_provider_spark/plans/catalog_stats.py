@@ -125,3 +125,100 @@ def q_approx_value_quantiles(spark, t):
             <= 0.01 * F.abs(F.col("p50_exact"))
         ).alias("approx_within_1pct"),
     )
+
+
+@register(
+    "approx_topk_heavy_hitters",
+    # Same oracle stance as approx_distinct_users / approx_value_quantiles:
+    # a sketch's raw output is engine-specific, so the oracle grades the
+    # exact side plus the sketch's CLAIM. Here the claim is the SpaceSaving
+    # guarantee: every STRICT heavy hitter (count strictly above the
+    # (k+1)-th count, so no tie ambiguity) must appear in the sketch's
+    # top-k with its exact estimate — with maxItemsTracked >= distinct
+    # items the sketch is exact, so a tracking/merge regression flips the
+    # boolean -> hash mismatch.
+    oracle="""
+    WITH c AS (SELECT event_type, user_id, count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, user_id, n_events,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n_events DESC, user_id) AS rnk
+          FROM c)
+    SELECT event_type, rnk, user_id, n_events,
+           true AS approx_contains_strict_top
+    FROM r WHERE rnk <= 5
+    """,
+    doc="ClickHouse topK analog — approximate heavy hitters per group via "
+    "Spark's approx_top_k (bounded-memory frequent-items sketch, the "
+    "SpaceSaving family ClickHouse topK uses). The exact top-5 users per "
+    "event type (count desc, user_id tiebreak) is the graded output; the "
+    "boolean carries the sketch's guarantee that every strict heavy "
+    "hitter appears in its top-k with an exact estimate. Scale: the "
+    "sketch side is ONE combiner-friendly shuffle on event_type with "
+    "constant per-group state (maxItemsTracked entries) — at 100 TB that "
+    "replaces the full (event_type, user_id) expansion the exact side "
+    "pays; the exact side here exists to grade the sketch.",
+    tags=("analytics", "approx"),
+)
+def q_approx_topk_heavy_hitters(spark, t):
+    from pyspark.sql.window import Window as W
+
+    K = 5
+    counts = (
+        t["events"]
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= K + 1
+    )
+    # (k+1)-th count per group: anything strictly above it is an
+    # unambiguous heavy hitter the sketch MUST surface
+    kth = (
+        ranked.filter(F.col("rnk") == K + 1)
+        .select("event_type", F.col("n_events").alias("_c_kplus1"))
+    )
+    top = ranked.filter(F.col("rnk") <= K)
+    strict = (
+        top.join(F.broadcast(kth), "event_type", "left")
+        .filter(F.col("n_events") > F.coalesce("_c_kplus1", F.lit(-1)))
+        .select("event_type", "user_id", "n_events")
+    )
+    sketch = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr(f"approx_top_k(user_id, {K}, 10000)").alias("_tk")
+        )
+        .select(
+            "event_type",
+            F.explode("_tk").alias("_e"),
+        )
+        .select(
+            "event_type",
+            F.col("_e.item").alias("user_id"),
+            F.col("_e.count").alias("_est"),
+        )
+    )
+    claim = (
+        strict.join(F.broadcast(sketch), ["event_type", "user_id"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.coalesce(F.col("_est") == F.col("n_events"), F.lit(False))
+            ).alias("_ok")
+        )
+    )
+    return (
+        top.join(F.broadcast(claim), "event_type", "left")
+        .select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "n_events",
+            F.coalesce("_ok", F.lit(True)).alias("approx_contains_strict_top"),
+        )
+    )
