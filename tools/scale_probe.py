@@ -44,6 +44,12 @@ PROBE_QUERIES = [
     # sequence analytics (round 5 batch 7): per-key ordered-string build —
     # the collect_list agg must stay linear in events-per-key
     "seq_match_user_paths",
+    # round-6 flagships (VERDICT r5 ask: measure the "sound at 100×"
+    # plan-audit claims): PQ ANN (codebook train + ADC + rerank must stay
+    # linear in corpus size), single-shuffle exact funnel, 3-grain rollup
+    "similarity_pq_topk",
+    "window_funnel_exact",
+    "hypertable_rollup_1h1d1w",
 ]
 
 
@@ -99,10 +105,54 @@ def scaled_tables(spark, base: dict, k: int) -> dict:
         )
         .drop("_r")
     )
+    t["embeddings"] = (
+        base["embeddings"]
+        .crossJoin(rep())
+        # distinct ids per replica: the PQ/IVF paths key codebook seeding
+        # and probe joins on vec_id, so id collisions would collapse work
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * okey_span)
+        .drop("_r")
+    )
     # register views so SQL-built plans see the scaled relations too
-    for name in ("lineitem", "orders", "events", "documents"):
+    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
         t[name].createOrReplaceTempView(name)
     return t
+
+
+#: blocks at factor 1 for the keyed-assembly replay (see below); each tx
+#: submits in one block and its receipt executes in the next, so every tx
+#: crosses block state — the worst case for the assembler.
+ASSEMBLY_BASE_BLOCKS = int(os.environ.get("SPARK_GRAFT_PROBE_BLOCKS", "400"))
+
+
+def probe_keyed_assembly(spark, k: int) -> float:
+    """Replay the crown-jewel stateful tx assembly (batch fixpoint,
+    operators/transactions.assemble) over ASSEMBLY_BASE_BLOCKS*k synthetic
+    blocks (tools/bench_pipeline chain shape: every receipt lands one
+    block after its tx). The assembler is the one operator whose cost is
+    NOT a scan/shuffle composition over the test tables, so it gets its
+    own input generator instead of scaled_tables."""
+    import json as _json
+
+    from clickhouse_provider_spark.operators.transactions import assemble
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+    from tools.bench_pipeline import make_block
+
+    n_blocks = ASSEMBLY_BASE_BLOCKS * k
+    lines = [_json.dumps(make_block(100 + i, 5)) for i in range(n_blocks)]
+    blocks = spark.read.schema(BLOCK_SCHEMA).json(
+        spark.sparkContext.parallelize(lines, 32)
+    )
+    blocks = blocks.localCheckpoint(eager=True)  # time the DAG, not parsing
+    samples = []
+    for _ in range(2):
+        start = time.perf_counter()
+        out = assemble(blocks)
+        for name in ("transactions", "account_txs", "block_txs",
+                     "receipt_txs", "blocks"):
+            _force(out[name])
+        samples.append(time.perf_counter() - start)
+    return round(min(samples), 3)
 
 
 def main() -> None:
@@ -110,6 +160,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="scale_probe")
     timings: dict[str, dict[int, float]] = {n: {} for n in PROBE_QUERIES}
+    timings["keyed_assembly_replay"] = {}
     for k in factors:
         base = load_tables(spark, sf_dir)  # fresh views per factor
         t = scaled_tables(spark, base, k)
@@ -121,6 +172,7 @@ def main() -> None:
                 _force(CATALOG[name].build(spark, t))
                 samples.append(time.perf_counter() - start)
             timings[name][k] = round(min(samples), 3)
+        timings["keyed_assembly_replay"][k] = probe_keyed_assembly(spark, k)
     base_factor = factors[0]
     efficiency = {
         n: {
