@@ -222,3 +222,59 @@ def q_approx_topk_heavy_hitters(spark, t):
             F.coalesce("_ok", F.lit(True)).alias("approx_contains_strict_top"),
         )
     )
+
+
+@register(
+    "uniq_state_merge_rollup",
+    # Oracle pattern of the approx family: exact side + the sketch's
+    # CLAIM as a boolean. The claim here is MERGEABILITY — ClickHouse's
+    # uniqState/uniqMerge contract: per-hour HLL partials unioned to a
+    # day estimate must land within the sketch error bound of the exact
+    # day distinct (lgConfigK=12 -> rsd ~1.6%; 5% ~ 3 sigma). A merge
+    # regression (union over mismatched configs, lossy serialization)
+    # flips the boolean -> hash mismatch.
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day_idx,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS merge_within_5pct
+    FROM events GROUP BY 1, 2
+    """,
+    doc="ClickHouse uniqState/uniqMerge analog (AggregatingMergeTree "
+    "pre-aggregation): per-hour HyperLogLog partials (hll_sketch_agg — "
+    "Apache DataSketches, a serialized mergeable state like uniqState) "
+    "rolled up to per-day estimates via hll_union_agg (uniqMerge), "
+    "graded against the exact day distinct. THE 100 TB pattern for "
+    "repeated distinct-count dashboards: the raw stream is touched once "
+    "to build constant-size hourly partials; every coarser grain (day/"
+    "week/month, any late query) merges partials instead of rescanning — "
+    "the same reason the reference DDL leans on materialized rollups. "
+    "Two combiner-friendly shuffles (hour build, day merge), sketch "
+    "state is a few KB per group at any row count.",
+    tags=("analytics", "approx", "rollup"),
+)
+def q_uniq_state_merge_rollup(spark, t):
+    e = t["events"].select(
+        "event_type",
+        "user_id",
+        F.expr("(ts DIV 1000) DIV 3600000000").alias("hour_idx"),
+        F.expr("(ts DIV 1000) DIV 86400000000").alias("day_idx"),
+    )
+    hourly = e.groupBy("event_type", "hour_idx", "day_idx").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")  # the uniqState partial
+    )
+    merged = hourly.groupBy("event_type", "day_idx").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = e.groupBy("event_type", "day_idx").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(merged, ["event_type", "day_idx"]).select(
+        "event_type",
+        "day_idx",
+        "n_users_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("merge_within_5pct"),
+    )

@@ -275,3 +275,104 @@ def test_funnel_state_fn_handles_epoch_zero_events():
     assert list(out["reached_ts_us"]) == [0, 5, 9]
     starts, level = state.get
     assert level == 3 and starts[0] == 0
+
+
+def test_heavy_hitters_stream_matches_batch_topk(spark, events_stream_dir, tmp_path_factory):
+    """Online SpaceSaving with capacity >= distinct users per type: the
+    final (highest-seq) snapshot per event_type equals the exact batch
+    top-5 — same grading stance as the approx_topk_heavy_hitters oracle."""
+    from clickhouse_provider_spark.streaming import heavy_hitters
+
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_hh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        heavy_hitters.heavy_hitters_stream(stream, capacity=100_000, k=5)
+        .writeStream.format("memory")
+        .queryName("hh_snapshots")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snaps = spark.table("hh_snapshots")
+    assert snaps.count() > 0
+    from pyspark.sql.window import Window as W
+
+    w_seq = W.partitionBy("event_type").orderBy(F.desc("seq"))
+    final = (
+        snaps.withColumn("_r", F.dense_rank().over(w_seq))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    # exact summary -> zero error on every emitted row
+    assert final.filter(F.col("max_err") != 0).count() == 0
+
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    batch = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "rnk", "user_id", F.col("n_events").alias("est_count"))
+    )
+    got = final.select("event_type", "rnk", "user_id", "est_count")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_heavy_hitters_small_capacity_bounds():
+    """Tiny capacity forces evictions: the SpaceSaving invariants must
+    hold — est >= true, est - err <= true, and any item with true count
+    > N/capacity is present (driven directly through the state fn)."""
+    import pandas as pd
+
+    from clickhouse_provider_spark.streaming.heavy_hitters import _make_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # skewed stream: item 1 dominates, long tail of singletons
+    rows = [1] * 50 + list(range(100, 140)) + [1] * 30 + list(range(140, 170))
+    true = {i: rows.count(i) for i in set(rows)}
+    n = len(rows)
+    cap = 8
+    fn = _make_fn(cap, k=cap)
+    state = FakeState()
+    # two micro-batches to exercise state carry
+    out = []
+    for chunk in (rows[: n // 2], rows[n // 2:]):
+        pdf = pd.DataFrame({"user_id": chunk})
+        out = pd.concat(list(fn(("click",), iter([pdf]), state)))
+    items, counts, errs, seq = state.get
+    assert seq == 2 and len(items) <= cap
+    summary = dict(zip(items, zip(counts, errs)))
+    for item, (est, err) in summary.items():
+        t = true.get(item, 0)
+        assert est >= t, (item, est, t)
+        assert est - err <= t, (item, est, err, t)
+    # heavy-hitter guarantee: true count > N/capacity => present
+    for item, t in true.items():
+        if t > n / cap:
+            assert item in summary, (item, t)
+    # and the emitted snapshot ranks the dominant item first
+    assert out.sort_values("rnk").iloc[0]["user_id"] == 1
