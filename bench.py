@@ -58,6 +58,10 @@ HEADLINE = [
     "seq_match_user_paths",
     "argmax_latest_event",
     "pii_scrub_props",
+    # round-6: the approx-aggregate flagships (SpaceSaving topK analog,
+    # uniqState/uniqMerge HLL-partial rollup)
+    "approx_topk_heavy_hitters",
+    "uniq_state_merge_rollup",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
