@@ -278,3 +278,89 @@ def q_uniq_state_merge_rollup(spark, t):
             <= 0.05 * F.col("n_users_exact")
         ).alias("merge_within_5pct"),
     )
+
+
+@register(
+    "quantile_state_merge_rollup",
+    # Third member of the -State/-Merge family (uniq_state_merge_rollup's
+    # quantile sibling). The oracle grades the exact interpolated median
+    # (cross-engine exact: F.percentile == quantile_cont, see
+    # approx_value_quantiles) plus the merged sketch's CLAIM, expressed in
+    # RANK space (KLL's native guarantee): the number of day values at or
+    # below the merged estimate must put its rank within 0.5 +/- 0.05 of
+    # the group, with a +/-1-item slack so 1-2-row day groups (where any
+    # order statistic is >5% of the group away from rank 0.5) stay
+    # well-defined. Far looser than KLL k=200's ~1% rank error, so only
+    # a merge/serialization regression flips the boolean -> mismatch.
+    # (A value-space band — exact p45..p55 — is NOT robust: get_quantile
+    # returns an actual retained item, and for tiny groups that order
+    # statistic can sit outside the interpolated band.)
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 86400000000 AS day_idx,
+           quantile_cont(value, 0.5) AS p50_exact,
+           true AS merge_rank_within_5pct
+    FROM events GROUP BY 1, 2
+    """,
+    doc="ClickHouse quantileState/quantileMerge analog: per-hour KLL "
+    "sketch partials (kll_sketch_agg_double — Apache DataSketches, a "
+    "mergeable serialized state) folded to a per-day median estimate "
+    "with the pairwise kll_sketch_merge_double inside aggregate() over "
+    "the collected hour partials (bounded: <= 24 few-KB sketches per "
+    "fold), graded against the exact day median. Same 100 TB shape as "
+    "the uniq rollup: the raw stream is touched once at the finest "
+    "grain; every coarser grain merges constant-size partials. Two "
+    "combiner-friendly shuffles; the exact side exists to grade the "
+    "sketch.",
+    tags=("analytics", "approx", "rollup"),
+)
+def q_quantile_state_merge_rollup(spark, t):
+    e = t["events"].select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.expr("(ts DIV 1000) DIV 3600000000").alias("hour_idx"),
+        F.expr("(ts DIV 1000) DIV 86400000000").alias("day_idx"),
+    )
+    hourly = e.groupBy("event_type", "hour_idx", "day_idx").agg(
+        F.kll_sketch_agg_double("value").alias("_sk")  # quantileState
+    )
+    merged = (
+        hourly.groupBy("event_type", "day_idx")
+        .agg(F.collect_list("_sk").alias("_sks"))
+        .select(
+            "event_type",
+            "day_idx",
+            # quantileMerge: left fold of the hour partials
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "  aggregate(slice(_sks, 2, size(_sks) - 1), _sks[1],"
+                "            (acc, x) -> kll_sketch_merge_double(acc, x)),"
+                "  0.5d)"
+            ).alias("_est"),
+        )
+    )
+    # rank the estimate among the day's raw values (broadcast: one row
+    # per (event_type, day)) — n_le/n is the estimate's inclusive rank
+    ranked = (
+        e.join(F.broadcast(merged), ["event_type", "day_idx"])
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                (F.col("value") <= F.col("_est")).cast("long")
+            ).alias("_n_le"),
+            F.sum(
+                (F.col("value") < F.col("_est")).cast("long")
+            ).alias("_n_lt"),
+            F.percentile("value", 0.5).alias("p50_exact"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "day_idx",
+        "p50_exact",
+        (
+            (F.col("_n_le") >= 0.45 * F.col("_n") - 1)
+            & (F.col("_n_lt") <= 0.55 * F.col("_n") + 1)
+        ).alias("merge_rank_within_5pct"),
+    )
