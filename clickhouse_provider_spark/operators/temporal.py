@@ -246,6 +246,7 @@ def funnel_levels(
     order_col: str,
     stage_conds: Sequence[Column],
     window_us: int,
+    strict_increase: bool = False,
 ) -> DataFrame:
     """EXACT N-stage funnel (ClickHouse ``windowFunnel`` semantics, default
     mode): per key, the highest stage k such that SOME chain of events
@@ -266,6 +267,16 @@ def funnel_levels(
     window_us``. One shuffle on the key; N-1 window columns over the same
     sorted partition (a single Window exec, no extra exchanges).
 
+    ``strict_increase=True`` is ClickHouse's ``strict_increase`` mode:
+    adjacent chain events must have STRICTLY increasing timestamps (the
+    default mode lets same-``ts`` rows chain). The carry then reads the
+    previous stage's best start over a ``RANGE … 1 PRECEDING`` frame on
+    ``ts`` — rows with equal ``ts`` are excluded from the prefix, and the
+    composed-maxima argument is unchanged (a max over strictly-earlier
+    rows is still monotone in row order). The other two ClickHouse modes
+    (``strict_order``, ``strict_deduplication``) restart chains on
+    intervening events — a different recurrence, not offered here.
+
     Returns (key, level) — level in [1, N] for keys with at least one
     stage-1 event; keys with none are absent.
     """
@@ -275,11 +286,36 @@ def funnel_levels(
         .orderBy(ts, order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # strictly-earlier-ts prefix (range frame on the ts value): max over
+    # it = best previous-stage chain start among events the current row
+    # may legally follow under strict_increase
+    w_strict = (
+        W.partitionBy(key)
+        .orderBy(ts)
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
     df = events
     prev = F.when(stage_conds[0], F.col(ts))
     df = df.withColumn("__start_1", F.max(prev).over(w))
     for k in range(2, n + 1):
-        carried = F.when(stage_conds[k - 1], F.col(f"__start_{k - 1}"))
+        if strict_increase:
+            # c_{k-1}(e): start of the best (k-1)-chain ending exactly at
+            # e (stage-1: its own ts; else: cond_{k-1} gating the
+            # strictly-earlier best start computed one iteration ago);
+            # __q_{k-1} = max c_{k-1} over STRICTLY earlier ts. Carrying
+            # its running max (below) is sound because extending an
+            # earlier completion by the current row preserves strict
+            # increase (the tie can only be between the old and new k-th
+            # element, and the frame already excluded ties from the carry)
+            c_prev = (
+                prev
+                if k == 2
+                else F.when(stage_conds[k - 2], F.col(f"__q_{k - 2}"))
+            )
+            df = df.withColumn(f"__q_{k - 1}", F.max(c_prev).over(w_strict))
+            carried = F.when(stage_conds[k - 1], F.col(f"__q_{k - 1}"))
+        else:
+            carried = F.when(stage_conds[k - 1], F.col(f"__start_{k - 1}"))
         df = df.withColumn(f"__start_{k}", F.max(carried).over(w))
     # __start_k at a stage-k row e is the best chain start; levels:
     reached = [

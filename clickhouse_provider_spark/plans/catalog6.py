@@ -559,3 +559,83 @@ def q_window_funnel_exact(spark, t):
         ],
         window_us=7 * DAY_US,
     )
+
+
+@register(
+    "window_funnel_strict_increase",
+    # Same window-recurrence oracle as window_funnel_exact, with the
+    # carry read over a RANGE ... 1 PRECEDING frame on ts_us: rows with
+    # equal timestamps are excluded from the previous-stage prefix, which
+    # IS ClickHouse's strict_increase mode (adjacent chain events need
+    # strictly increasing timestamps). q_k = per-row best k-chain start
+    # over strictly earlier ts; s_k = running max of completions for the
+    # level check (extending an earlier completion by the current row
+    # preserves strict increase).
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), s1 AS (
+      SELECT *,
+        max(CASE WHEN event_type = 'signup' THEN ts_us END) OVER wr AS s_1,
+        max(CASE WHEN event_type = 'signup' THEN ts_us END) OVER wq AS q_1
+      FROM e WINDOW
+        wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wq AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s2 AS (
+      SELECT *,
+        max(CASE WHEN event_type = 'click' THEN q_1 END) OVER wr AS s_2,
+        max(CASE WHEN event_type = 'click' THEN q_1 END) OVER wq AS q_2
+      FROM s1 WINDOW
+        wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wq AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s3 AS (
+      SELECT *,
+        max(CASE WHEN event_type = 'purchase' THEN q_2 END) OVER wr AS s_3
+      FROM s2 WINDOW
+        wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'signup'
+                  AND ts_us - s_1 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN event_type = 'click'
+                  AND ts_us - s_2 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r2,
+        max(CASE WHEN event_type = 'purchase'
+                  AND ts_us - s_3 <= {7 * DAY_US} THEN 1 ELSE 0 END) AS r3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN r3 = 1 THEN 3 WHEN r2 = 1 THEN 2 ELSE 1 END AS INT) AS level
+    FROM r WHERE r1 = 1 OR r2 = 1 OR r3 = 1
+    """,
+    doc="windowFunnel in ClickHouse's strict_increase mode: same exact "
+    "composed-maxima recurrence as window_funnel_exact, but the "
+    "previous-stage carry reads a strictly-earlier-ts RANGE frame, so "
+    "same-timestamp events cannot chain. Still one shuffle on user_id; "
+    "the strict carry adds one range-frame window column per stage over "
+    "the same sorted partition. (The other ClickHouse modes — "
+    "strict_order / strict_deduplication — restart chains on intervening "
+    "events: a different recurrence, documented as not offered.)",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel_strict_increase(spark, t):
+    e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
+    from clickhouse_provider_spark.operators.temporal import funnel_levels
+
+    return funnel_levels(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_us=7 * DAY_US,
+        strict_increase=True,
+    )

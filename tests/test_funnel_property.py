@@ -133,3 +133,80 @@ def test_timed_chain_match_matches_brute_force(spark, users):
         ).collect()
     }
     assert got == expected
+
+
+def brute_force_level_strict(events: list[tuple[int, int, str]]) -> int:
+    """Strict-increase variant: chains additionally need STRICTLY
+    increasing timestamps between adjacent elements."""
+    rows = sorted(events)
+    best = 0
+    for k in range(1, len(STAGES) + 1):
+        for idxs in combinations(range(len(rows)), k):
+            if [rows[i][2] for i in idxs] != STAGES[:k]:
+                continue
+            if any(
+                rows[idxs[j + 1]][0] <= rows[idxs[j]][0]
+                for j in range(k - 1)
+            ):
+                continue
+            if rows[idxs[-1]][0] - rows[idxs[0]][0] <= WINDOW:
+                best = max(best, k)
+                break
+    return best
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_funnel_strict_increase_matches_brute_force(spark, users):
+    rows = []
+    expected = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        tagged = []
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            tagged.append((ts, eid, et))
+            eid += 1
+        lvl = brute_force_level_strict(tagged)
+        if lvl >= 1:
+            expected[uid] = lvl
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(
+            df,
+            key="user_id",
+            ts="ts_us",
+            order_col="event_id",
+            stage_conds=[F.col("event_type") == s for s in STAGES],
+            window_us=WINDOW,
+            strict_increase=True,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_funnel_strict_increase_blocks_same_ts_chain(spark):
+    # s@10, c@10, p@11: default mode chains all three (same-ts rows may
+    # chain); strict_increase stops at level 1 (c cannot follow s@10)
+    rows = [(1, 1, 10, "s"), (1, 2, 10, "c"), (1, 3, 11, "p")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    kw = dict(
+        key="user_id", ts="ts_us", order_col="event_id",
+        stage_conds=[F.col("event_type") == s for s in STAGES],
+        window_us=WINDOW,
+    )
+    assert funnel_levels(df, **kw).collect()[0]["level"] == 3
+    assert funnel_levels(df, **kw, strict_increase=True).collect()[0]["level"] == 1
+    # spreading the timestamps restores level 3 under strict mode
+    rows2 = [(2, 1, 10, "s"), (2, 2, 11, "c"), (2, 3, 12, "p")]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    assert funnel_levels(df2, **kw, strict_increase=True).collect()[0]["level"] == 3
