@@ -247,6 +247,7 @@ def funnel_levels(
     stage_conds: Sequence[Column],
     window_us: int,
     strict_increase: bool = False,
+    strict_order: bool = False,
 ) -> DataFrame:
     """EXACT N-stage funnel (ClickHouse ``windowFunnel`` semantics, default
     mode): per key, the highest stage k such that SOME chain of events
@@ -273,9 +274,21 @@ def funnel_levels(
     previous stage's best start over a ``RANGE … 1 PRECEDING`` frame on
     ``ts`` — rows with equal ``ts`` are excluded from the prefix, and the
     composed-maxima argument is unchanged (a max over strictly-earlier
-    rows is still monotone in row order). The other two ClickHouse modes
-    (``strict_order``, ``strict_deduplication``) restart chains on
-    intervening events — a different recurrence, not offered here.
+    rows is still monotone in row order).
+
+    ``strict_order=True`` is ClickHouse's ``strict_order`` mode: "don't
+    allow interventions of other events" — on A→B→D→C the chain stops at
+    D with level 2. Chain elements must therefore be CONSECUTIVE rows of
+    the key, which collapses the carry from a running max to ``lag(1)``:
+    ``c_k(e) = cond_k(e) ? c_{k-1}(previous row) : null`` — an
+    intervening row (noise, a repeated stage, anything not stage k)
+    carries null and kills the chain, while a fresh stage-1 row starts a
+    new one. Composable with ``strict_increase`` (the lag carry
+    additionally requires ``ts > previous row's ts``). The remaining
+    ClickHouse mode, ``strict_deduplication``, interrupts on a repeat of
+    an already-matched condition even when the repeat could start a
+    better chain — semantics tied to its scan implementation, not
+    offered here.
 
     Returns (key, level) — level in [1, N] for keys with at least one
     stage-1 event; keys with none are absent.
@@ -296,6 +309,37 @@ def funnel_levels(
     )
     df = events
     prev = F.when(stage_conds[0], F.col(ts))
+    if strict_order:
+        # consecutive-row chains: carry the previous ROW's chain start
+        w_lag = W.partitionBy(key).orderBy(ts, order_col)
+        df = df.withColumn("__start_1", prev)
+        for k in range(2, n + 1):
+            gate = stage_conds[k - 1]
+            if strict_increase:
+                gate = gate & (
+                    F.col(ts) > F.lag(F.col(ts), 1).over(w_lag)
+                )
+            df = df.withColumn(
+                f"__start_{k}",
+                F.when(gate, F.lag(F.col(f"__start_{k - 1}"), 1).over(w_lag)),
+            )
+        reached = [
+            F.max(
+                F.when(
+                    F.col(f"__start_{k}").isNotNull()
+                    & (F.col(ts) - F.col(f"__start_{k}") <= F.lit(window_us)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias(f"__r_{k}")
+            for k in range(1, n + 1)
+        ]
+        agg = df.groupBy(key).agg(*reached)
+        level = F.lit(0)
+        for k in range(1, n + 1):
+            level = F.when(F.col(f"__r_{k}") == 1, F.lit(k)).otherwise(level)
+        return agg.select(key, level.cast("int").alias("level")).filter(
+            F.col("level") >= 1
+        )
     df = df.withColumn("__start_1", F.max(prev).over(w))
     for k in range(2, n + 1):
         if strict_increase:

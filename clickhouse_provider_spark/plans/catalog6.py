@@ -639,3 +639,64 @@ def q_window_funnel_strict_increase(spark, t):
         window_us=7 * DAY_US,
         strict_increase=True,
     )
+
+
+@register(
+    "window_funnel_strict_order",
+    # Consecutive-row chains make the oracle a lag() cascade: c_k at a
+    # stage-k row is the PREVIOUS row's c_{k-1} (an intervening row of
+    # any other kind carries null and kills the chain). Same total order
+    # (ts_us, event_id) as the operator.
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), s1 AS (
+      SELECT *, CASE WHEN event_type = 'signup' THEN ts_us END AS c_1 FROM e
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                     THEN lag(c_1) OVER w END AS c_2
+      FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                     THEN lag(c_2) OVER w END AS c_3
+      FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), r AS (
+      SELECT user_id,
+        max(CASE WHEN c_1 IS NOT NULL AND ts_us - c_1 <= {7 * DAY_US}
+                 THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN c_2 IS NOT NULL AND ts_us - c_2 <= {7 * DAY_US}
+                 THEN 1 ELSE 0 END) AS r2,
+        max(CASE WHEN c_3 IS NOT NULL AND ts_us - c_3 <= {7 * DAY_US}
+                 THEN 1 ELSE 0 END) AS r3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(CASE WHEN r3 = 1 THEN 3 WHEN r2 = 1 THEN 2 ELSE 1 END AS INT) AS level
+    FROM r WHERE r1 = 1 OR r2 = 1 OR r3 = 1
+    """,
+    doc="windowFunnel in ClickHouse's strict_order mode ('don't allow "
+    "interventions of other events': on signup,click,X,purchase the "
+    "chain dies at X with level 2). Consecutive-row chains collapse the "
+    "composed-maxima carry to lag(1) — operators/temporal.funnel_levels"
+    "(strict_order=True): still one shuffle on user_id, a lag cascade "
+    "over one sorted partition, no self-joins. Property-tested against "
+    "brute-force contiguous-chain enumeration.",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel_strict_order(spark, t):
+    e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
+    from clickhouse_provider_spark.operators.temporal import funnel_levels
+
+    return funnel_levels(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_us=7 * DAY_US,
+        strict_order=True,
+    )

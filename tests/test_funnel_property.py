@@ -210,3 +210,75 @@ def test_funnel_strict_increase_blocks_same_ts_chain(spark):
         rows2, "user_id long, event_id long, ts_us long, event_type string"
     )
     assert funnel_levels(df2, **kw, strict_increase=True).collect()[0]["level"] == 3
+
+
+def brute_force_level_strict_order(events: list[tuple[int, int, str]]) -> int:
+    """strict_order: chain elements must be CONSECUTIVE rows in the
+    (ts, event_id) total order — any intervening row kills the chain."""
+    rows = sorted(events)
+    best = 0
+    for k in range(1, len(STAGES) + 1):
+        for i in range(len(rows) - k + 1):
+            seg = rows[i : i + k]
+            if [r[2] for r in seg] != STAGES[:k]:
+                continue
+            if seg[-1][0] - seg[0][0] <= WINDOW:
+                best = max(best, k)
+                break
+    return best
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_funnel_strict_order_matches_brute_force(spark, users):
+    rows = []
+    expected = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        tagged = []
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            tagged.append((ts, eid, et))
+            eid += 1
+        lvl = brute_force_level_strict_order(tagged)
+        if lvl >= 1:
+            expected[uid] = lvl
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    got = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(
+            df,
+            key="user_id",
+            ts="ts_us",
+            order_col="event_id",
+            stage_conds=[F.col("event_type") == s for s in STAGES],
+            window_us=WINDOW,
+            strict_order=True,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_funnel_strict_order_intervention_kills_chain(spark):
+    # the documented ClickHouse example: A -> B -> D -> C stops at D
+    rows = [(1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "x"), (1, 4, 3, "p")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    kw = dict(
+        key="user_id", ts="ts_us", order_col="event_id",
+        stage_conds=[F.col("event_type") == s for s in STAGES],
+        window_us=WINDOW,
+    )
+    assert funnel_levels(df, **kw).collect()[0]["level"] == 3  # default: ok
+    assert funnel_levels(df, **kw, strict_order=True).collect()[0]["level"] == 2
+    # a repeated stage is also an intervention: s,c,c,p stops at level 2
+    rows2 = [(2, 1, 0, "s"), (2, 2, 1, "c"), (2, 3, 2, "c"), (2, 4, 3, "p")]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    assert funnel_levels(df2, **kw, strict_order=True).collect()[0]["level"] == 2
