@@ -206,3 +206,52 @@ def timed_chain_match(
         F.max(F.col(f"__c_{n}")).isNotNull().alias("matched"),
         F.max(F.col(f"__c_{n}")).alias("completed_ts_us"),
     )
+
+
+def sequence_next_node(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    event_col: str,
+    stage_conds: list[Column],
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'first_match')``: per key,
+    the event value immediately AFTER the first (earliest in the
+    ``(ts, order_col)`` total order) occurrence of the stage conditions
+    matched by CONSECUTIVE events (sequenceNextNode chains adjacent
+    events, like windowFunnel's strict_order — an intervening row of any
+    other kind breaks the candidate chain).
+
+    Recurrence: boolean lag cascade ``m_1 = cond_1``,
+    ``m_k = cond_k AND lag(m_{k-1})`` — ``m_n`` marks chain-completion
+    rows; ``lead(event)`` at the earliest completion row is the next
+    node (null when the chain ends at the key's last event, as in
+    ClickHouse). One shuffle on the key, a lag/lead cascade over one
+    sorted partition, then a combiner-friendly ``min(struct(...))``
+    argmin — no self-joins, no per-key explosion.
+
+    Returns (key, next_node) for keys with at least one match.
+    """
+    n = len(stage_conds)
+    w_lag = W.partitionBy(key).orderBy(ts, order_col)
+    m = stage_conds[0]
+    for k in range(2, n + 1):
+        m = stage_conds[k - 1] & F.coalesce(
+            F.lag(m, 1).over(w_lag), F.lit(False)
+        )
+    out = (
+        df.withColumn("__m", m)
+        .withColumn("__nxt", F.lead(F.col(event_col), 1).over(w_lag))
+        .filter(F.col("__m"))
+        .groupBy(key)
+        # (ts, order_col) is a total order, so the struct-min is the
+        # unique earliest completion; __nxt rides along as payload
+        .agg(
+            F.min(
+                F.struct(F.col(ts), F.col(order_col), F.col("__nxt"))
+            ).alias("__first")
+        )
+        .select(key, F.col("__first.__nxt").alias("next_node"))
+    )
+    return out

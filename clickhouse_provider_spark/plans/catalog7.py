@@ -349,3 +349,52 @@ def q_seq_match_timed(spark, t):
         ],
         max_gaps_us=[2 * _DAY_US, 5 * _DAY_US],
     )
+
+
+@register(
+    "seq_next_node",
+    # Same lag/lead cascade in DuckDB over the same (ts_us, event_id)
+    # total order: m_2 marks rows completing a consecutive signup->click
+    # pair; the earliest completion's lead(event_type) is the next node
+    # (NULL when the pair ends the user's stream — kept, like ClickHouse).
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), m AS (
+      SELECT user_id, ts_us, event_id,
+             (event_type = 'click' AND coalesce(
+                lag(event_type = 'signup') OVER w, false)) AS m_2,
+             lead(event_type) OVER w AS nxt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id, nxt AS next_node
+    FROM m WHERE m_2
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) = 1
+    """,
+    doc="ClickHouse sequenceNextNode('forward','first_match') analog: per "
+    "user, the event type immediately after the first consecutive "
+    "signup->click pair (operators/sequence.sequence_next_node — boolean "
+    "lag cascade marks completions, lead() reads the next node, a "
+    "combiner-friendly min(struct) argmin picks the earliest; one "
+    "shuffle, one sorted partition pass, no self-joins). Null next_node "
+    "kept when the chain ends the stream, as in ClickHouse.",
+    tags=("analytics", "sequence"),
+)
+def q_seq_next_node(spark, t):
+    from clickhouse_provider_spark.operators.sequence import sequence_next_node
+
+    e = t["events"].select(
+        "user_id", ts_us().alias("ts_us"), "event_id", "event_type"
+    )
+    return sequence_next_node(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        event_col="event_type",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+        ],
+    )

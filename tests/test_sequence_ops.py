@@ -213,3 +213,29 @@ def test_timed_chain_one_event_cannot_fill_two_slots(spark):
     assert run([(3, 1, 0, "b"), (3, 2, 5, "b")]) == {3: True}
     # same-ts distinct rows still chain (gap 0)
     assert run([(4, 1, 7, "a"), (4, 2, 7, "b")]) == {4: True}
+
+
+def test_sequence_next_node_first_match_forward(spark):
+    from clickhouse_provider_spark.operators.sequence import sequence_next_node
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long, event_type string"
+        )
+        out = sequence_next_node(
+            df, key="user_id", ts="ts_us", order_col="event_id",
+            event_col="event_type",
+            stage_conds=[F.col("event_type") == "s", F.col("event_type") == "c"],
+        ).collect()
+        return {r["user_id"]: r["next_node"] for r in out}
+
+    # s,c,p: next node after the pair is p
+    assert run([(1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "p")]) == {1: "p"}
+    # intervening event breaks adjacency: s,x,c never matches
+    assert run([(2, 1, 0, "s"), (2, 2, 1, "x"), (2, 3, 2, "c")]) == {}
+    # FIRST match wins: s,c,a,s,c,b -> a (not b)
+    assert run(
+        [(3, i, i, t) for i, t in enumerate(["s", "c", "a", "s", "c", "b"])]
+    ) == {3: "a"}
+    # chain at end of stream -> null next node, row still emitted
+    assert run([(4, 1, 0, "s"), (4, 2, 1, "c")]) == {4: None}
