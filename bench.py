@@ -59,9 +59,14 @@ HEADLINE = [
     "argmax_latest_event",
     "pii_scrub_props",
     # round-6: the approx-aggregate flagships (SpaceSaving topK analog,
-    # uniqState/uniqMerge HLL-partial rollup)
+    # uniqState/uniqMerge HLL-partial and quantileState/KLL rollups) and
+    # the windowFunnel strict modes + sequenceNextNode
     "approx_topk_heavy_hitters",
     "uniq_state_merge_rollup",
+    "quantile_state_merge_rollup",
+    "window_funnel_strict_increase",
+    "window_funnel_strict_order",
+    "seq_next_node",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

@@ -330,10 +330,19 @@ def q_quantile_state_merge_rollup(spark, t):
         .select(
             "event_type",
             "day_idx",
-            # quantileMerge: left fold of the hour partials
+            # quantileMerge: left fold of the hour partials. NOTE the
+            # indexing conventions differ on purpose: element_at is
+            # 1-based (the FIRST sketch seeds the fold) while slice is
+            # also 1-based (from the 2nd element, size-1 long — empty
+            # for single-sketch groups). arr[i] bracket indexing is
+            # 0-BASED in Spark and was a bug here once: _sks[1] seeded
+            # with the SECOND sketch, dropping hour 1 — caught only when
+            # a 1-sketch group threw under ANSI mode; the error-bound
+            # claim had absorbed the distortion at sf0.01.
             F.expr(
                 "kll_sketch_get_quantile_double("
-                "  aggregate(slice(_sks, 2, size(_sks) - 1), _sks[1],"
+                "  aggregate(slice(_sks, 2, size(_sks) - 1),"
+                "            element_at(_sks, 1),"
                 "            (acc, x) -> kll_sketch_merge_double(acc, x)),"
                 "  0.5d)"
             ).alias("_est"),

@@ -44,3 +44,18 @@ def test_no_container_columns_in_oracle_checked_entries(spark, tables):
         f"driver's canonicalizer cannot hash: {offenders} — serialize them "
         "(array_join / array_to_string) or drop the oracle"
     )
+
+
+def test_quantile_merge_handles_single_sketch_groups(spark):
+    """Regression: the KLL fold seeds with element_at(_sks, 1) (1-based).
+    The 0-based _sks[1] bug dropped hour 1's sketch and THREW under ANSI
+    mode for groups with exactly one hourly partial — sf0.001 has such
+    groups, so building and checking the claim there pins both the
+    crash and the dropped-partial distortion."""
+    from clickhouse_provider_spark.plans import CATALOG
+    from clickhouse_provider_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    df = CATALOG["quantile_state_merge_rollup"].build(spark, t)
+    assert df.filter("NOT merge_rank_within_5pct").count() == 0
+    assert df.count() > 0
