@@ -26,7 +26,7 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
 #: The two entries that errored officially in round 5 (array-column
 #: canonicalizer kill), repaired this round — they lead the official

@@ -1,0 +1,157 @@
+"""ClickHouse idiom batch 8: the combinator / lambda-function surface a
+ClickHouse user reaches for daily, re-expressed as Catalyst-native
+expressions — `-If` aggregate combinators, array lambda functions
+(arrayMap / arrayFilter / arrayReduce / arrayExists), and dictionary
+lookups (dictGet / dictGetOrDefault).
+
+All three are map-side or broadcast shapes: the combinators fold into the
+same partial aggregation as their unconditional forms; the array lambdas
+run inside whole-stage codegen over the scan; the dictionary is a
+broadcast hash join — ClickHouse's in-RAM dictionary replica, Spark's
+broadcast exchange. Exactness rules follow plans/catalog.py (decimal
+sums; array folds are left-to-right in BOTH engines, so double folds over
+identical arrays are bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.plans.catalog import as_double, dec, register
+
+
+@register(
+    "conditional_aggregates",
+    # DuckDB's FILTER clause is the SQL-standard spelling of ClickHouse's
+    # -If combinators; Spark's is an aggregate over CASE/when. avgIf is
+    # computed as exact-decimal sumIf / countIf in both engines (catalog
+    # rule 3: never the engine's own avg over doubles).
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                       FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_discounted_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                       FILTER (WHERE l_discount > 0.05) AS DECIMAL(18,2))
+                AS DOUBLE)
+             / count(*) FILTER (WHERE l_discount > 0.05)
+             AS avg_discounted_price,
+           min(l_shipdate) FILTER (WHERE l_quantity > 40)
+             AS min_bulk_shipdate
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="ClickHouse -If aggregate combinators (countIf / sumIf / avgIf / "
+    "minIf) per line status: conditional aggregation without a "
+    "pre-filter, so one scan feeds every conditional branch. Spark form "
+    "is agg(when(...)) — identical partial-aggregation profile to the "
+    "unconditional aggregate (combiner-friendly, one shuffle); avgIf is "
+    "exact-decimal sumIf/countIf in both engines.",
+    tags=("analytics", "combinators"),
+)
+def q_conditional_aggregates(spark, t):
+    disc = F.col("l_discount") > 0.05
+    price_if = F.when(disc, dec("l_extendedprice"))
+    g = t["lineitem"].groupBy("l_linestatus").agg(
+        F.count(F.when(disc, F.lit(1))).alias("n_discounted"),
+        F.sum(price_if).cast("decimal(18,2)").alias("_sum"),
+        F.min(
+            F.when(F.col("l_quantity") > 40, F.col("l_shipdate"))
+        ).alias("min_bulk_shipdate"),
+    )
+    return g.select(
+        "l_linestatus",
+        "n_discounted",
+        as_double(F.col("_sum")).alias("sum_discounted_price"),
+        (as_double(F.col("_sum")) / F.col("n_discounted")).alias(
+            "avg_discounted_price"
+        ),
+        "min_bulk_shipdate",
+    )
+
+
+@register(
+    "array_lambda_ops",
+    # Spark's higher-order functions (transform/filter/aggregate/exists)
+    # == ClickHouse's arrayMap/arrayFilter/arrayReduce/arrayExists ==
+    # DuckDB's list_* family. The double fold is left-to-right over the
+    # SAME array in all engines -> bit-identical sums (no shuffle-order
+    # hazard: the fold never crosses rows).
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos,
+           list_reduce(list_prepend(0.0, list_transform(e, x -> x * x)),
+                       (acc, x) -> acc + x) AS sum_sq,
+           list_max(e) AS max_val,
+           EXISTS(FROM unnest(e) AS u(x) WHERE abs(x) > 2.0) AS has_large
+    FROM v
+    """,
+    doc="ClickHouse array lambda functions over the embedding column: "
+    "arrayFilter (count of positive components), arrayReduce('sum', "
+    "arrayMap(x -> x*x, e)) via a left-to-right fold, arrayMax, and "
+    "arrayExists — all as Spark higher-order functions inside "
+    "whole-stage codegen: map-only, zero shuffles, scales with the "
+    "scan. Per-row folds are order-pinned (array order), so double "
+    "arithmetic is cross-engine exact.",
+    tags=("analytics", "combinators"),
+)
+def q_array_lambda_ops(spark, t):
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(
+            F.transform(e, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.array_max(e).alias("max_val"),
+        F.exists(e, lambda x: F.abs(x) > F.lit(2.0)).alias("has_large"),
+    )
+
+
+@register(
+    "dict_get_enrich",
+    # The "dictionary" is nation restricted to keys < 20 so some lookups
+    # MISS and exercise the default path (dictGetOrDefault), not just the
+    # hit path.
+    oracle="""
+    WITH d AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20)
+    SELECT coalesce(d.n_name, 'UNKNOWN') AS nation_name,
+           count(*) AS n_customers,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS sum_acctbal
+    FROM customer c LEFT JOIN d ON c.c_nationkey = d.n_nationkey
+    GROUP BY 1
+    """,
+    doc="ClickHouse dictGet / dictGetOrDefault: enrich a fact row by key "
+    "lookup into an in-RAM dictionary, with a default for misses. The "
+    "Spark equivalent IS the broadcast hash join — the dim ships to "
+    "every executor exactly like a ClickHouse dictionary replica — plus "
+    "coalesce for the default. Broadcast pinned by hint; the fact table "
+    "never shuffles for the lookup (one shuffle only for the final "
+    "rollup).",
+    tags=("serving", "combinators"),
+)
+def q_dict_get_enrich(spark, t):
+    d = t["nation"].filter(F.col("n_nationkey") < 20).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        t["customer"]
+        .join(
+            F.broadcast(d),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .groupBy(F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            as_double(
+                F.sum(dec("c_acctbal")).cast("decimal(18,2)")
+            ).alias("sum_acctbal"),
+        )
+    )
