@@ -155,3 +155,114 @@ def q_dict_get_enrich(spark, t):
             ).alias("sum_acctbal"),
         )
     )
+
+
+@register(
+    "group_array_caps",
+    # groupArray(5) keeps the FIRST 5 in time order — list(... ORDER BY)
+    # + 1-based slice in DuckDB, array_sort(collect_list(struct)) + slice
+    # in Spark (same (ts_us, event_id) total order). Arrays are
+    # CSV-serialized (driver canonicalizer bans top-level containers);
+    # values render as DECIMAL(18,6) strings, identical in both engines.
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS event_kinds,
+           array_to_string(
+             list_transform(
+               (list(CAST(value AS DECIMAL(18,6))
+                     ORDER BY epoch_us(ts), event_id))[1:5],
+               x -> CAST(x AS VARCHAR)),
+             ',') AS first5_values
+    FROM events GROUP BY user_id
+    """,
+    doc="ClickHouse groupUniqArray + groupArray(N): per user, the sorted "
+    "distinct event kinds and the first 5 values in time order — "
+    "collect_list/collect_set with an order-pinning struct sort and a "
+    "cap, serialized for the driver. One combiner-friendly shuffle; the "
+    "cap bounds result width exactly like ClickHouse's "
+    "groupArray(max_size) bounds aggregate state.",
+    tags=("analytics", "combinators"),
+)
+def q_group_array_caps(spark, t):
+    e = t["events"].select(
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    g = e.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_kinds"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts_us", "event_id", "v"))
+                    ),
+                    1,
+                    5,
+                ),
+                lambda s: s["v"].cast("string"),
+            ),
+            ",",
+        ).alias("first5_values"),
+    )
+    return g
+
+
+@register(
+    "sum_map_props",
+    # sumMap: key-wise sums across rows of a map column. Both engines
+    # explode the map, sum per key EXACTLY (decimal), and re-serialize
+    # sorted 'key:sum' pairs — the canonical mergeable-map aggregation.
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, event_type AS k,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), s AS (
+      SELECT user_id, k, CAST(sum(v) AS DECIMAL(18,6)) AS sv
+      FROM kv GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(k || ':' || CAST(sv AS VARCHAR), ',' ORDER BY k)
+             AS value_sum_map
+    FROM s GROUP BY user_id
+    """,
+    doc="ClickHouse sumMap((k),(v)): key-wise sums of a map column across "
+    "rows — here map(event_type -> value) per user. Spark form: explode "
+    "to (key, value) pairs, exact decimal sums per (group, key), then "
+    "sort_array + concat back to the serialized map. Two "
+    "combiner-friendly shuffles (per-key partial sums, then per-group "
+    "re-assembly); per-key state is bounded by map-key cardinality, the "
+    "same bound ClickHouse's sumMap state has.",
+    tags=("analytics", "combinators"),
+)
+def q_sum_map_props(spark, t):
+    kv = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("k"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    s = kv.groupBy("user_id", "k").agg(
+        F.sum("v").cast("decimal(18,6)").alias("sv")
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("k", "sv"))
+                    ),
+                    lambda x: F.concat(
+                        x["k"], F.lit(":"), x["sv"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("value_sum_map")
+        )
+    )
