@@ -59,3 +59,20 @@ def test_quantile_merge_handles_single_sketch_groups(spark):
     df = CATALOG["quantile_state_merge_rollup"].build(spark, t)
     assert df.filter("NOT merge_rank_within_5pct").count() == 0
     assert df.count() > 0
+
+
+def test_parity_canon_rejects_list_cells_like_the_driver():
+    """tools/parity.canon must die on list-typed cells the same way the
+    official driver's raw-column sort does (round 5 shipped two blind
+    reds because the sim stringified rows first and hashed them fine)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tools.parity import canon
+
+    ok = pd.DataFrame({"a": [2, 1], "b": ["y", "x"]})
+    cols, rows = canon(ok)
+    assert cols == ["a", "b"] and len(rows) == 2
+    bad = pd.DataFrame({"a": [1, 2], "codes": [[1, 2], [3, 4]]})
+    with _pytest.raises(TypeError):
+        canon(bad)
