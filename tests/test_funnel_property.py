@@ -282,3 +282,24 @@ def test_funnel_strict_order_intervention_kills_chain(spark):
         rows2, "user_id long, event_id long, ts_us long, event_type string"
     )
     assert funnel_levels(df2, **kw, strict_order=True).collect()[0]["level"] == 2
+
+
+def test_funnel_strict_order_plus_increase_composition(spark):
+    # s@5,c@5,p@6 are consecutive rows: strict_order alone chains all
+    # three (ties may chain); adding strict_increase blocks the same-ts
+    # s->c step, capping the level at 1
+    rows = [(1, 1, 5, "s"), (1, 2, 5, "c"), (1, 3, 6, "p")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    kw = dict(
+        key="user_id", ts="ts_us", order_col="event_id",
+        stage_conds=[F.col("event_type") == s for s in STAGES],
+        window_us=WINDOW,
+    )
+    assert funnel_levels(df, **kw, strict_order=True).collect()[0]["level"] == 3
+    assert (
+        funnel_levels(df, **kw, strict_order=True, strict_increase=True)
+        .collect()[0]["level"]
+        == 1
+    )

@@ -50,6 +50,11 @@ PROBE_QUERIES = [
     "similarity_pq_topk",
     "window_funnel_exact",
     "hypertable_rollup_1h1d1w",
+    # round-6 approx family: the sketch sides must stay combiner-bound
+    # (constant per-group state) while their exact grading sides grow
+    "approx_topk_heavy_hitters",
+    "uniq_state_merge_rollup",
+    "quantile_state_merge_rollup",
 ]
 
 
