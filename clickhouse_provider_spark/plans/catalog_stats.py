@@ -373,3 +373,90 @@ def q_quantile_state_merge_rollup(spark, t):
             & (F.col("_n_lt") <= 0.55 * F.col("_n") + 1)
         ).alias("merge_rank_within_5pct"),
     )
+
+
+@register(
+    "theta_set_algebra",
+    # Approx-family grading stance: exact segment cardinalities plus the
+    # sketches' CLAIM booleans. Theta sketches (lgK=12 default) are in
+    # exact mode below ~4k distinct keys, so at the grading SF the
+    # estimates are exact and only an algebra/serialization regression
+    # can flip a boolean.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             bool_or(event_type = 'view') AS v,
+             bool_or(event_type = 'purchase') AS p
+      FROM events GROUP BY 1
+    )
+    SELECT count(*) FILTER (WHERE v) AS n_view_exact,
+           count(*) FILTER (WHERE p) AS n_purchase_exact,
+           count(*) FILTER (WHERE v AND p) AS n_both_exact,
+           count(*) FILTER (WHERE v AND NOT p) AS n_view_only_exact,
+           true AS intersect_within_5pct,
+           true AS difference_within_5pct
+    FROM u
+    """,
+    doc="ClickHouse uniqTheta set algebra (uniqThetaIntersect / "
+    "uniqThetaNot): distinct users who did BOTH view and purchase, and "
+    "view-but-never-purchase, estimated by intersecting / differencing "
+    "per-segment theta sketches (Apache DataSketches via "
+    "theta_sketch_agg + theta_intersection / theta_difference) and "
+    "graded against the exact per-user-flag rollup. THE pattern for "
+    "segment-overlap dashboards at 100 TB: each segment is sketched "
+    "once (combiner-bound, constant state), and any boolean combination "
+    "of segments is sketch algebra on few-KB objects instead of a "
+    "multi-way distinct join over the raw stream.",
+    tags=("analytics", "approx"),
+)
+def q_theta_set_algebra(spark, t):
+    e = t["events"].filter(F.col("event_type").isin("view", "purchase"))
+    sk = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("_sk")
+    )
+    v = sk.filter(F.col("event_type") == "view").select(
+        F.col("_sk").alias("_v")
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("_sk").alias("_p")
+    )
+    est = v.crossJoin(p).select(  # 1x1: two single-row sketch frames
+        F.theta_sketch_estimate(
+            F.expr("theta_intersection(_v, _p)")
+        ).alias("_both_est"),
+        F.theta_sketch_estimate(
+            F.expr("theta_difference(_v, _p)")
+        ).alias("_only_est"),
+    )
+    exact = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("_vf"),
+            F.max(F.col("event_type") == "purchase").alias("_pf"),
+        )
+        .agg(
+            F.count(F.when(F.col("_vf"), 1)).alias("n_view_exact"),
+            F.count(F.when(F.col("_pf"), 1)).alias("n_purchase_exact"),
+            F.count(
+                F.when(F.col("_vf") & F.col("_pf"), 1)
+            ).alias("n_both_exact"),
+            F.count(
+                F.when(F.col("_vf") & ~F.col("_pf"), 1)
+            ).alias("n_view_only_exact"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_view_exact",
+        "n_purchase_exact",
+        "n_both_exact",
+        "n_view_only_exact",
+        (
+            F.abs(F.col("_both_est") - F.col("n_both_exact"))
+            <= 0.05 * F.col("n_both_exact")
+        ).alias("intersect_within_5pct"),
+        (
+            F.abs(F.col("_only_est") - F.col("n_view_only_exact"))
+            <= 0.05 * F.col("n_view_only_exact")
+        ).alias("difference_within_5pct"),
+    )
