@@ -266,3 +266,29 @@ def q_sum_map_props(spark, t):
             ).alias("value_sum_map")
         )
     )
+
+
+@register(
+    "bitwise_aggregates",
+    # groupBitAnd/Or/Xor are order-independent exact integer folds, so
+    # they hash-match across engines with no special handling.
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS users_bit_and,
+           bit_or(user_id) AS users_bit_or,
+           bit_xor(event_id) AS events_bit_xor
+    FROM events GROUP BY event_type
+    """,
+    doc="ClickHouse groupBitAnd / groupBitOr / groupBitXor: bitwise "
+    "aggregate folds per group (bitmask intersection/union fingerprints, "
+    "xor checksums for set-equality probes). Associative, commutative, "
+    "constant-size state — fully combiner-friendly, one shuffle, exact "
+    "in both engines.",
+    tags=("analytics", "combinators"),
+)
+def q_bitwise_aggregates(spark, t):
+    return t["events"].groupBy("event_type").agg(
+        F.bit_and("user_id").alias("users_bit_and"),
+        F.bit_or("user_id").alias("users_bit_or"),
+        F.bit_xor("event_id").alias("events_bit_xor"),
+    )
