@@ -292,3 +292,86 @@ def q_bitwise_aggregates(spark, t):
         F.bit_or("user_id").alias("users_bit_or"),
         F.bit_xor("event_id").alias("events_bit_xor"),
     )
+
+
+@register(
+    "gap_fill_interpolate",
+    # Spine = full [min_day, max_day] range (global, deterministic);
+    # zero-fill counts, forward-fill the daily sum (WITH FILL
+    # INTERPOLATE's carry-forward). Sums are exact decimals cast to
+    # double BEFORE the fill, so the filled copies are bit-identical.
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             count(*) AS n,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+                  AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM d
+    ), spine AS (
+      SELECT t.event_type, g.day_idx
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_idx
+                  FROM bounds) g
+    )
+    SELECT s.event_type, s.day_idx,
+           coalesce(d.n, 0) AS n,
+           last_value(d.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_ffill
+    FROM spine s LEFT JOIN d USING (event_type, day_idx)
+    """,
+    doc="ClickHouse ORDER BY ... WITH FILL + INTERPOLATE: dense daily "
+    "time series per event type — missing days materialized from a "
+    "generated spine (sequence + explode), counts zero-filled, the "
+    "daily sum carried forward with last_value(ignoreNulls). Scale: the "
+    "spine is |types| x |days| (tiny vs the stream) broadcast against "
+    "the aggregated days, so the raw scan is touched once; the fill is "
+    "one window over the already-small result. The standard dashboard "
+    "densification step ClickHouse ships as a SELECT modifier.",
+    tags=("analytics", "timeseries"),
+)
+def q_gap_fill_interpolate(spark, t):
+    from pyspark.sql.window import Window as W
+
+    day = F.expr("(ts DIV 1000) DIV 86400000000")
+    d = t["events"].groupBy(
+        F.col("event_type"), day.alias("day_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)")
+        ).alias("sum_value"),
+    )
+    bounds = d.agg(
+        F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi")
+    )
+    spine = (
+        t["events"]
+        .select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("day_idx"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(d, ["event_type", "day_idx"], "left")
+        .select(
+            "event_type",
+            "day_idx",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True)
+            .over(w)
+            .alias("sum_value_ffill"),
+        )
+    )
