@@ -376,3 +376,59 @@ def test_heavy_hitters_small_capacity_bounds():
             assert item in summary, (item, t)
     # and the emitted snapshot ranks the dominant item first
     assert out.sort_values("rnk").iloc[0]["user_id"] == 1
+
+
+def test_heavy_hitters_stream_on_rocksdb_state_store(spark, events_stream_dir, tmp_path_factory):
+    """The SpaceSaving topK state machine must run unchanged on the
+    RocksDB state store provider (same final-snapshot == batch-top-5
+    equality as the default-provider test)."""
+    from clickhouse_provider_spark.streaming import heavy_hitters
+
+    src, ev = events_stream_dir
+    ckpt = str(tmp_path_factory.mktemp("ckpt_hh_rocks"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/chunk=0").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/chunk=*")
+        )
+        q = (
+            heavy_hitters.heavy_hitters_stream(stream, capacity=100_000, k=5)
+            .writeStream.format("memory")
+            .queryName("hh_snapshots_rocks")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    snaps = spark.table("hh_snapshots_rocks")
+    from pyspark.sql.window import Window as W
+
+    w_seq = W.partitionBy("event_type").orderBy(F.desc("seq"))
+    final = (
+        snaps.withColumn("_r", F.dense_rank().over(w_seq))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    w = W.partitionBy("event_type").orderBy(F.desc("n_events"), F.asc("user_id"))
+    batch = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "rnk", "user_id", F.col("n_events").alias("est_count"))
+    )
+    got = final.select("event_type", "rnk", "user_id", "est_count")
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
