@@ -219,9 +219,10 @@ def sequence_next_node(
     """ClickHouse ``sequenceNextNode('forward', 'first_match')``: per key,
     the event value immediately AFTER the first (earliest in the
     ``(ts, order_col)`` total order) occurrence of the stage conditions
-    matched by CONSECUTIVE events (sequenceNextNode chains adjacent
-    events, like windowFunnel's strict_order — an intervening row of any
-    other kind breaks the candidate chain).
+    matched by CONSECUTIVE events (sequenceNextNode compares adjacent
+    stored events — an intervening row of any other kind breaks the
+    candidate chain; note this is NOT windowFunnel strict_order, which
+    tracks per-stage slots and aborts the scan on interventions).
 
     Recurrence: boolean lag cascade ``m_1 = cond_1``,
     ``m_k = cond_k AND lag(m_{k-1})`` — ``m_n`` marks chain-completion

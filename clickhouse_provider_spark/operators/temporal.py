@@ -247,7 +247,6 @@ def funnel_levels(
     stage_conds: Sequence[Column],
     window_us: int,
     strict_increase: bool = False,
-    strict_order: bool = False,
 ) -> DataFrame:
     """EXACT N-stage funnel (ClickHouse ``windowFunnel`` semantics, default
     mode): per key, the highest stage k such that SOME chain of events
@@ -276,19 +275,13 @@ def funnel_levels(
     composed-maxima argument is unchanged (a max over strictly-earlier
     rows is still monotone in row order).
 
-    ``strict_order=True`` is ClickHouse's ``strict_order`` mode: "don't
-    allow interventions of other events" — on A→B→D→C the chain stops at
-    D with level 2. Chain elements must therefore be CONSECUTIVE rows of
-    the key, which collapses the carry from a running max to ``lag(1)``:
-    ``c_k(e) = cond_k(e) ? c_{k-1}(previous row) : null`` — an
-    intervening row (noise, a repeated stage, anything not stage k)
-    carries null and kills the chain, while a fresh stage-1 row starts a
-    new one. Composable with ``strict_increase`` (the lag carry
-    additionally requires ``ts > previous row's ts``). The remaining
-    ClickHouse mode, ``strict_deduplication``, interrupts on a repeat of
-    an already-matched condition even when the repeat could start a
-    better chain — semantics tied to its scan implementation, not
-    offered here.
+    The remaining ClickHouse modes — ``strict_order`` (scan dies at the
+    first non-matching event after the chain starts) and
+    ``strict_deduplication`` (scan dies when an already-matched condition
+    repeats) — are ORDER-DEPENDENT EARLY-EXIT semantics, not expressible
+    as the optimal-chain window recurrence; they live in
+    :func:`funnel_levels_scan`, a faithful port of ClickHouse's
+    single-slot scan.
 
     Returns (key, level) — level in [1, N] for keys with at least one
     stage-1 event; keys with none are absent.
@@ -309,37 +302,6 @@ def funnel_levels(
     )
     df = events
     prev = F.when(stage_conds[0], F.col(ts))
-    if strict_order:
-        # consecutive-row chains: carry the previous ROW's chain start
-        w_lag = W.partitionBy(key).orderBy(ts, order_col)
-        df = df.withColumn("__start_1", prev)
-        for k in range(2, n + 1):
-            gate = stage_conds[k - 1]
-            if strict_increase:
-                gate = gate & (
-                    F.col(ts) > F.lag(F.col(ts), 1).over(w_lag)
-                )
-            df = df.withColumn(
-                f"__start_{k}",
-                F.when(gate, F.lag(F.col(f"__start_{k - 1}"), 1).over(w_lag)),
-            )
-        reached = [
-            F.max(
-                F.when(
-                    F.col(f"__start_{k}").isNotNull()
-                    & (F.col(ts) - F.col(f"__start_{k}") <= F.lit(window_us)),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).alias(f"__r_{k}")
-            for k in range(1, n + 1)
-        ]
-        agg = df.groupBy(key).agg(*reached)
-        level = F.lit(0)
-        for k in range(1, n + 1):
-            level = F.when(F.col(f"__r_{k}") == 1, F.lit(k)).otherwise(level)
-        return agg.select(key, level.cast("int").alias("level")).filter(
-            F.col("level") >= 1
-        )
     df = df.withColumn("__start_1", F.max(prev).over(w))
     for k in range(2, n + 1):
         if strict_increase:
@@ -379,3 +341,132 @@ def funnel_levels(
     return agg.select(key, level.cast("int").alias("level")).filter(
         F.col("level") >= 1
     )
+
+
+def funnel_levels_scan(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    order_col: str,
+    stage_conds: Sequence[Column],
+    window_us: int,
+    strict_order: bool = False,
+    strict_deduplication: bool = False,
+    strict_increase: bool = False,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel`` via a faithful port of its single-pass
+    slot scan (public ClickHouse source,
+    ``AggregateFunctions/AggregateFunctionWindowFunnel.h::getEventLevel``),
+    for the ORDER-DEPENDENT EARLY-EXIT modes the optimal-chain window
+    recurrence of :func:`funnel_levels` cannot express:
+
+    - ``strict_order``: events matching NO condition are skipped until the
+      first stage-1 match, and ABORT the whole scan after it (no chain
+      restart: ``s,c,x,s,c,p`` → 2, ``s,x,s,c,p`` → 1). An event matching
+      condition k whose predecessor slot k-1 is still empty after the
+      chain has started also ends the scan, returning the current level
+      (``s,p,c`` → 1). Repeats of an already-matched condition are NOT
+      interventions — they re-advance from the tracked predecessor slot
+      (``s,c,c,p`` → 3), and chain events need not be consecutive rows.
+    - ``strict_deduplication``: when an event matches a condition k whose
+      slot is ALREADY filled, the scan returns ``k - 1`` (ClickHouse's
+      ``return events_list[i].second - 1`` — the level just below the
+      duplicated stage, which can be LOWER than the level already
+      reached: the repeat makes stage k's match non-unique, voiding it).
+      ``s,c,c,p`` → 1; stage-1 repeats never trigger it (the slot-0
+      refresh branch precedes the dedup check): ``s,s,c,p`` → 3.
+    - ``strict_increase`` composes as in ClickHouse: an advance also
+      requires ``ts`` strictly greater than the predecessor slot's last
+      event time.
+
+    Per key the scan keeps one ``(chain_first_ts, last_ts)`` pair per
+    stage; a stage-k event with slot k-1 filled and
+    ``ts - chain_first_ts <= window_us`` fills slot k (slots never expire
+    or clear, exactly as in ClickHouse); filling slot N returns N
+    immediately; otherwise the result is the number of lead slots filled.
+    A row matching several conditions is processed per condition in
+    ascending stage order (ClickHouse stores one events_list entry per
+    matched condition, pushed in condition order).
+
+    Execution: ``applyInPandas`` grouped by ``key`` — the same shape as
+    ClickHouse's own aggregate function (partial states per key, one
+    shuffle). The semantics are inherently sequential WITH early exit, so
+    a per-key linear scan is the right physical plan at any scale: one
+    hash shuffle on the key, Arrow-batched transfer of only
+    (ts, order, N bools) per row, O(events-per-key) work, constant state.
+    Rows are totally ordered by ``(ts, order_col)`` (ClickHouse sorts by
+    timestamp only — stable, insertion order breaking ties — so a
+    deterministic tiebreaker column is required for reproducibility on an
+    unordered distributed input).
+
+    Returns (key, level) with level in [1, N]; keys whose scan yields
+    level 0 are absent (matching :func:`funnel_levels`'s convention).
+    """
+    import pandas as pd
+
+    n = len(stage_conds)
+    proj = events.select(
+        F.col(key),
+        F.col(ts).cast("long").alias("__ts"),
+        F.col(order_col).alias("__ord"),
+        *[
+            F.coalesce(c.cast("boolean"), F.lit(False)).alias(f"__c{i}")
+            for i, c in enumerate(stage_conds)
+        ],
+    )
+    out_schema = (
+        proj.select(key).schema.add("level", "integer").simpleString()
+    )
+    window = int(window_us)
+
+    def _scan_one(tsv, conds) -> int:
+        slots: list = [None] * n  # per stage: (chain_first_ts, last_ts)
+        first_event = False
+        for i in range(len(tsv)):
+            t = int(tsv[i])
+            row = conds[i]
+            any_match = False
+            for j in range(n):
+                if not row[j]:
+                    continue
+                any_match = True
+                if j == 0:
+                    slots[0] = (t, t)
+                    first_event = True
+                elif strict_deduplication and slots[j] is not None:
+                    return j  # ClickHouse: events_list[i].second - 1
+                elif strict_order and first_event and slots[j - 1] is None:
+                    break_level = 0
+                    while break_level < n and slots[break_level] is not None:
+                        break_level += 1
+                    return break_level
+                elif slots[j - 1] is not None:
+                    first_ts, last_ts = slots[j - 1]
+                    ok = t <= first_ts + window
+                    if strict_increase:
+                        ok = ok and last_ts < t
+                    if ok:
+                        slots[j] = (first_ts, t)
+                        if j + 1 == n:
+                            return n
+            if strict_order and not any_match and first_event:
+                break
+        level = 0
+        while level < n and slots[level] is not None:
+            level += 1
+        return level
+
+    cnames = [f"__c{i}" for i in range(n)]
+
+    def _scan_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__ord"], kind="mergesort")
+        level = _scan_one(
+            pdf["__ts"].to_numpy(), pdf[cnames].to_numpy(dtype=bool)
+        )
+        if level < 1:
+            return pd.DataFrame({key: pdf[key].iloc[:0], "level": []})
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "level": pd.array([level], "int32")}
+        )
+
+    return proj.groupBy(key).applyInPandas(_scan_group, out_schema)

@@ -6,18 +6,19 @@ The correctness driver samples the FIRST 50 entries of ``queries()`` in
 insertion order, so the catalog is re-ordered after registration to put the
 entries that most need a fresh official row at the front:
 
-1. **Repaired this round** (``PRIORITY_REPAIRED``): round 6 repairs the two
-   entries that errored in round 5 — ``embedding_quantize_int8`` and
-   ``multimodal_feature_stats`` emitted top-level array columns the
-   driver's canonicalizer cannot sort (now CSV-serialized in both engines);
-   they are also the only two entries never officially hash-green.
+1. **Repaired this round** (``PRIORITY_REPAIRED``): round 7 reimplements
+   ``window_funnel_strict_order`` to ClickHouse's actual early-exit scan
+   semantics (the r6 green verified a divergent consecutive-rows
+   recurrence on both sides — see ADVICE r6); the entry and its oracle
+   both changed, so it needs a fresh official green under the new
+   semantics.
 2. **Never hash-green** (``PRIORITY_NEVER_GREEN``): entries that have never
    had an official ``hash_match: true`` row in any round (``no_oracle`` or
    out-of-window so far). Empty for round 6 — after r5, every other entry
    has been green at least once; brand-new entries land here automatically
    (absent from ``LAST_GREEN_ROUND``).
 3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
-   frozen from CORRECTNESS_r0{1..5}.json; ties keep insertion order) — so
+   frozen from CORRECTNESS_r0{1..6}.json; ties keep insertion order) — so
    long-unverified entries cycle back into the window before recently
    verified ones.
 
@@ -28,11 +29,12 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
 from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog_stats, llm_catalog, llm_catalog2  # noqa: F401  (register entries)
 
-#: The two entries that errored officially in round 5 (array-column
-#: canonicalizer kill), repaired this round — they lead the official
-#: window to get their first-ever official greens.
+#: Entries whose SEMANTICS changed this round (round 7:
+#: window_funnel_strict_order rebuilt to ClickHouse's early-exit scan per
+#: ADVICE r6 — implementation AND oracle replaced), so the r6 green no
+#: longer attests the current code; they lead the official window.
 PRIORITY_REPAIRED = (
-    "embedding_quantize_int8", "multimodal_feature_stats",
+    "window_funnel_strict_order",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
@@ -45,48 +47,63 @@ PRIORITY_NEVER_GREEN = ()
 #: Frozen so the rotation is deterministic and file-independent; refresh
 #: each round from the latest CORRECTNESS file.
 LAST_GREEN_ROUND = {
-    **{n: 2 for n in (
-        "chain_continuity", "cross_join_dims", "cube_sales", "date_parts",
-        "first_last_window", "grouping_sets_mixed", "in_subquery_nations",
-        "null_handling", "ordered_string_agg", "q10_returned_revenue",
-        "q14_promo_share", "q4_order_priority", "q6_forecast_revenue",
-        "q7_nation_volume", "rank_dense_percent", "regex_classify",
-    )},
     **{n: 4 for n in (
         "corpus_curation", "dedup_embedding_pairs", "dedup_exact",
-        "dedup_lsh_pairs", "dedup_lsh_verified", "dedup_minhash_signatures",
-        "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
-        "embedding_norms", "late_shipment_buckets", "low_card_in",
-        "needle_lookup", "per_group_counts", "point_lookup",
-        "price_qty_corr", "q11_important_parts", "q12_priority_lines",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_concentration", "q17_small_quantity_revenue",
-        "q18_large_volume_customers", "q19_disjunctive",
-        "q1_pricing_summary", "q20_dominant_suppliers",
-        "q21_waiting_suppliers", "q22_global_sales_opportunity",
-        "q2_min_price_part", "q8_market_share", "q9_product_profit",
-        "range_page", "range_scan", "similarity_topk", "text_contamination",
-        "text_fingerprint", "text_lang_id", "text_ngram_repetition",
-        "text_quality", "text_tfidf_top_terms", "text_token_rarity",
+        "dedup_lsh_pairs", "dedup_lsh_verified",
+        "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_survivors", "embedding_norms",
+        "price_qty_corr", "q11_important_parts",
+        "q16_supplier_concentration", "q20_dominant_suppliers",
+        "q22_global_sales_opportunity", "similarity_topk",
+        "text_contamination", "text_fingerprint", "text_lang_id",
+        "text_ngram_repetition", "text_quality",
+        "text_tfidf_top_terms", "text_token_rarity",
         "text_token_stats", "value_percentiles",
     )},
     **{n: 5 for n in (
-        "above_avg_orders", "anti_join_not_exists", "approx_distinct_users",
-        "approx_value_quantiles", "argmax_latest_event", "asof_last_purchase",
-        "bloom_runtime_semijoin", "daily_counts", "distinct_parts_per_flag",
-        "except_nations", "having_big_brands", "hypertable_rollup_1h1d1w",
+        "above_avg_orders", "anti_join_not_exists",
+        "approx_distinct_users", "approx_value_quantiles",
+        "argmax_latest_event", "asof_last_purchase",
+        "bloom_runtime_semijoin", "daily_counts",
+        "distinct_parts_per_flag", "except_nations",
+        "having_big_brands", "hypertable_rollup_1h1d1w",
         "intersect_nations", "json_props_stats", "latest_watermark",
-        "monthly_orders", "multimodal_frame_sample", "pii_scrub_props",
-        "pivot_priority_status", "price_buckets", "q3_shipping_priority",
-        "q5_regional_revenue", "range_frame_window", "range_join_1h_windows",
+        "monthly_orders", "multimodal_frame_sample",
+        "pii_scrub_props", "pivot_priority_status", "price_buckets",
+        "q3_shipping_priority", "q5_regional_revenue",
+        "range_frame_window", "range_join_1h_windows",
         "replacing_dedup", "retention_cohorts", "rollup_sales",
         "running_total", "sample_reservoir", "sample_stratified",
         "scd2_intervals", "semi_join_exists", "seq_match_timed",
         "seq_match_user_paths", "session_gaps", "similarity_ann_lsh",
-        "similarity_ivf_topk", "similarity_pq_topk", "sliding_event_counts",
-        "string_brand_stats", "time_range", "token_budget_selection",
-        "top3_per_group", "tumbling_event_counts", "user_history",
-        "user_sessions", "window_funnel", "window_funnel_exact",
+        "similarity_ivf_topk", "similarity_pq_topk",
+        "sliding_event_counts", "string_brand_stats", "time_range",
+        "token_budget_selection", "top3_per_group",
+        "tumbling_event_counts", "user_history", "user_sessions",
+        "window_funnel", "window_funnel_exact",
+    )},
+    **{n: 6 for n in (
+        "approx_topk_heavy_hitters", "array_lambda_ops",
+        "bitwise_aggregates", "chain_continuity",
+        "conditional_aggregates", "cross_join_dims", "cube_sales",
+        "date_parts", "dict_get_enrich", "embedding_quantize_int8",
+        "first_last_window", "gap_fill_interpolate",
+        "group_array_caps", "grouping_sets_mixed",
+        "in_subquery_nations", "late_shipment_buckets", "low_card_in",
+        "multimodal_feature_stats", "needle_lookup", "null_handling",
+        "ordered_string_agg", "per_group_counts", "point_lookup",
+        "q10_returned_revenue", "q12_priority_lines",
+        "q13_customer_distribution", "q14_promo_share",
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_disjunctive",
+        "q1_pricing_summary", "q21_waiting_suppliers",
+        "q2_min_price_part", "q4_order_priority",
+        "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+        "q9_product_profit", "quantile_state_merge_rollup",
+        "range_page", "range_scan", "rank_dense_percent",
+        "regex_classify", "seq_next_node", "sum_map_props",
+        "theta_set_algebra", "uniq_state_merge_rollup",
+        "window_funnel_strict_increase", "window_funnel_strict_order",
     )},
 }
 

@@ -618,8 +618,9 @@ def q_window_funnel_exact(spark, t):
     "same-timestamp events cannot chain. Still one shuffle on user_id; "
     "the strict carry adds one range-frame window column per stage over "
     "the same sorted partition. (The other ClickHouse modes — "
-    "strict_order / strict_deduplication — restart chains on intervening "
-    "events: a different recurrence, documented as not offered.)",
+    "strict_order / strict_deduplication — are order-dependent early-exit "
+    "scans: see window_funnel_strict_order / window_funnel_strict_dedup, "
+    "operators/temporal.funnel_levels_scan.)",
     tags=("analytics", "behavioral"),
 )
 def q_window_funnel_strict_increase(spark, t):
@@ -643,51 +644,83 @@ def q_window_funnel_strict_increase(spark, t):
 
 @register(
     "window_funnel_strict_order",
-    # Consecutive-row chains make the oracle a lag() cascade: c_k at a
-    # stage-k row is the PREVIOUS row's c_{k-1} (an intervening row of
-    # any other kind carries null and kills the chain). Same total order
-    # (ts_us, event_id) as the operator.
+    # The oracle replays ClickHouse's single-slot scan as a recursive CTE:
+    # per user the recursion walks rows in (ts_us, event_id) order carrying
+    # (f1, f2) = chain-first timestamps of filled slots, `started`, and a
+    # stop flag — stop_kind 1 = early exit (a non-matching event after the
+    # chain started, or a stage event whose predecessor slot is empty,
+    # returning the old prefix level), stop_kind 2 = completion (level 3).
+    # Final answer = lvl of each user's last emitted state (arg_max by rn).
+    # A genuinely independent encoding of the same machine the Spark side
+    # runs (sequential pandas scan vs set-based recursion).
     oracle=f"""
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
-    ), s1 AS (
-      SELECT *, CASE WHEN event_type = 'signup' THEN ts_us END AS c_1 FROM e
-    ), s2 AS (
-      SELECT *, CASE WHEN event_type = 'click'
-                     THEN lag(c_1) OVER w END AS c_2
-      FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    ), s3 AS (
-      SELECT *, CASE WHEN event_type = 'purchase'
-                     THEN lag(c_2) OVER w END AS c_3
-      FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    ), r AS (
-      SELECT user_id,
-        max(CASE WHEN c_1 IS NOT NULL AND ts_us - c_1 <= {7 * DAY_US}
-                 THEN 1 ELSE 0 END) AS r1,
-        max(CASE WHEN c_2 IS NOT NULL AND ts_us - c_2 <= {7 * DAY_US}
-                 THEN 1 ELSE 0 END) AS r2,
-        max(CASE WHEN c_3 IS NOT NULL AND ts_us - c_3 <= {7 * DAY_US}
-                 THEN 1 ELSE 0 END) AS r3
-      FROM s3 GROUP BY user_id
+    WITH RECURSIVE e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS stage,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), scan AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS f1,
+             CAST(NULL AS BIGINT) AS f2, FALSE AS started,
+             FALSE AS stopped, 0 AS lvl
+      FROM (SELECT DISTINCT user_id FROM e)
+      UNION ALL
+      SELECT user_id, rn, f1n, f2n, started_n,
+             stop_kind > 0,
+             CASE WHEN stop_kind = 2 THEN 3
+                  WHEN stop_kind = 1 THEN old_lvl
+                  WHEN f2n IS NOT NULL THEN 2
+                  WHEN f1n IS NOT NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT user_id, rn, stop_kind,
+               CASE WHEN stop_kind > 0 THEN f1
+                    WHEN stage = 1 THEN ts_us ELSE f1 END AS f1n,
+               CASE WHEN stop_kind > 0 THEN f2
+                    WHEN stage = 2 AND f1 IS NOT NULL
+                         AND ts_us - f1 <= {7 * DAY_US} THEN f1
+                    ELSE f2 END AS f2n,
+               (started OR stage = 1) AS started_n,
+               CASE WHEN f2 IS NOT NULL THEN 2
+                    WHEN f1 IS NOT NULL THEN 1 ELSE 0 END AS old_lvl
+        FROM (
+          SELECT s.user_id, e.rn, e.stage, e.ts_us, s.f1, s.f2, s.started,
+                 CASE WHEN e.stage = 0 AND s.started THEN 1
+                      WHEN e.stage = 2 AND s.started AND s.f1 IS NULL THEN 1
+                      WHEN e.stage = 3 AND s.started AND s.f2 IS NULL THEN 1
+                      WHEN e.stage = 3 AND s.f2 IS NOT NULL
+                           AND e.ts_us - s.f2 <= {7 * DAY_US} THEN 2
+                      ELSE 0 END AS stop_kind
+          FROM scan s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          WHERE NOT s.stopped
+        )
+      )
     )
-    SELECT user_id,
-           CAST(CASE WHEN r3 = 1 THEN 3 WHEN r2 = 1 THEN 2 ELSE 1 END AS INT) AS level
-    FROM r WHERE r1 = 1 OR r2 = 1 OR r3 = 1
+    SELECT user_id, CAST(lvl AS INT) AS level
+    FROM (SELECT user_id, arg_max(lvl, rn) AS lvl FROM scan GROUP BY user_id)
+    WHERE lvl >= 1
     """,
     doc="windowFunnel in ClickHouse's strict_order mode ('don't allow "
-    "interventions of other events': on signup,click,X,purchase the "
-    "chain dies at X with level 2). Consecutive-row chains collapse the "
-    "composed-maxima carry to lag(1) — operators/temporal.funnel_levels"
-    "(strict_order=True): still one shuffle on user_id, a lag cascade "
-    "over one sorted partition, no self-joins. Property-tested against "
-    "brute-force contiguous-chain enumeration.",
+    "interventions of other events'): the whole scan aborts at the first "
+    "non-matching event after the chain starts (signup,click,X,purchase "
+    "dies at X with level 2 — no chain restart after X), and an "
+    "out-of-order stage event with an unfilled predecessor slot ends the "
+    "scan at the current level; repeats of an already-matched stage are "
+    "NOT interventions (signup,click,click,purchase still reaches 3). "
+    "operators/temporal.funnel_levels_scan — a faithful port of "
+    "ClickHouse's getEventLevel slot scan via applyInPandas: one shuffle "
+    "on user_id, Arrow-batched linear scan per key with early exit, "
+    "constant state. Differentially tested against a plain-python port "
+    "(tests/test_funnel_property.py); oracle = the same machine as a "
+    "recursive CTE.",
     tags=("analytics", "behavioral"),
 )
 def q_window_funnel_strict_order(spark, t):
     e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
-    from clickhouse_provider_spark.operators.temporal import funnel_levels
+    from clickhouse_provider_spark.operators.temporal import funnel_levels_scan
 
-    return funnel_levels(
+    return funnel_levels_scan(
         e,
         key="user_id",
         ts="ts_us",
@@ -699,4 +732,100 @@ def q_window_funnel_strict_order(spark, t):
         ],
         window_us=7 * DAY_US,
         strict_order=True,
+    )
+
+
+@register(
+    "window_funnel_strict_dedup",
+    # Same recursive-CTE replay of ClickHouse's slot scan, dedup variant
+    # over a 4-stage funnel: a repeat of an already-matched stage k (k>=2;
+    # stage-1 repeats just refresh slot 0, which ClickHouse handles BEFORE
+    # the dedup check) stops the scan returning k-1 — ClickHouse's
+    # `return events_list[i].second - 1`, which can be LOWER than the
+    # level already reached (the repeat voids stage k's match). stop_kind
+    # 2 = completion (level 4). Non-matching events are never stored in
+    # non-strict_order modes, so e filters stage > 0 before numbering.
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, ts_us, stage,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'click' THEN 3 WHEN 'purchase' THEN 4
+                    ELSE 0 END AS stage
+        FROM events
+      ) WHERE stage > 0
+    ), scan AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS f1,
+             CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS f3,
+             FALSE AS stopped, 0 AS lvl
+      FROM (SELECT DISTINCT user_id FROM e)
+      UNION ALL
+      SELECT user_id, rn, f1n, f2n, f3n,
+             stop_kind > 0,
+             CASE WHEN stop_kind = 2 THEN 4
+                  WHEN stop_kind = 1 THEN ret_lvl
+                  WHEN f3n IS NOT NULL THEN 3
+                  WHEN f2n IS NOT NULL THEN 2
+                  WHEN f1n IS NOT NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT user_id, rn, stop_kind, ret_lvl,
+               CASE WHEN stop_kind > 0 THEN f1
+                    WHEN stage = 1 THEN ts_us ELSE f1 END AS f1n,
+               CASE WHEN stop_kind > 0 THEN f2
+                    WHEN stage = 2 AND f1 IS NOT NULL
+                         AND ts_us - f1 <= {7 * DAY_US} THEN f1
+                    ELSE f2 END AS f2n,
+               CASE WHEN stop_kind > 0 THEN f3
+                    WHEN stage = 3 AND f2 IS NOT NULL
+                         AND ts_us - f2 <= {7 * DAY_US} THEN f2
+                    ELSE f3 END AS f3n
+        FROM (
+          SELECT s.user_id, e.rn, e.stage, e.ts_us, s.f1, s.f2, s.f3,
+                 CASE WHEN e.stage = 2 AND s.f2 IS NOT NULL THEN 1
+                      WHEN e.stage = 3 AND s.f3 IS NOT NULL THEN 1
+                      WHEN e.stage = 4 AND s.f3 IS NOT NULL
+                           AND e.ts_us - s.f3 <= {7 * DAY_US} THEN 2
+                      ELSE 0 END AS stop_kind,
+                 e.stage - 1 AS ret_lvl
+          FROM scan s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          WHERE NOT s.stopped
+        )
+      )
+    )
+    SELECT user_id, CAST(lvl AS INT) AS level
+    FROM (SELECT user_id, arg_max(lvl, rn) AS lvl FROM scan GROUP BY user_id)
+    WHERE lvl >= 1
+    """,
+    doc="windowFunnel in ClickHouse's strict_deduplication mode over a "
+    "4-stage funnel (signup→view→click→purchase, 7-day window): a repeat "
+    "of an already-matched stage k interrupts the scan and returns k-1 "
+    "(ClickHouse's documented 'repeating event interrupts further "
+    "processing'; the return value is the level just below the "
+    "duplicated stage, which can undercut the level already reached — "
+    "signup,click,click,purchase on a 3-stage funnel yields 1, not 2). "
+    "Stage-1 repeats never trigger it. Same applyInPandas slot scan as "
+    "window_funnel_strict_order; oracle = the machine as a recursive "
+    "CTE over the stage>0 event subsequence.",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel_strict_dedup(spark, t):
+    e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
+    from clickhouse_provider_spark.operators.temporal import funnel_levels_scan
+
+    return funnel_levels_scan(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_us=7 * DAY_US,
+        strict_deduplication=True,
     )

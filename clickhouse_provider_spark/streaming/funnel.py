@@ -44,6 +44,14 @@ FUNNEL_SCHEMA = T.StructType(
 #: starting at epoch 0 are tracked correctly — the batch form treats
 #: "not seen" as NULL and has no sentinel at all), plus the highest
 #: level already emitted.
+#:
+#: CHECKPOINT COMPATIBILITY: the "not yet seen" sentinel changed from 0
+#: to -1 (round 6) without a change to STATE_SCHEMA itself, so Spark
+#: will happily restore checkpoints written under the old encoding and
+#: reinterpret a stored 0 as a real chain start at epoch 0, which can
+#: emit spurious level upgrades after restart. Treat the sentinel change
+#: as a state-format version bump: resume only from a fresh
+#: checkpointLocation.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("starts", T.ArrayType(T.LongType())),

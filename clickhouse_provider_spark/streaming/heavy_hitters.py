@@ -77,17 +77,27 @@ def _make_fn(capacity: int, k: int):
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            # SpaceSaving merge of the batch's pre-aggregated counts
-            for item, c in pdf["user_id"].value_counts().items():
+            # SpaceSaving merge of the batch's pre-aggregated counts,
+            # folded in fixed (count desc, item) order so the result is a
+            # function of the batch's multiset alone — intra-partition row
+            # order is not stable across task retries, and without the
+            # sort the eviction victim at capacity overflow would depend
+            # on arrival order of distinct items
+            batch_counts = pdf["user_id"].value_counts()
+            for item, c in sorted(
+                batch_counts.items(), key=lambda kv: (-kv[1], kv[0])
+            ):
                 item, c = int(item), int(c)
                 if item in summary:
                     summary[item][0] += c
                 elif len(summary) < capacity:
                     summary[item] = [c, 0]
                 else:
-                    # evict the minimum estimate (ties -> smallest item,
-                    # deterministic under replay); the newcomer inherits
-                    # it as floor and error
+                    # evict the minimum estimate (ties -> smallest item);
+                    # with the sorted fold above, replaying an identical
+                    # batch always evicts the same victims and yields an
+                    # identical state; the newcomer inherits the evicted
+                    # estimate as floor and error
                     evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
                     mc = evict[1][0]
                     del summary[evict[0]]

@@ -11,7 +11,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from clickhouse_provider_spark.operators.temporal import funnel_levels
+from clickhouse_provider_spark.operators.temporal import (
+    funnel_levels,
+    funnel_levels_scan,
+)
 
 STAGES = ["s", "c", "p"]
 WINDOW = 10
@@ -212,60 +215,116 @@ def test_funnel_strict_increase_blocks_same_ts_chain(spark):
     assert funnel_levels(df2, **kw, strict_increase=True).collect()[0]["level"] == 3
 
 
-def brute_force_level_strict_order(events: list[tuple[int, int, str]]) -> int:
-    """strict_order: chain elements must be CONSECUTIVE rows in the
-    (ts, event_id) total order — any intervening row kills the chain."""
-    rows = sorted(events)
-    best = 0
-    for k in range(1, len(STAGES) + 1):
-        for i in range(len(rows) - k + 1):
-            seg = rows[i : i + k]
-            if [r[2] for r in seg] != STAGES[:k]:
-                continue
-            if seg[-1][0] - seg[0][0] <= WINDOW:
-                best = max(best, k)
+def reference_scan_level(
+    events: list[tuple[int, int, str]],
+    strict_order: bool = False,
+    strict_dedup: bool = False,
+    strict_increase: bool = False,
+) -> int:
+    """Plain-python transliteration of ClickHouse's getEventLevel slot
+    scan (AggregateFunctionWindowFunnel.h) — a differential twin for the
+    Arrow applyInPandas implementation (dict-of-slots scan over tuples vs
+    vectorized grouped numpy scan), plus the pinned concrete ClickHouse
+    cases below. Events are (ts, event_id, type)."""
+    n = len(STAGES)
+    slots: dict[int, tuple[int, int]] = {}
+    first = False
+    for t, _eid, et in sorted(events):
+        stage = STAGES.index(et) + 1 if et in STAGES else 0
+        if stage == 0:
+            if strict_order and first:
                 break
-    return best
+            continue
+        j = stage - 1
+        if j == 0:
+            slots[0] = (t, t)
+            first = True
+        elif strict_dedup and j in slots:
+            return j  # ClickHouse: events_list[i].second - 1
+        elif strict_order and first and (j - 1) not in slots:
+            lvl = 0
+            while lvl in slots:
+                lvl += 1
+            return lvl
+        elif (j - 1) in slots:
+            ft, lt = slots[j - 1]
+            if t <= ft + WINDOW and (not strict_increase or lt < t):
+                slots[j] = (ft, t)
+                if stage == n:
+                    return n
+    lvl = 0
+    while lvl in slots:
+        lvl += 1
+    return lvl
 
 
-@settings(max_examples=6, deadline=None)
-@given(st.lists(user_events, min_size=1, max_size=12))
-def test_funnel_strict_order_matches_brute_force(spark, users):
-    rows = []
-    expected = {}
-    eid = 0
-    for uid, evs in enumerate(users):
-        tagged = []
-        for ts, et in evs:
-            rows.append((uid, eid, ts, et))
-            tagged.append((ts, eid, et))
-            eid += 1
-        lvl = brute_force_level_strict_order(tagged)
-        if lvl >= 1:
-            expected[uid] = lvl
-    if not rows:
-        return
+def _scan_levels(spark, rows, **mode):
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts_us long, event_type string"
     )
-    got = {
+    return {
         r["user_id"]: r["level"]
-        for r in funnel_levels(
+        for r in funnel_levels_scan(
             df,
             key="user_id",
             ts="ts_us",
             order_col="event_id",
             stage_conds=[F.col("event_type") == s for s in STAGES],
             window_us=WINDOW,
-            strict_order=True,
+            **mode,
         ).collect()
     }
-    assert got == expected
 
 
-def test_funnel_strict_order_intervention_kills_chain(spark):
-    # the documented ClickHouse example: A -> B -> D -> C stops at D
-    rows = [(1, 1, 0, "s"), (1, 2, 1, "c"), (1, 3, 2, "x"), (1, 4, 3, "p")]
+@settings(max_examples=4, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_funnel_scan_modes_match_reference(spark, users):
+    rows = []
+    tagged = {}
+    eid = 0
+    for uid, evs in enumerate(users):
+        tagged[uid] = []
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            tagged[uid].append((ts, eid, et))
+            eid += 1
+    if not rows:
+        return
+    for mode in (
+        dict(strict_order=True),
+        dict(strict_deduplication=True),
+        dict(strict_order=True, strict_increase=True),
+        dict(strict_order=True, strict_deduplication=True),
+    ):
+        ref_mode = dict(
+            strict_order=mode.get("strict_order", False),
+            strict_dedup=mode.get("strict_deduplication", False),
+            strict_increase=mode.get("strict_increase", False),
+        )
+        expected = {
+            uid: lvl
+            for uid, evs in tagged.items()
+            if (lvl := reference_scan_level(evs, **ref_mode)) >= 1
+        }
+        assert _scan_levels(spark, rows, **mode) == expected, mode
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(user_events, min_size=1, max_size=12))
+def test_funnel_scan_default_equals_window_recurrence(spark, users):
+    """ClickHouse's slot scan without strict flags computes the same
+    levels as the optimal-chain window recurrence of funnel_levels — two
+    completely different algorithms (sequential single-slot overwrite vs
+    composed window maxima), so agreement over random streams is strong
+    evidence for both."""
+    rows = []
+    eid = 0
+    for uid, evs in enumerate(users):
+        for ts, et in evs:
+            rows.append((uid, eid, ts, et))
+            eid += 1
+    if not rows:
+        return
     df = spark.createDataFrame(
         rows, "user_id long, event_id long, ts_us long, event_type string"
     )
@@ -274,32 +333,71 @@ def test_funnel_strict_order_intervention_kills_chain(spark):
         stage_conds=[F.col("event_type") == s for s in STAGES],
         window_us=WINDOW,
     )
-    assert funnel_levels(df, **kw).collect()[0]["level"] == 3  # default: ok
-    assert funnel_levels(df, **kw, strict_order=True).collect()[0]["level"] == 2
-    # a repeated stage is also an intervention: s,c,c,p stops at level 2
-    rows2 = [(2, 1, 0, "s"), (2, 2, 1, "c"), (2, 3, 2, "c"), (2, 4, 3, "p")]
-    df2 = spark.createDataFrame(
-        rows2, "user_id long, event_id long, ts_us long, event_type string"
-    )
-    assert funnel_levels(df2, **kw, strict_order=True).collect()[0]["level"] == 2
+    for strict in (False, True):
+        via_window = {
+            r["user_id"]: r["level"]
+            for r in funnel_levels(df, **kw, strict_increase=strict).collect()
+        }
+        via_scan = {
+            r["user_id"]: r["level"]
+            for r in funnel_levels_scan(df, **kw, strict_increase=strict).collect()
+        }
+        assert via_scan == via_window, f"strict_increase={strict}"
+
+
+def test_funnel_strict_order_clickhouse_cases(spark):
+    # The documented ClickHouse strict_order semantics: the scan ABORTS at
+    # the first non-matching event after the chain starts — no restart.
+    cases = [
+        # s,c,x,s,c,p: x kills the whole scan -> level 2 (not 3)
+        ([(0, "s"), (1, "c"), (2, "x"), (3, "s"), (4, "c"), (5, "p")], 2),
+        # s,x,s,c,p: x right after the first s ends the scan -> level 1
+        ([(0, "s"), (1, "x"), (2, "s"), (3, "c"), (4, "p")], 1),
+        # s,c,c,p: a repeated matched stage is NOT an intervention -> 3
+        ([(0, "s"), (1, "c"), (2, "c"), (3, "p")], 3),
+        # s,p,c: p's predecessor slot is empty -> scan ends at level 1
+        ([(0, "s"), (1, "p"), (2, "c")], 1),
+        # x,x,s,c,p: non-matching events BEFORE the chain are skipped
+        ([(0, "x"), (1, "x"), (2, "s"), (3, "c"), (4, "p")], 3),
+    ]
+    rows = [
+        (uid, eid, ts, et)
+        for uid, (evs, _) in enumerate(cases)
+        for eid, (ts, et) in enumerate(evs)
+    ]
+    expected = {uid: lvl for uid, (_, lvl) in enumerate(cases)}
+    assert _scan_levels(spark, rows, strict_order=True) == expected
+
+
+def test_funnel_strict_dedup_clickhouse_cases(spark):
+    cases = [
+        # s,c,c,p: dup of matched stage 2 -> return 2-1 = 1 (ClickHouse's
+        # `second - 1`: the repeat voids stage 2, undercutting level 2)
+        ([(0, "s"), (1, "c"), (2, "c"), (3, "p")], 1),
+        # s,s,c,p: stage-1 repeats only refresh slot 0 -> 3
+        ([(0, "s"), (1, "s"), (2, "c"), (3, "p")], 3),
+        # clean chain completes -> 3 (dedup after completion can't fire)
+        ([(0, "s"), (1, "c"), (2, "p"), (3, "c")], 3),
+        # s,c,x,c,p: noise is ignored in dedup mode, but the second c
+        # still dups stage 2 -> 1
+        ([(0, "s"), (1, "c"), (2, "x"), (3, "c"), (4, "p")], 1),
+    ]
+    rows = [
+        (uid, eid, ts, et)
+        for uid, (evs, _) in enumerate(cases)
+        for eid, (ts, et) in enumerate(evs)
+    ]
+    expected = {uid: lvl for uid, (_, lvl) in enumerate(cases)}
+    assert _scan_levels(spark, rows, strict_deduplication=True) == expected
 
 
 def test_funnel_strict_order_plus_increase_composition(spark):
-    # s@5,c@5,p@6 are consecutive rows: strict_order alone chains all
-    # three (ties may chain); adding strict_increase blocks the same-ts
-    # s->c step, capping the level at 1
+    # s@5,c@5,p@6: strict_order alone chains all three (ties chain, and
+    # repeats/valid advances are not interventions); adding
+    # strict_increase blocks the same-ts s->c advance, so p then finds
+    # slot 2 empty and the scan ends at level 1
     rows = [(1, 1, 5, "s"), (1, 2, 5, "c"), (1, 3, 6, "p")]
-    df = spark.createDataFrame(
-        rows, "user_id long, event_id long, ts_us long, event_type string"
-    )
-    kw = dict(
-        key="user_id", ts="ts_us", order_col="event_id",
-        stage_conds=[F.col("event_type") == s for s in STAGES],
-        window_us=WINDOW,
-    )
-    assert funnel_levels(df, **kw, strict_order=True).collect()[0]["level"] == 3
-    assert (
-        funnel_levels(df, **kw, strict_order=True, strict_increase=True)
-        .collect()[0]["level"]
-        == 1
-    )
+    assert _scan_levels(spark, rows, strict_order=True) == {1: 3}
+    assert _scan_levels(
+        spark, rows, strict_order=True, strict_increase=True
+    ) == {1: 1}
