@@ -215,44 +215,77 @@ def sequence_next_node(
     order_col: str,
     event_col: str,
     stage_conds: list[Column],
+    direction: str = "forward",
+    base: str = "first_match",
 ) -> DataFrame:
-    """ClickHouse ``sequenceNextNode('forward', 'first_match')``: per key,
-    the event value immediately AFTER the first (earliest in the
-    ``(ts, order_col)`` total order) occurrence of the stage conditions
-    matched by CONSECUTIVE events (sequenceNextNode compares adjacent
-    stored events — an intervening row of any other kind breaks the
-    candidate chain; note this is NOT windowFunnel strict_order, which
-    tracks per-stage slots and aborts the scan on interventions).
+    """ClickHouse ``sequenceNextNode(direction, base)`` for the match-based
+    bases: per key, the event value immediately adjacent to a chain of
+    CONSECUTIVE events matching the stage conditions (sequenceNextNode
+    compares adjacent stored events — an intervening row of any other
+    kind breaks the candidate chain; note this is NOT windowFunnel
+    strict_order, which tracks per-stage slots and aborts the scan on
+    interventions).
 
-    Recurrence: boolean lag cascade ``m_1 = cond_1``,
-    ``m_k = cond_k AND lag(m_{k-1})`` — ``m_n`` marks chain-completion
-    rows; ``lead(event)`` at the earliest completion row is the next
-    node (null when the chain ends at the key's last event, as in
-    ClickHouse). One shuffle on the key, a lag/lead cascade over one
-    sorted partition, then a combiner-friendly ``min(struct(...))``
-    argmin — no self-joins, no per-key explosion.
+    - ``direction='forward'``: the chain runs ``cond_1 .. cond_n`` in
+      ascending ``(ts, order_col)`` order; the next node is the event
+      AFTER the chain's last row (``lead(event, 1)`` at the completion).
+    - ``direction='backward'``: the chain is anchored at a ``cond_1`` row
+      and runs BACKWARD in time (``cond_2`` on the row immediately
+      before, …); the next node is the event BEFORE the chain's earliest
+      row (``lag(event, n)`` at the anchor).
+    - ``base='first_match'`` picks the earliest matched chain,
+      ``base='last_match'`` the latest (anchor position in the total
+      order; both directions anchor on the chain's latest row, so the
+      orderings coincide).
+
+    Recurrence: boolean lag cascade ``m_1 = c_1``,
+    ``m_k = c_k AND lag(m_{k-1})`` over the conditions in scan order
+    (reversed for ``backward``, whose anchor is the chain's LATEST row) —
+    ``m_n`` marks completion rows; the neighbour event at the selected
+    completion row is the next node (null when the chain touches the
+    key's stream edge, as in ClickHouse). One shuffle on the key, a
+    lag/lead cascade over one sorted partition, then a combiner-friendly
+    ``min/max(struct(...))`` arg-extreme — no self-joins, no per-key
+    explosion.
 
     Returns (key, next_node) for keys with at least one match.
     """
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if base not in ("first_match", "last_match"):
+        raise ValueError(f"unknown base {base!r}")
     n = len(stage_conds)
     w_lag = W.partitionBy(key).orderBy(ts, order_col)
-    m = stage_conds[0]
+    # scan order: forward completes at the cond_n row (conditions read in
+    # chain order); backward anchors at the cond_1 row with cond_2..cond_n
+    # on the rows before it, which is the same cascade over the REVERSED
+    # condition list
+    ordered = list(stage_conds) if direction == "forward" else list(
+        reversed(stage_conds)
+    )
+    m = ordered[0]
     for k in range(2, n + 1):
-        m = stage_conds[k - 1] & F.coalesce(
+        m = ordered[k - 1] & F.coalesce(
             F.lag(m, 1).over(w_lag), F.lit(False)
         )
+    neighbour = (
+        F.lead(F.col(event_col), 1).over(w_lag)
+        if direction == "forward"
+        else F.lag(F.col(event_col), n).over(w_lag)
+    )
+    pick = F.min if base == "first_match" else F.max
     out = (
         df.withColumn("__m", m)
-        .withColumn("__nxt", F.lead(F.col(event_col), 1).over(w_lag))
+        .withColumn("__nxt", neighbour)
         .filter(F.col("__m"))
         .groupBy(key)
-        # (ts, order_col) is a total order, so the struct-min is the
-        # unique earliest completion; __nxt rides along as payload
+        # (ts, order_col) is a total order, so the struct min/max is the
+        # unique earliest/latest completion; __nxt rides along as payload
         .agg(
-            F.min(
+            pick(
                 F.struct(F.col(ts), F.col(order_col), F.col("__nxt"))
-            ).alias("__first")
+            ).alias("__pick")
         )
-        .select(key, F.col("__first.__nxt").alias("next_node"))
+        .select(key, F.col("__pick.__nxt").alias("next_node"))
     )
     return out

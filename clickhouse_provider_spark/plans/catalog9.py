@@ -1,0 +1,381 @@
+"""ClickHouse idiom batch 9 (round 7): the mode/variant tails of families
+introduced earlier, plus time-series rendering —
+
+- ``sequenceNextNode`` backward direction and last_match base (the
+  forward/first_match entry is ``seq_next_node`` in catalog7);
+- ``minMap`` / ``maxMap``, completing the -Map combinator family next to
+  ``sum_map_props`` (catalog8);
+- ``topKWeighted`` — weighted heavy hitters via mergeable SpaceSaving,
+  next to ``approx_topk_heavy_hitters`` (catalog_stats);
+- LTTB (``largestTriangleThreeBuckets``) downsampling, the
+  dashboard-serving sibling of ``gap_fill_interpolate`` (catalog8).
+
+Exactness rules follow plans/catalog.py: decimal sums everywhere a float
+would drift; the LTTB argmax runs on scaled integer cross products so the
+selection is bit-identical cross-engine (see operators/downsample.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clickhouse_provider_spark.plans.catalog import as_double, register, ts_us
+
+DAY_US = 86_400_000_000
+
+
+@register(
+    "seq_next_node_backward",
+    # Backward chain anchored at a click immediately preceded by a signup:
+    # the DuckDB twin is the same lag cascade (anchor row = latest chain
+    # row), with the "next node" read BEFORE the chain via lag(event, 2);
+    # first_match = earliest anchor in the (ts_us, event_id) total order.
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), m AS (
+      SELECT user_id, ts_us, event_id,
+             (event_type = 'click' AND coalesce(
+                lag(event_type = 'signup') OVER w, false)) AS m_2,
+             lag(event_type, 2) OVER w AS prv
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id, prv AS next_node
+    FROM m WHERE m_2
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) = 1
+    """,
+    doc="ClickHouse sequenceNextNode('backward','first_match') analog: per "
+    "user, the event type immediately BEFORE the earliest consecutive "
+    "signup->click pair — the chain is anchored at the click (event1) "
+    "and walks backward (operators/sequence.sequence_next_node with "
+    "direction='backward': the same boolean lag cascade over the "
+    "reversed condition list, lag(event, n) reads the preceding node; "
+    "one shuffle, one sorted partition pass, no self-joins). Null kept "
+    "when the chain starts the stream, as in ClickHouse.",
+    tags=("analytics", "sequence"),
+)
+def q_seq_next_node_backward(spark, t):
+    from clickhouse_provider_spark.operators.sequence import sequence_next_node
+
+    e = t["events"].select(
+        "user_id", ts_us().alias("ts_us"), "event_id", "event_type"
+    )
+    return sequence_next_node(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        event_col="event_type",
+        stage_conds=[
+            F.col("event_type") == "click",
+            F.col("event_type") == "signup",
+        ],
+        direction="backward",
+        base="first_match",
+    )
+
+
+@register(
+    "seq_next_node_last_match",
+    # Same cascade as seq_next_node, but the LATEST completion's
+    # lead(event_type) is taken (QUALIFY over the descending total order).
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
+    ), m AS (
+      SELECT user_id, ts_us, event_id,
+             (event_type = 'click' AND coalesce(
+                lag(event_type = 'signup') OVER w, false)) AS m_2,
+             lead(event_type) OVER w AS nxt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT user_id, nxt AS next_node
+    FROM m WHERE m_2
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) = 1
+    """,
+    doc="ClickHouse sequenceNextNode('forward','last_match') analog: per "
+    "user, the event type immediately after the LAST consecutive "
+    "signup->click pair (same lag/lead cascade as seq_next_node; the "
+    "combiner-friendly max(struct) arg-extreme picks the latest "
+    "completion instead of the earliest). Null next_node kept when the "
+    "chain ends the stream, as in ClickHouse.",
+    tags=("analytics", "sequence"),
+)
+def q_seq_next_node_last_match(spark, t):
+    from clickhouse_provider_spark.operators.sequence import sequence_next_node
+
+    e = t["events"].select(
+        "user_id", ts_us().alias("ts_us"), "event_id", "event_type"
+    )
+    return sequence_next_node(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        event_col="event_type",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+        ],
+        direction="forward",
+        base="last_match",
+    )
+
+
+@register(
+    "min_max_map_props",
+    # minMap / maxMap: key-wise extremes across rows of a map column.
+    # Min/max over DECIMAL(18,6) casts are exact in both engines, and the
+    # decimal->string serialization matches sum_map_props' proven format.
+    oracle="""
+    WITH kv AS (
+      SELECT user_id, event_type AS k,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), s AS (
+      SELECT user_id, k, min(v) AS mn, max(v) AS mx
+      FROM kv GROUP BY 1, 2
+    )
+    SELECT user_id,
+           string_agg(k || ':' || CAST(mn AS VARCHAR), ',' ORDER BY k)
+             AS value_min_map,
+           string_agg(k || ':' || CAST(mx AS VARCHAR), ',' ORDER BY k)
+             AS value_max_map
+    FROM s GROUP BY user_id
+    """,
+    doc="ClickHouse minMap / maxMap combinators, completing the -Map "
+    "family next to sum_map_props: key-wise min and max of "
+    "map(event_type -> value) per user, serialized as sorted 'key:value' "
+    "pairs. Same shape as sumMap — explode to (key, value), per-(group, "
+    "key) extremes, sort_array + concat re-assembly; two "
+    "combiner-friendly shuffles, per-key state bounded by map-key "
+    "cardinality (avgMap = exact sumMap/countMap, already covered by "
+    "sum_map_props' machinery).",
+    tags=("analytics", "combinators"),
+)
+def q_min_max_map_props(spark, t):
+    kv = t["events"].select(
+        "user_id",
+        F.col("event_type").alias("k"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    s = kv.groupBy("user_id", "k").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+
+    def ser(col):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", col))),
+                lambda x: F.concat(x["k"], F.lit(":"), x[col].cast("string")),
+            ),
+            ",",
+        )
+
+    return s.groupBy("user_id").agg(
+        ser("mn").alias("value_min_map"),
+        ser("mx").alias("value_max_map"),
+    )
+
+
+@register(
+    "topk_weighted",
+    # Same oracle stance as approx_topk_heavy_hitters: the graded output
+    # is the EXACT top-5 users per event type by summed value (decimal
+    # sums, user_id tiebreak); the boolean carries the weighted sketch's
+    # claim — every STRICT weighted heavy hitter (sum strictly above the
+    # 6th) must appear in the SpaceSaving top-k with its exact fixed-point
+    # estimate (capacity >= distinct items => no eviction => exact), so a
+    # fold/merge regression flips it -> hash mismatch.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS w
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, user_id, w,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY w DESC, user_id) AS rnk
+      FROM c
+    )
+    SELECT event_type, rnk, user_id, CAST(w AS DOUBLE) AS weight,
+           true AS sketch_contains_strict_top
+    FROM r WHERE rnk <= 5
+    """,
+    doc="ClickHouse topKWeighted(5)(user_id, weight) analog — heavy "
+    "hitters ranked by summed weight (here the event value in exact "
+    "fixed-point micro-units, matching ClickHouse's integer-weight "
+    "contract) via mergeable weighted SpaceSaving "
+    "(operators/heavy_hitters.weighted_topk: per-partition bounded "
+    "summaries folded in deterministic order, ONE shuffle of <= "
+    "capacity+1 rows per partition-group, floor-aware merge). The exact "
+    "decimal-ranked top-5 is the graded output; the boolean asserts "
+    "every strict weighted heavy hitter surfaces in the sketch with an "
+    "exact estimate.",
+    tags=("analytics", "approx"),
+)
+def q_topk_weighted(spark, t):
+    from clickhouse_provider_spark.operators.heavy_hitters import weighted_topk
+
+    K = 5
+    ev = t["events"].select(
+        "event_type",
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("__v"),
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.sum("__v").cast("decimal(18,6)").alias("w")
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("w"), F.asc("user_id"))
+    ranked = exact.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= K + 1
+    )
+    kth = ranked.filter(F.col("rnk") == K + 1).select(
+        "event_type", F.col("w").alias("_w_kplus1")
+    )
+    top = ranked.filter(F.col("rnk") <= K)
+    strict = (
+        top.join(F.broadcast(kth), "event_type", "left")
+        .filter(F.col("w") > F.coalesce("_w_kplus1", F.lit("-1").cast("decimal(18,6)")))
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("w") * 1_000_000).cast("long").alias("_micro"),
+        )
+    )
+    sketch = weighted_topk(
+        ev.select(
+            "event_type",
+            "user_id",
+            (F.col("__v") * 1_000_000).cast("long").alias("__w"),
+        ),
+        group="event_type",
+        item="user_id",
+        weight="__w",
+        k=K,
+        capacity=10_000,
+    )
+    claim = (
+        strict.join(
+            F.broadcast(sketch.select("event_type", "user_id", "est")),
+            ["event_type", "user_id"],
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.coalesce(F.col("est") == F.col("_micro"), F.lit(False))
+            ).alias("_ok")
+        )
+    )
+    return top.join(F.broadcast(claim), "event_type", "left").select(
+        "event_type",
+        "rnk",
+        "user_id",
+        as_double(F.col("w")).alias("weight"),
+        F.coalesce("_ok", F.lit(True)).alias("sketch_contains_strict_top"),
+    )
+
+
+def _lttb_oracle(n_out: int) -> str:
+    """Generate the LTTB oracle as UNROLLED chained CTEs (one per output
+    step) — plain SQL, no recursion: sel_i picks bucket i's point by the
+    integer-cross-product argmax against sel_{i-1} and bucket i+1's sums.
+    Series with m <= n_out short-circuit to the `small` branch whole."""
+    big_n = n_out - 2
+    steps = []
+    for i in range(1, big_n + 1):
+        nxt = (
+            f"SELECT sid, sx, sy, cnt FROM avgs WHERE i = {i + 1}"
+            if i < big_n
+            else "SELECT sid, x AS sx, y AS sy, 1 AS cnt FROM last_pt"
+        )
+        steps.append(
+            f"""sel_{i} AS (
+      SELECT sid, x, y FROM (
+        SELECT b.sid, b.x, b.y,
+               row_number() OVER (
+                 PARTITION BY b.sid
+                 ORDER BY abs((p.x * a.cnt - a.sx) * (b.y - p.y)
+                              - (p.x - b.x) * (a.sy - p.y * a.cnt)) DESC,
+                          b.x ASC) AS rn
+        FROM bucketed b
+        JOIN sel_{i - 1} p USING (sid)
+        JOIN ({nxt}) a USING (sid)
+        WHERE b.i = {i}
+      ) WHERE rn = 1
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        [f"SELECT sid, {i} AS step, x, y FROM sel_{i}" for i in range(big_n + 1)]
+        + [f"SELECT sid, {big_n + 1} AS step, x, y FROM last_pt"]
+    )
+    step_ctes = ",\n    ".join(steps)
+    return f"""
+    WITH pts AS (
+      SELECT event_type AS sid, epoch_us(ts) // {DAY_US} AS x,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ), rk AS (
+      SELECT sid, x, y,
+             row_number() OVER (PARTITION BY sid ORDER BY x) - 1 AS r,
+             count(*) OVER (PARTITION BY sid) AS m
+      FROM pts
+    ), small AS (
+      SELECT sid, CAST(r AS INT) AS step, x, y FROM rk WHERE m <= {n_out}
+    ), bucketed AS (
+      SELECT rk.sid, rk.x, rk.y, t.i
+      FROM rk CROSS JOIN range(1, {big_n + 1}) t(i)
+      WHERE rk.m > {n_out} AND rk.r >= 1 AND rk.r <= rk.m - 2
+        AND rk.r - 1 >= ((t.i - 1) * (rk.m - 2)) // {big_n}
+        AND rk.r - 1 < (t.i * (rk.m - 2)) // {big_n}
+    ), avgs AS (
+      SELECT sid, i, sum(x) AS sx, sum(y) AS sy, count(*) AS cnt
+      FROM bucketed GROUP BY 1, 2
+    ), last_pt AS (
+      SELECT sid, x, y FROM rk WHERE m > {n_out} AND r = m - 1
+    ), sel_0 AS (
+      SELECT sid, x, y FROM rk WHERE m > {n_out} AND r = 0
+    ), {step_ctes}
+    SELECT sid AS event_type, CAST(step AS INT) AS step,
+           CAST(x AS BIGINT) AS day_idx, CAST(y AS BIGINT) AS n_events
+    FROM ({union}
+      UNION ALL SELECT sid, step, x, y FROM small)
+    """
+
+
+@register(
+    "lttb_downsample",
+    oracle=_lttb_oracle(12),
+    doc="largestTriangleThreeBuckets(12) analog — LTTB downsampling of "
+    "each event type's daily-count series to 12 visually-representative "
+    "points (operators/downsample.lttb_downsample: canonical "
+    "Steinarsson bucketing, argmax on integer scaled cross products so "
+    "the selection is bit-identical cross-engine; first/last kept, "
+    "series shorter than n_out returned whole). Spark plan: ONE "
+    "combiner-friendly shuffle for the daily rollup, one shuffle on the "
+    "series key, then an Arrow-batched sequential per-series scan — the "
+    "selection is order-dependent by construction, O(m) per series. The "
+    "oracle unrolls the same scan as 10 chained argmax CTEs.",
+    tags=("analytics", "timeseries"),
+)
+def q_lttb_downsample(spark, t):
+    from clickhouse_provider_spark.operators.downsample import lttb_downsample
+
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            # integer division all the way down (DIV): `/` would route the
+            # 16-digit µs value through double and can misplace boundary
+            # rows by one day vs DuckDB's `//`
+            F.expr(f"(ts DIV 1000) DIV {DAY_US}").alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return lttb_downsample(
+        daily, series="event_type", x="day_idx", y="n_events", n_out=12
+    )
