@@ -379,3 +379,124 @@ def q_lttb_downsample(spark, t):
     return lttb_downsample(
         daily, series="event_type", x="day_idx", y="n_events", n_out=12
     )
+
+
+@register(
+    "histogram_adaptive",
+    # Graded output = the DETERMINISTIC equi-depth 8-bucket summary
+    # (explicit rank formula (rn*8) DIV cnt over the (value, event_id)
+    # total order — identical integer arithmetic in both engines; decimal
+    # sums). The adaptive ClickHouse-style histogram itself is greedy
+    # centroid merging whose bin edges no closed-form SQL reproduces, so —
+    # same stance as the sketch entries — the boolean carries its checked
+    # invariants: bin count, height total == row count, exact mean
+    # preservation in fixed-point, coverage of [min, max], ordered
+    # disjoint bins. Any merge regression flips it -> hash mismatch.
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ), r AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM v
+    )
+    SELECT event_type, CAST((rn * 8) // cnt AS INT) AS bucket,
+           count(*) AS n, CAST(min(v) AS DOUBLE) AS lo,
+           CAST(max(v) AS DOUBLE) AS hi,
+           CAST(CAST(sum(v) AS DECIMAL(18,6)) AS DOUBLE) AS v_sum,
+           true AS adaptive_invariants_ok
+    FROM r GROUP BY 1, 2
+    """,
+    doc="ClickHouse histogram(N) analog — adaptive (non-uniform-bin) "
+    "value summary per event type via deterministic agglomerative "
+    "centroid merging (operators/histogram.adaptive_histogram: exact "
+    "per-value counts in one combiner-friendly shuffle, then an "
+    "O(V log V) closest-adjacent-pair merge per group over fixed-point "
+    "integer state — the batch-deterministic form of the Ben-Haim & "
+    "Tom-Tov sketch ClickHouse streams). The graded rows are the exact "
+    "equi-depth 8-bucket summary; the boolean asserts the adaptive "
+    "histogram's invariants (bin count, total height, exact mean "
+    "preservation, [min,max] coverage, ordered disjoint bins).",
+    tags=("analytics", "approx"),
+)
+def q_histogram_adaptive(spark, t):
+    from clickhouse_provider_spark.operators.histogram import adaptive_histogram
+
+    N_EQ, N_AD = 8, 10
+    ev = t["events"].select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("vm"),
+    )
+    # exact equi-depth side
+    wr = W.partitionBy("event_type").orderBy("v", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(wr) - 1).withColumn(
+        "cnt", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    eq = r.groupBy(
+        "event_type", F.expr(f"CAST((rn * {N_EQ}) DIV cnt AS INT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.min("v")).alias("lo"),
+        as_double(F.max("v")).alias("hi"),
+        as_double(F.sum("v").cast("decimal(18,6)")).alias("v_sum"),
+    )
+    # adaptive histogram + invariant claim
+    hist = adaptive_histogram(
+        ev.select("event_type", "vm"), group="event_type", value="vm",
+        n_bins=N_AD,
+    )
+    wb = W.partitionBy("event_type").orderBy("bin")
+    hstats = (
+        hist.withColumn("_prev_hi", F.lag("hi").over(wb))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum("height").alias("_h"),
+            F.sum("val_sum").alias("_s"),
+            F.min("lo").alias("_blo"),
+            F.max("hi").alias("_bhi"),
+            F.min(
+                (F.col("lo") <= F.col("hi"))
+                & F.coalesce(F.col("_prev_hi") < F.col("lo"), F.lit(True))
+            ).alias("_ord"),
+        )
+    )
+    exact_tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("vm").alias("_d"),
+        (F.sum("v").cast("decimal(18,6)") * 1_000_000)
+        .cast("long")
+        .alias("_tot"),
+        F.min("vm").alias("_lo"),
+        F.max("vm").alias("_hi"),
+    )
+    claim = (
+        hstats.join(exact_tot, "event_type")
+        .select(
+            "event_type",
+            (
+                (F.col("_k") == F.least(F.lit(N_AD), F.col("_d")))
+                & (F.col("_h") == F.col("_n"))
+                & (F.col("_s") == F.col("_tot"))
+                & (F.col("_blo") == F.col("_lo"))
+                & (F.col("_bhi") == F.col("_hi"))
+                & F.col("_ord")
+            ).alias("_ok"),
+        )
+    )
+    return eq.join(F.broadcast(claim), "event_type", "left").select(
+        "event_type",
+        "bucket",
+        "n",
+        "lo",
+        "hi",
+        "v_sum",
+        F.coalesce("_ok", F.lit(False)).alias("adaptive_invariants_ok"),
+    )

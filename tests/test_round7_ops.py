@@ -223,3 +223,65 @@ def test_lttb_downsample_matches_local_selection(spark):
             (r["step"], r["x"], r["y"]) for r in got if r["sid"] == sid
         )
         assert mine == expect, sid
+
+
+def test_merge_centroids_pinned():
+    from clickhouse_provider_spark.operators.histogram import merge_centroids
+
+    # gaps 1,1,97: leftmost tie merges first -> (1,2), then (1..3)
+    out = merge_centroids([1, 2, 3, 100], [1, 1, 1, 1], 2)
+    assert out == [(1, 3, 3, 6), (100, 100, 1, 100)]
+    # n_bins >= V keeps per-value bins
+    assert merge_centroids([5, 9], [2, 3], 10) == [(5, 5, 2, 10), (9, 9, 3, 27)]
+    assert merge_centroids([], [], 4) == []
+
+
+def test_merge_centroids_invariants():
+    from clickhouse_provider_spark.operators.histogram import merge_centroids
+
+    rng = random.Random(13)
+    for _ in range(15):
+        v = sorted(rng.sample(range(100_000), rng.randrange(1, 300)))
+        c = [rng.randrange(1, 20) for _ in v]
+        n_bins = rng.randrange(1, 16)
+        out = merge_centroids(v, c, n_bins)
+        assert len(out) == min(n_bins, len(v))
+        assert sum(h for _, _, h, _ in out) == sum(c)
+        assert sum(s for _, _, _, s in out) == sum(a * b for a, b in zip(v, c))
+        assert out[0][0] == v[0] and out[-1][1] == v[-1]
+        for (l1, h1, _, _), (l2, h2, _, _) in zip(out, out[1:]):
+            assert l1 <= h1 < l2 <= h2
+        # deterministic
+        assert out == merge_centroids(v, c, n_bins)
+
+
+def test_adaptive_histogram_spark_matches_local(spark):
+    from clickhouse_provider_spark.operators.histogram import (
+        adaptive_histogram,
+        merge_centroids,
+    )
+
+    rng = random.Random(21)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(0, 500)) for _ in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(4)
+    got = adaptive_histogram(df, "grp", "v", 6).collect()
+    for g in ("g0", "g1", "g2"):
+        counts = {}
+        for gg, v in rows:
+            if gg == g:
+                counts[v] = counts.get(v, 0) + 1
+        vs = sorted(counts)
+        expect = [
+            (b, lo, hi, h, s)
+            for b, (lo, hi, h, s) in enumerate(
+                merge_centroids(vs, [counts[v] for v in vs], 6)
+            )
+        ]
+        mine = sorted(
+            (r["bin"], r["lo"], r["hi"], r["height"], r["val_sum"])
+            for r in got
+            if r["grp"] == g
+        )
+        assert mine == expect, g
