@@ -160,16 +160,86 @@ def probe_keyed_assembly(spark, k: int) -> float:
     return round(min(samples), 3)
 
 
+def probe_streaming_assembly(spark, k: int) -> float:
+    """End-to-end STREAMING replay of the keyed assembly with state forced
+    onto the RocksDB state store provider: blocks land as JSON files in a
+    drop directory, the router → unit-log → keyed-assembler pipeline
+    (streaming/keyed_assembly.run_keyed_transactions) drains them with
+    availableNow triggers, and the timing covers the full source → RocksDB
+    state → fan-out-tables path. Every tx leaves a completed-tombstone key
+    in state, so state cardinality grows linearly with k — the probe
+    measures whether per-batch cost stays ∝ arriving units (it must; the
+    assembler only touches keys present in the batch) rather than ∝ total
+    state. Enabled by SPARK_GRAFT_PROBE_STREAMING=1 (needs scratch dirs +
+    a streaming teardown per factor, so it is opt-in)."""
+    import shutil
+    import tempfile
+
+    from clickhouse_provider_spark.streaming.keyed_assembly import (
+        run_keyed_transactions,
+    )
+    from tools.bench_pipeline import make_block
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    n_blocks = ASSEMBLY_BASE_BLOCKS * k
+    root = tempfile.mkdtemp(prefix=f"probe_stream_x{k}_")
+    try:
+        src = os.path.join(root, "blocks_src")
+        os.makedirs(src)
+        # 16 drop files per factor: file-source listing overhead stays
+        # constant while per-file payload grows with k
+        per_file = max(1, n_blocks // 16)
+        fi = 0
+        for lo in range(0, n_blocks, per_file):
+            with open(os.path.join(src, f"blocks_{fi:05d}.json"), "w") as f:
+                for i in range(lo, min(lo + per_file, n_blocks)):
+                    f.write(json.dumps(make_block(100 + i, 5)) + "\n")
+            fi += 1
+        start = time.perf_counter()
+        q = run_keyed_transactions(
+            spark,
+            src,
+            warehouse=os.path.join(root, "wh"),
+            checkpoint=os.path.join(root, "ckpt"),
+            max_files_per_trigger=4,  # several batches -> real incremental
+            available_now=True,
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # comma-separated subset for targeted high-factor runs (16x/32x on the
+    # heaviest plans would take hours over the full list)
+    subset = os.environ.get("SPARK_GRAFT_PROBE_QUERIES")
+    probe_queries = (
+        [q.strip() for q in subset.split(",") if q.strip()]
+        if subset
+        else PROBE_QUERIES
+    )
+    unknown = [q for q in probe_queries if q not in CATALOG]
+    assert not unknown, f"unknown probe queries: {unknown}"
+    with_assembly = os.environ.get("SPARK_GRAFT_PROBE_ASSEMBLY", "1") != "0"
+    with_streaming = os.environ.get("SPARK_GRAFT_PROBE_STREAMING") == "1"
     spark = get_spark(app_name="scale_probe")
-    timings: dict[str, dict[int, float]] = {n: {} for n in PROBE_QUERIES}
-    timings["keyed_assembly_replay"] = {}
+    timings: dict[str, dict[int, float]] = {n: {} for n in probe_queries}
+    if with_assembly:
+        timings["keyed_assembly_replay"] = {}
+    if with_streaming:
+        timings["streaming_assembly_rocksdb"] = {}
     for k in factors:
         base = load_tables(spark, sf_dir)  # fresh views per factor
         t = scaled_tables(spark, base, k)
-        for name in PROBE_QUERIES:
+        for name in probe_queries:
             _force(CATALOG[name].build(spark, t))  # warm (codegen, listing)
             samples = []
             for _ in range(2):  # min-of-2: single runs are sandbox-noisy
@@ -177,7 +247,12 @@ def main() -> None:
                 _force(CATALOG[name].build(spark, t))
                 samples.append(time.perf_counter() - start)
             timings[name][k] = round(min(samples), 3)
-        timings["keyed_assembly_replay"][k] = probe_keyed_assembly(spark, k)
+        if with_assembly:
+            timings["keyed_assembly_replay"][k] = probe_keyed_assembly(spark, k)
+        if with_streaming:
+            timings["streaming_assembly_rocksdb"][k] = (
+                probe_streaming_assembly(spark, k)
+            )
     base_factor = factors[0]
     efficiency = {
         n: {
