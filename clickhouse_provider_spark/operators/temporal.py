@@ -388,16 +388,23 @@ def funnel_levels_scan(
     ascending stage order (ClickHouse stores one events_list entry per
     matched condition, pushed in condition order).
 
-    Execution: ``applyInPandas`` grouped by ``key`` — the same shape as
-    ClickHouse's own aggregate function (partial states per key, one
-    shuffle). The semantics are inherently sequential WITH early exit, so
-    a per-key linear scan is the right physical plan at any scale: one
-    hash shuffle on the key, Arrow-batched transfer of only
-    (ts, order, N bools) per row, O(events-per-key) work, constant state.
-    Rows are totally ordered by ``(ts, order_col)`` (ClickHouse sorts by
-    timestamp only — stable, insertion order breaking ties — so a
-    deterministic tiebreaker column is required for reproducibility on an
-    unordered distributed input).
+    Execution: ``repartition(key)`` + ``sortWithinPartitions(key, ts,
+    order)`` + ``mapInPandas`` — the same data movement as ClickHouse's
+    own aggregate function (one hash shuffle on the key), but ONE Python
+    invocation per Arrow batch instead of one per key:
+    ``applyInPandas`` pays a per-group call + pandas-frame construction
+    (~ms) which dominates wall-clock when keys are numerous and small
+    (the common funnel shape — millions of users, tens of events each).
+    The partition scan walks key change-points over the pre-sorted
+    batch and runs the per-key slot scan on numpy slices; a group whose
+    rows straddle an Arrow batch boundary is carried into the next
+    batch. The semantics are inherently sequential WITH early exit, so a
+    per-key linear scan is the right physical plan at any scale:
+    Arrow-batched transfer of only (ts, order, N bools) per row,
+    O(events-per-key) work, constant state. Rows are totally ordered by
+    ``(ts, order_col)`` (ClickHouse sorts by timestamp only — stable,
+    insertion order breaking ties — so a deterministic tiebreaker column
+    is required for reproducibility on an unordered distributed input).
 
     Returns (key, level) with level in [1, N]; keys whose scan yields
     level 0 are absent (matching :func:`funnel_levels`'s convention).
@@ -458,15 +465,58 @@ def funnel_levels_scan(
 
     cnames = [f"__c{i}" for i in range(n)]
 
-    def _scan_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts", "__ord"], kind="mergesort")
-        level = _scan_one(
-            pdf["__ts"].to_numpy(), pdf[cnames].to_numpy(dtype=bool)
+    def _scan_batch(pdf: pd.DataFrame):
+        """Scan every complete key-group in a sorted batch; return
+        (result_frame, trailing_group) — the trailing group may continue
+        in the next Arrow batch."""
+        import numpy as np
+
+        keys = pdf[key].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
         )
-        if level < 1:
-            return pd.DataFrame({key: pdf[key].iloc[:0], "level": []})
-        return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "level": pd.array([level], "int32")}
+        tail = pdf.iloc[starts[-1] :]
+        tsv = pdf["__ts"].to_numpy()
+        conds = pdf[cnames].to_numpy(dtype=bool)
+        out_keys, out_levels = [], []
+        for lo, hi in zip(starts[:-1], starts[1:]):
+            level = _scan_one(tsv[lo:hi], conds[lo:hi])
+            if level >= 1:
+                out_keys.append(keys[lo])
+                out_levels.append(level)
+        return (
+            pd.DataFrame(
+                {key: out_keys, "level": pd.array(out_levels, "int32")}
+            ),
+            tail,
         )
 
-    return proj.groupBy(key).applyInPandas(_scan_group, out_schema)
+    def _scan_partition(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            res, carry = _scan_batch(pdf)
+            if len(res):
+                yield res
+        if carry is not None and len(carry):
+            level = _scan_one(
+                carry["__ts"].to_numpy(),
+                carry[cnames].to_numpy(dtype=bool),
+            )
+            if level >= 1:
+                yield pd.DataFrame(
+                    {
+                        key: [carry[key].iloc[0]],
+                        "level": pd.array([level], "int32"),
+                    }
+                )
+
+    return (
+        proj.repartition(key)
+        .sortWithinPartitions(key, "__ts", "__ord")
+        .mapInPandas(_scan_partition, out_schema)
+    )
