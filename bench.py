@@ -67,6 +67,26 @@ HEADLINE = [
     "window_funnel_strict_increase",
     "window_funnel_strict_order",
     "seq_next_node",
+    # round-7 mode tails: the strict-dedup funnel scan (early-exit batch
+    # Python path), backward sequenceNextNode, weighted SpaceSaving,
+    # LTTB + adaptive histogram (time-series rendering pair)
+    "window_funnel_strict_dedup",
+    "seq_next_node_backward",
+    "topk_weighted",
+    "lttb_downsample",
+    "histogram_adaptive",
+    # round-7 statistical family: interval sweep lines, rank statistics
+    # (two sorts/group), chi-square fold, and the weighted median
+    "max_intersections",
+    "interval_length_sum",
+    "spearman_rank_corr",
+    "mann_whitney_u",
+    "cramers_v",
+    "quantile_exact_weighted",
+    # round-7 LLM curation: 8-gram boilerplate sweep (explode-heavy) and
+    # the 2-round quantized k-means (broadcast join + dim-major shuffle)
+    "boilerplate_ngrams",
+    "semantic_cluster_kmeans",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
