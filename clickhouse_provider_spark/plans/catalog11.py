@@ -1,0 +1,412 @@
+"""Round-7 batch 11: distribution tests + higher moments + evaluation ops.
+
+- ``kolmogorovSmirnovTest`` analog — the two-sample KS D statistic is a
+  MAX over exactly computable ECDF gaps, so unlike a float sum it is
+  addition-order-free and cross-engine exact;
+- ``analysisOfVariance`` (one-way ANOVA F) — group moments as exact
+  decimals, the between-group sum folded in fixed group order;
+- ``skewPop`` / ``kurtPop`` — third/fourth moments of value*100; the
+  fourth-power sum is decomposed into three int64 sums each below 2^53
+  (DuckDB's int128→double conversion is not correctly rounded past
+  2^63 — measured), reassembled with identical double arithmetic;
+- ``similarity_recall_eval`` — recall@k of the LSH ANN path against the
+  brute-force exact top-k: the evaluation loop every ANN deployment
+  needs, expressed as a join of two deterministic top-k sets;
+- ``dedup_cluster_stats`` — near-dup component-size distribution, the
+  curation dashboard over dedup_survivors' connected components.
+
+Exactness rules as in catalog10 (decimal moments, mirrored double
+expression shapes, fixed-order folds, scale-0 exports).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from clickhouse_provider_spark.operators import dedup, similarity
+from clickhouse_provider_spark.plans.catalog import as_double, dec, register
+from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
+
+
+@register(
+    "ks_test_2samp",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')
+    ), tot AS (
+      SELECT count(*) FILTER (event_type = 'click') AS nx,
+             count(*) FILTER (event_type = 'view') AS ny
+      FROM s
+    ), c AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (ORDER BY value) AS cx,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (ORDER BY value) AS cy
+      FROM s
+    ), gaps AS (
+      SELECT value,
+             abs(CAST(cx AS DOUBLE) / nx - CAST(cy AS DOUBLE) / ny) AS gap
+      FROM c, tot
+    )
+    SELECT max(nx) AS nx, max(ny) AS ny, max(gap) AS d_stat,
+           min(CASE WHEN gap = mx THEN value END) AS d_location
+    FROM (SELECT *, max(gap) OVER () AS mx FROM gaps), tot
+    """,
+    doc="ClickHouse kolmogorovSmirnovTest analog ('click' vs 'view' "
+    "values): two-sample KS D statistic + the smallest value where the "
+    "ECDF gap peaks. The default peers-inclusive RANGE frame makes both "
+    "cumulative counts well-defined at tied values on both engines, each "
+    "gap is an identical-operand double expression, and D is a MAX (not "
+    "a sum) — order-free, so the statistic is cross-engine exact. The "
+    "p-value needs the KS distribution series — documented out of "
+    "exact-arithmetic scope. Scale note: one global sort, same "
+    "distributed-rank upgrade path as mann_whitney_u.",
+    tags=("analytics", "stats", "tests"),
+)
+def q_ks_test_2samp(spark, t):
+    s = t["events"].filter(F.col("event_type").isin("click", "view"))
+    tot = s.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.lit(1))).alias("nx"),
+        F.sum(F.when(F.col("event_type") == "view", F.lit(1))).alias("ny"),
+    )
+    wv = W.orderBy("value")
+    c = s.select(
+        "value",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(wv)
+        .alias("cx"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(wv)
+        .alias("cy"),
+    )
+    gaps = c.crossJoin(F.broadcast(tot)).select(
+        "value",
+        "nx",
+        "ny",
+        F.abs(
+            F.col("cx").cast("double") / F.col("nx")
+            - F.col("cy").cast("double") / F.col("ny")
+        ).alias("gap"),
+    )
+    gaps = gaps.withColumn("mx", F.max("gap").over(W.partitionBy()))
+    return gaps.agg(
+        F.max("nx").alias("nx"),
+        F.max("ny").alias("ny"),
+        F.max("gap").alias("d_stat"),
+        F.min(F.when(F.col("gap") == F.col("mx"), F.col("value"))).alias(
+            "d_location"
+        ),
+    )
+
+
+@register(
+    "anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS sdec,
+             sum(CAST(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS ssdec
+      FROM events GROUP BY event_type
+    ), m AS (
+      SELECT count(*) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(sdec) AS DOUBLE) AS s_all,
+             CAST(sum(ssdec) AS DOUBLE) AS ss_all,
+             list_reduce(
+               list(CAST(sdec AS DOUBLE) * CAST(sdec AS DOUBLE) / n
+                    ORDER BY event_type),
+               (a, b) -> a + b) AS sb_fold
+      FROM g
+    )
+    SELECT k, n_total,
+           ((sb_fold - s_all * s_all / n_total) / (k - 1.0))
+             / ((ss_all - sb_fold) / (n_total - CAST(k AS DOUBLE)))
+             AS f_stat,
+           k - 1 AS df_between,
+           n_total - k AS df_within
+    FROM m
+    """,
+    doc="ClickHouse analysisOfVariance (one-way ANOVA F) analog across "
+    "all event_type groups on value: F = (SSB/(k-1)) / (SSW/(N-k)) with "
+    "SSB = sum_j(S_j^2/n_j) - S^2/N and SSW = SS_total - SSB. Group and "
+    "grand moments are exact decimals (decimal sums of decimal sums stay "
+    "exact); the only order-sensitive float sum — the k between-group "
+    "terms — folds in fixed event_type order on both engines. Scale: one "
+    "combiner-friendly group agg, then a k-row fold.",
+    tags=("analytics", "stats", "tests"),
+)
+def q_anova_f(spark, t):
+    v = dec(F.col("value"))
+    g = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sdec"),
+        F.sum((v * v).cast(T.DecimalType(24, 4))).alias("ssdec"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        as_double(F.sum("sdec")).alias("s_all"),
+        as_double(F.sum("ssdec")).alias("ss_all"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            (
+                                as_double(F.col("sdec"))
+                                * as_double(F.col("sdec"))
+                                / F.col("n")
+                            ).alias("term"),
+                        )
+                    )
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sb_fold"),
+    )
+    k, n = F.col("k"), F.col("n_total")
+    ssb = F.col("sb_fold") - F.col("s_all") * F.col("s_all") / n
+    ssw = F.col("ss_all") - F.col("sb_fold")
+    return m.select(
+        "k",
+        "n_total",
+        (
+            (ssb / (k - F.lit(1.0))) / (ssw / (n - k.cast("double")))
+        ).alias("f_stat"),
+        (k - F.lit(1)).alias("df_between"),
+        (n - k).alias("df_within"),
+    )
+
+
+@register(
+    "skew_kurtosis",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(12,0))
+                  AS BIGINT) AS u
+      FROM events
+    ), p AS (
+      SELECT event_type, u, u * u AS u2 FROM u
+    ), q AS (
+      SELECT event_type, u, u2, u2 // 1024 AS a, u2 % 1024 AS b FROM p
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(u) AS DOUBLE) AS s1,
+             CAST(sum(u2) AS DOUBLE) AS s2,
+             CAST(sum(CAST(CAST(u2 AS DECIMAL(19,0)) * u AS DECIMAL(31,0)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(a * a) AS DOUBLE) * 1048576.0
+               + CAST(sum(a * b) AS DOUBLE) * 2048.0
+               + CAST(sum(b * b) AS DOUBLE) AS s4
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+           (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n))) AS kurt_pop
+    FROM m
+    """,
+    doc="ClickHouse skewPop + kurtPop analog per event_type. Moments run "
+    "on u = value*100 (exact 2dp integerization). The fourth-power sum "
+    "is the interesting one: sum(u^4) can exceed 2^63, where DuckDB's "
+    "int128->double conversion is NOT correctly rounded (measured: off "
+    "by 1 ulp vs Spark's BigDecimal single rounding). So u^4 is "
+    "decomposed in the LONG domain — u^2 = a*2^10 + b gives "
+    "u^4 = (a^2)*2^20 + (a*b)*2^11 + b^2, and the three component sums "
+    "each stay below 2^53 (exact int64 sums, exact exports); s4 is then "
+    "reassembled with identical double arithmetic on both engines. "
+    "Skewness/kurtosis are scale-invariant so the *100 cancels; "
+    "kurt_pop is raw mu4/sigma^4 (not excess), matching ClickHouse; "
+    "sigma^3 composes as sigma^2*sqrt(sigma^2) since pow(x,1.5) is "
+    "libm-unstable. Scale: one combiner-friendly 6-sum aggregation; "
+    "component sums stay exact through ~sf0.1 — beyond that, widen to "
+    "scale-0 decimals and re-split.",
+    tags=("analytics", "stats"),
+)
+def q_skew_kurtosis(spark, t):
+    u = (
+        (dec(F.col("value")) * F.lit(100))
+        .cast(T.DecimalType(12, 0))
+        .cast("long")
+    )
+    p = t["events"].select("event_type", u.alias("u")).withColumn(
+        "u2", F.col("u") * F.col("u")
+    )
+    # Spark DIV truncates, DuckDB // floors — identical on the
+    # non-negative u2
+    q = p.withColumn("a", F.expr("u2 DIV 1024")).withColumn(
+        "b", F.col("u2") % 1024
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_double(F.sum("u")).alias("s1"),
+        as_double(F.sum("u2")).alias("s2"),
+        as_double(
+            F.sum(
+                (F.col("u2").cast(T.DecimalType(19, 0)) * F.col("u")).cast(
+                    T.DecimalType(31, 0)
+                )
+            )
+        ).alias("s3"),
+        (
+            as_double(F.sum(F.col("a") * F.col("a"))) * F.lit(1048576.0)
+            + as_double(F.sum(F.col("a") * F.col("b"))) * F.lit(2048.0)
+            + as_double(F.sum(F.col("b") * F.col("b")))
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / (
+        var * F.sqrt(var)
+    )
+    kurt = (
+        m4
+        - F.lit(4.0) * m1 * m3
+        + F.lit(6.0) * m1 * m1 * m2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    ) / (var * var)
+    return m.select(
+        "event_type", "n", skew.alias("skew_pop"), kurt.alias("kurt_pop")
+    )
+
+
+@register(
+    "similarity_recall_eval",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, list_transform(range(64), j ->
+        CASE WHEN substr(md5(CAST(p AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 2, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS plane
+      FROM (SELECT unnest(range(4)) AS p)
+    ),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    sigs AS (
+      SELECT v.vec_id, any_value(v.e) AS e,
+             CAST(sum(CASE WHEN list_dot_product(v.e, p.plane) >= 0
+                           THEN power(2, p.p) ELSE 0 END) AS BIGINT) AS b
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id
+    ),
+    q AS (SELECT e AS qv, b AS qb FROM sigs WHERE vec_id = 0),
+    brute AS (
+      SELECT v.vec_id FROM v, q WHERE v.vec_id <> 0
+      ORDER BY {_cos_sql('v.e', 'q.qv')} DESC, v.vec_id LIMIT 10
+    ),
+    ann AS (
+      SELECT s.vec_id FROM sigs s, q WHERE s.vec_id <> 0 AND s.b = q.qb
+      ORDER BY {_cos_sql('s.e', 'q.qv')} DESC, s.vec_id LIMIT 10
+    )
+    SELECT 10 AS k,
+           (SELECT count(*) FROM brute JOIN ann USING (vec_id)) AS n_hits,
+           (SELECT count(*) FROM brute JOIN ann USING (vec_id)) / 10.0
+             AS recall_at_k
+    """,
+    doc="ANN evaluation harness: recall@10 of the deterministic LSH path "
+    "(similarity_ann_lsh) against the brute-force exact top-10 "
+    "(similarity_topk) for the same query — the measurement loop every "
+    "ANN deployment runs before trading recall for speed. Both top-k "
+    "sets are fully deterministic (shared md5 planes, left-fold "
+    "cosines, (score, id) tie order), so the overlap count is exact. "
+    "Scale: the brute side is the one full scan; the eval is usually "
+    "run over a query SAMPLE — swap the single query for a broadcast "
+    "query set, the plan shape is unchanged.",
+    tags=("llm", "similarity", "eval"),
+)
+def q_similarity_recall_eval(spark, t):
+    emb = t["embeddings"]
+    brute = similarity.cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    ann = similarity.lsh_bucket_topk(emb, query_vec_id=0, k=10, dim=64).select(
+        "vec_id"
+    )
+    hits = brute.join(ann, "vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(10).alias("k"),
+        "n_hits",
+        (F.col("n_hits") / F.lit(10.0)).alias("recall_at_k"),
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component_id
+      FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT d.doc_id, coalesce(comp.component_id, d.doc_id) AS comp_id
+      FROM documents d LEFT JOIN comp USING (doc_id)
+    ),
+    clusters AS (
+      SELECT comp_id, count(*) AS cluster_size FROM labeled GROUP BY comp_id
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY cluster_size
+    """.replace("WITH d AS", "WITH RECURSIVE d AS", 1),
+    doc="Curation dashboard over the near-dup graph: the component-size "
+    "distribution of dedup_survivors' connected components (singletons "
+    "included) — how much of the corpus sits in duplicate clusters and "
+    "how large they run, the first summary any dedup rollout reports. "
+    "Oracle recomputes the identical closure with a recursive CTE. "
+    "Scale: adds two count shuffles on top of the components fixpoint; "
+    "cluster ids are min-doc-id labels, so the distribution is stable "
+    "across reruns.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_cluster_stats(spark, t):
+    docs = t["documents"]
+    pairs = dedup.jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
+    labeled = dedup.dedup_survivors(docs, pairs).select(
+        "doc_id", F.col("survivor_doc_id").alias("comp_id")
+    )
+    clusters = labeled.groupBy("comp_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
