@@ -564,25 +564,24 @@ def q_ttest_student_welch(spark, t):
     "U statistics from midrank sums and the tie-corrected normal z. "
     "Midranks are half-integers (rank() + (ties-1)/2) summed exactly as "
     "DECIMAL(20,1); the tie term sum(t^3-t) is exact bigint; the z "
-    "composition mirrors the oracle token-for-token. Scale note: the "
-    "global rank is a single total order — at 100 TB use a partitioned "
-    "rank (range-partitioned sort, offset by partition prefix counts); "
-    "locally one window sort is the right plan.",
+    "composition mirrors the oracle token-for-token. Scale: midranks "
+    "come from the distinct-collapse two-pass rank "
+    "(operators/ranking.py) — one combiner groupBy over the raw rows, a "
+    "window over distinct values only, one join back; the raw relation "
+    "is never globally sorted.",
     tags=("analytics", "stats", "tests"),
 )
 def q_mann_whitney_u(spark, t):
+    from clickhouse_provider_spark.operators.ranking import grouped_midrank
+
     s = t["events"].filter(F.col("event_type").isin("click", "view"))
-    r = s.select(
-        "event_type",
-        "value",
-        F.rank().over(W.orderBy("value")).alias("rmin"),
-        F.count(F.lit(1)).over(W.partitionBy("value")).alias("tie_n"),
-    )
-    ranked = r.select(
-        "event_type",
-        (
-            F.col("rmin") + (F.col("tie_n") - F.lit(1)) / F.lit(2.0)
-        ).cast(T.DecimalType(20, 1)).alias("avg_rank"),
+    # range-partitioned two-pass midrank (operators/ranking.py): same
+    # half-integer values as the single global window, but the sort runs
+    # parallel across all partitions instead of in one task
+    ranked = grouped_midrank(
+        s.select("event_type", "value"), "value", [], "ar"
+    ).select(
+        "event_type", F.col("ar").cast(T.DecimalType(20, 1)).alias("avg_rank")
     )
     agg = ranked.agg(
         F.sum(F.when(F.col("event_type") == "click", F.lit(1))).alias("nx"),
@@ -656,27 +655,28 @@ def q_mann_whitney_u(spark, t):
     "quantity and price per return flag: two window midranks, then the "
     "price_qty_corr exact-moment Pearson on the ranks. Midranks are "
     "half-integers held as DECIMAL(10,1) so every moment is exact; the "
-    "final combination mirrors the oracle. Scale: two sorts per group "
-    "partition + one agg — same shape as any percentile.",
+    "final combination mirrors the oracle. Scale: two distinct-collapse "
+    "rank passes (operators/ranking.py) — the 6M-row sort a per-group "
+    "window would serialize becomes two combiner groupBys + joins.",
     tags=("analytics", "stats", "tests"),
 )
 def q_spearman_rank_corr(spark, t):
-    def midrank(order_col: str) -> F.Column:
-        return (
-            F.rank().over(W.partitionBy("l_returnflag").orderBy(order_col))
-            + (
-                F.count(F.lit(1)).over(
-                    W.partitionBy("l_returnflag", order_col)
-                )
-                - F.lit(1)
-            )
-            / F.lit(2.0)
-        ).cast(D10_1)
+    from clickhouse_provider_spark.operators.ranking import grouped_midrank
 
-    r = t["lineitem"].select(
+    # two range-partitioned midrank passes (operators/ranking.py): a
+    # per-group window would cap parallelism at |groups| (3 here); the
+    # two-pass rank spreads each group's sort across all partitions.
+    # Values are identical to the window formulation (same midrank
+    # arithmetic), so the oracle is untouched.
+    base = t["lineitem"].select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    r1 = grouped_midrank(base, "l_quantity", ["l_returnflag"], "rq_d")
+    r2 = grouped_midrank(r1, "l_extendedprice", ["l_returnflag"], "rp_d")
+    r = r2.select(
         "l_returnflag",
-        midrank("l_quantity").alias("rq"),
-        midrank("l_extendedprice").alias("rp"),
+        F.col("rq_d").cast(D10_1).alias("rq"),
+        F.col("rp_d").cast(D10_1).alias("rp"),
     )
     m = r.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -63,8 +63,9 @@ from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
     "gap is an identical-operand double expression, and D is a MAX (not "
     "a sum) — order-free, so the statistic is cross-engine exact. The "
     "p-value needs the KS distribution series — documented out of "
-    "exact-arithmetic scope. Scale note: one global sort, same "
-    "distributed-rank upgrade path as mann_whitney_u.",
+    "exact-arithmetic scope. Scale: the raw rows pay one combiner "
+    "groupBy; the cumulative window runs over distinct values only "
+    "(operators/ranking.py value-collapse pattern).",
     tags=("analytics", "stats", "tests"),
 )
 def q_ks_test_2samp(spark, t):
@@ -73,15 +74,23 @@ def q_ks_test_2samp(spark, t):
         F.sum(F.when(F.col("event_type") == "click", F.lit(1))).alias("nx"),
         F.sum(F.when(F.col("event_type") == "view", F.lit(1))).alias("ny"),
     )
+    # value-collapse before the cumulative window (operators/ranking.py
+    # rationale): the ECDF gap is a function of per-DISTINCT-value counts,
+    # so the raw rows pay one combiner groupBy and the ordered window runs
+    # over |distinct values| rows — the raw relation is never sorted
+    g = s.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "dx"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "dy"
+        ),
+    )
     wv = W.orderBy("value")
-    c = s.select(
+    c = g.select(
         "value",
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .over(wv)
-        .alias("cx"),
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .over(wv)
-        .alias("cy"),
+        F.sum("dx").over(wv).alias("cx"),
+        F.sum("dy").over(wv).alias("cy"),
     )
     gaps = c.crossJoin(F.broadcast(tot)).select(
         "value",

@@ -1,0 +1,68 @@
+"""operators/ranking.py: the distinct-collapse two-pass midrank must be
+value-identical to the single-window formulation on random tie-heavy data,
+globally and per group."""
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from clickhouse_provider_spark.operators.ranking import (
+    grouped_midrank,
+    value_midranks,
+)
+
+
+def _df(spark, seed, n=400, groups=3, vals=25):
+    rng = random.Random(seed)
+    rows = [
+        (i, f"g{rng.randrange(groups)}", float(rng.randrange(vals)) / 2)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, g string, v double").repartition(7)
+
+
+def _window_midrank(df, group_cols):
+    part = W.partitionBy(*group_cols) if group_cols else W.partitionBy()
+    return df.withColumn(
+        "want",
+        F.rank().over(part.orderBy("v"))
+        + (F.count(F.lit(1)).over(W.partitionBy(*group_cols, "v")) - 1) / F.lit(2.0),
+    )
+
+
+def test_grouped_midrank_matches_window_per_group(spark):
+    df = _df(spark, 1)
+    got = grouped_midrank(df, "v", ["g"], "r")
+    both = got.join(_window_midrank(df, ["g"]).select("id", "want"), "id")
+    assert both.count() == 400
+    assert both.filter(F.col("r") != F.col("want")).count() == 0
+
+
+def test_grouped_midrank_matches_window_global(spark):
+    df = _df(spark, 2)
+    got = grouped_midrank(df, "v", [], "r")
+    both = got.join(_window_midrank(df, []).select("id", "want"), "id")
+    assert both.count() == 400
+    assert both.filter(F.col("r") != F.col("want")).count() == 0
+
+
+def test_value_midranks_collapsed_relation(spark):
+    df = _df(spark, 3)
+    vm = value_midranks(df, "v", ["g"], "r").collect()
+    # one row per (group, value); tie counts sum back to the row count
+    assert len(vm) == len({(r["g"], r["v"]) for r in vm})
+    assert sum(r["tie_count"] for r in vm) == 400
+    # rank-sum identity per group: sum(midrank * ties) == n(n+1)/2
+    per_g = {}
+    for r in vm:
+        acc = per_g.setdefault(r["g"], [0.0, 0])
+        acc[0] += r["r"] * r["tie_count"]
+        acc[1] += r["tie_count"]
+    for g, (rs, n) in per_g.items():
+        assert rs == n * (n + 1) / 2, g
+
+
+def test_grouped_midrank_empty_input(spark):
+    df = spark.createDataFrame([], "id long, g string, v double")
+    assert grouped_midrank(df, "v", ["g"], "r").count() == 0
