@@ -419,3 +419,158 @@ def q_dedup_cluster_stats(spark, t):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+@register(
+    "association_measures",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS f, l_linestatus AS s, count(*) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+      SELECT f, s, o,
+             sum(o) OVER (PARTITION BY f) AS r,
+             sum(o) OVER (PARTITION BY s) AS c,
+             sum(o) OVER () AS n
+      FROM cells
+    ), terms AS (
+      SELECT f, s, n,
+             (CAST(o AS DOUBLE) - (r * c) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - (r * c) / CAST(n AS DOUBLE))
+               / ((r * c) / CAST(n AS DOUBLE)) AS term
+      FROM tot
+    ), folded AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             count(DISTINCT f) AS k, count(DISTINCT s) AS m,
+             list_reduce(list(term ORDER BY f, s), (a, b) -> a + b) AS chi2
+      FROM terms
+    )
+    SELECT n, k, m,
+           sqrt(greatest(chi2 / n - (k - 1.0) * (m - 1.0) / (n - 1.0), 0.0)
+                / greatest(least(k - (CAST(k AS DOUBLE) - 1.0)
+                                   * (k - 1.0) / (n - 1.0),
+                                 m - (CAST(m AS DOUBLE) - 1.0)
+                                   * (m - 1.0) / (n - 1.0)) - 1.0, 1.0))
+             AS cramers_v_bias_corrected,
+           sqrt(chi2 / (chi2 + n)) AS contingency_coeff
+    FROM folded
+    """,
+    doc="ClickHouse cramersVBiasCorrected + contingencyCoefficient "
+    "(Pearson's C) analog over the same returnflag x linestatus table as "
+    "cramers_v: the Bergsma bias correction (phi2 - (k-1)(m-1)/(n-1), "
+    "floored at 0, over the corrected min(k~, m~) - 1) and "
+    "C = sqrt(chi2/(chi2+n)). Same fixed-order chi-square fold as "
+    "cramers_v; every subsequent op is identical-operand double "
+    "arithmetic + IEEE sqrt. Scale: k*m cells after one count shuffle.",
+    tags=("analytics", "stats", "tests"),
+)
+def q_association_measures(spark, t):
+    cells = (
+        t["lineitem"]
+        .groupBy(F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.select(
+        "f",
+        "s",
+        "o",
+        F.sum("o").over(W.partitionBy("f")).alias("r"),
+        F.sum("o").over(W.partitionBy("s")).alias("c"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = (F.col("r") * F.col("c")) / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    terms = tot.select("f", "s", "n", term.alias("term"))
+    folded = terms.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("f").alias("k"),
+        F.countDistinct("s").alias("m"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "s", "term"))),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("chi2"),
+    )
+    n, k, m, chi2 = F.col("n"), F.col("k"), F.col("m"), F.col("chi2")
+    phi2_corr = F.greatest(
+        chi2 / n - (k - F.lit(1.0)) * (m - F.lit(1.0)) / (n - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    k_corr = k - (k.cast("double") - F.lit(1.0)) * (k - F.lit(1.0)) / (
+        n - F.lit(1.0)
+    )
+    m_corr = m - (m.cast("double") - F.lit(1.0)) * (m - F.lit(1.0)) / (
+        n - F.lit(1.0)
+    )
+    denom = F.greatest(F.least(k_corr, m_corr) - F.lit(1.0), F.lit(1.0))
+    return folded.select(
+        "n",
+        "k",
+        "m",
+        F.sqrt(phi2_corr / denom).alias("cramers_v_bias_corrected"),
+        F.sqrt(chi2 / (chi2 + n)).alias("contingency_coeff"),
+    )
+
+
+_SPARK_BLOCKS = ["▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]
+
+
+@register(
+    "sparkbar_render",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), mx AS (
+      SELECT event_type, day_idx, cnt,
+             max(cnt) OVER (PARTITION BY event_type) AS mc
+      FROM d
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           CAST(max(mc) AS BIGINT) AS max_daily,
+           string_agg(
+             (['▁','▂','▃','▄','▅','▆','▇','█'])[CAST(cnt * 7 // mc AS INT) + 1],
+             '' ORDER BY day_idx) AS sparkline
+    FROM mx GROUP BY event_type
+    """,
+    doc="ClickHouse sparkbar analog: per series, the daily event counts "
+    "rendered as an 8-level unicode block string in day order — the "
+    "terminal/dashboard sparkline next to histogram_adaptive and "
+    "lttb_downsample. Level = cnt*7 // max (pure integer arithmetic), "
+    "glyph picked from a shared literal array, concatenated in day "
+    "order on both engines. Scale: |series|x|days| rows after the count "
+    "shuffle; the string build is a per-group ordered fold over days.",
+    tags=("analytics", "timeseries", "serving"),
+)
+def q_sparkbar_render(spark, t):
+    d = (
+        t["events"]
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("ts_us") / F.lit(86_400_000_000)).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mx = d.withColumn("mc", F.max("cnt").over(W.partitionBy("event_type")))
+    glyphs = F.array(*[F.lit(c) for c in _SPARK_BLOCKS])
+    # integer floor division on both engines (Spark DIV == DuckDB // for
+    # the non-negative counts) — no float in the glyph selection
+    level = F.expr("(cnt * 7) DIV mc")
+    mx = mx.withColumn("glyph", F.element_at(glyphs, (level + F.lit(1)).cast("int")))
+    return mx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("mc").alias("max_daily"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day_idx", "glyph"))),
+                lambda x: x["glyph"],
+            ),
+            "",
+        ).alias("sparkline"),
+    )
