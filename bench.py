@@ -87,6 +87,17 @@ HEADLINE = [
     # the 2-round quantized k-means (broadcast join + dim-major shuffle)
     "boilerplate_ngrams",
     "semantic_cluster_kmeans",
+    # round-7 batch 11+: distribution tests (value-collapse windows),
+    # higher moments, ANN recall eval, cluster-balanced curation, and
+    # the sparkbar/mixture serving pair
+    "ks_test_2samp",
+    "skew_kurtosis",
+    "similarity_recall_eval",
+    "dedup_cluster_stats",
+    "sparkbar_render",
+    "exp_time_decayed_avg",
+    "mixture_sampling_temperature",
+    "cluster_balanced_selection",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
