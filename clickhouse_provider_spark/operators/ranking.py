@@ -77,3 +77,47 @@ def grouped_midrank(
     group_cols = list(group_cols or [])
     ranks = value_midranks(df, value_col, group_cols, out_col).drop("tie_count")
     return df.join(ranks, [*group_cols, value_col])
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    bucket: "F.Column",
+    group_cols: list[str] | None = None,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Distributed running sum of ``val_col`` in ``order_col`` order within
+    each group — the two-level prefix-sum that replaces a per-group
+    cumulative window (whose parallelism is capped at |groups|):
+
+    1. per-(group, bucket) subtotals — tiny parallel aggregate (``bucket``
+       must be a monotone non-decreasing function of ``order_col``, e.g. a
+       coarse range bucket);
+    2. running sum over buckets per group — a window over |buckets| rows;
+    3. local running sum within each (group, bucket) partition + the
+       bucket's prefix offset — parallel across |groups| x |buckets|
+       partitions.
+
+    Exact integer/decimal arithmetic throughout (same values as the
+    single-window cumsum, any input order). Rows must be unique per
+    (group, order_col) — pre-aggregate first, as rank statistics already
+    do.
+    """
+    group_cols = list(group_cols or [])
+    b = df.withColumn("_bkt", bucket)
+    sub = b.groupBy(*group_cols, "_bkt").agg(F.sum(val_col).alias("_bw"))
+    wb = (
+        W.partitionBy(*group_cols).orderBy("_bkt")
+        if group_cols
+        else W.orderBy("_bkt")
+    )
+    offsets = sub.withColumn(
+        "_off", F.sum("_bw").over(wb) - F.col("_bw")
+    ).select(*group_cols, "_bkt", "_off")
+    wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
+    return (
+        b.join(offsets, [*group_cols, "_bkt"])
+        .withColumn(out_col, F.col("_off") + F.sum(val_col).over(wl))
+        .drop("_bkt", "_off")
+    )

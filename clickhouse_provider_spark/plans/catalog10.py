@@ -807,23 +807,34 @@ def q_uniq_up_to(spark, t):
     "cumulative weight in value order, first value whose doubled "
     "cumulative weight reaches the total. All integer/decimal "
     "comparisons; no interpolation, matching ClickHouse's lower-value "
-    "convention. Scale: the per-value collapse bounds the sort input by "
-    "|distinct values|, and the comparison 2*cw >= tw avoids any "
-    "fractional target.",
+    "convention. Scale: per-value collapse bounds the data, then the "
+    "cumulative weight runs as a two-level bucketed prefix sum "
+    "(operators/ranking.bucketed_cumsum) so no stage serializes into "
+    "|groups| tasks; 2*cw >= tw avoids any fractional target.",
     tags=("analytics", "stats"),
 )
 def q_quantile_exact_weighted(spark, t):
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+
     g = (
         t["lineitem"]
         .groupBy("l_returnflag", dec("l_extendedprice").alias("price"))
         .agg(F.sum(F.floor("l_quantity").cast("long")).alias("w"))
     )
-    c = g.select(
-        "l_returnflag",
+    # two-level distributed prefix sum (operators/ranking.py): a per-flag
+    # cumulative window would serialize ~|distinct prices| rows into
+    # |flags| tasks; bucketing by coarse price range keeps every stage
+    # parallel. Totals via agg + broadcast join for the same reason.
+    c = bucketed_cumsum(
+        g,
         "price",
-        F.sum("w").over(W.partitionBy("l_returnflag").orderBy("price")).alias("cw"),
-        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tw"),
+        "w",
+        bucket=F.floor(F.col("price").cast("double") / F.lit(4096.0)),
+        group_cols=["l_returnflag"],
+        out_col="cw",
     )
+    tot = g.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    c = c.join(F.broadcast(tot), "l_returnflag")
     return c.groupBy("l_returnflag").agg(
         F.max("tw").alias("total_weight"),
         as_double(

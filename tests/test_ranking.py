@@ -66,3 +66,27 @@ def test_value_midranks_collapsed_relation(spark):
 def test_grouped_midrank_empty_input(spark):
     df = spark.createDataFrame([], "id long, g string, v double")
     assert grouped_midrank(df, "v", ["g"], "r").count() == 0
+
+
+def test_bucketed_cumsum_matches_window(spark):
+    import random
+
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+
+    rng = random.Random(99)
+    rows = [
+        (f"g{rng.randrange(3)}", float(i), rng.randint(1, 9))
+        for i in range(300)
+    ]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, v double, w long").repartition(5)
+    got = bucketed_cumsum(
+        df, "v", "w", bucket=F.floor(F.col("v") / F.lit(37.0)),
+        group_cols=["g"], out_col="cum",
+    )
+    want = df.withColumn(
+        "want", F.sum("w").over(W.partitionBy("g").orderBy("v"))
+    )
+    both = got.join(want.select("g", "v", "want"), ["g", "v"])
+    assert both.count() == 300
+    assert both.filter(F.col("cum") != F.col("want")).count() == 0

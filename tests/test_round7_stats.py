@@ -258,3 +258,71 @@ def test_kmeans_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmeans_assign(emb, k=3, iters=2).collect()))
     b = sorted(map(tuple, kmeans_assign(emb, k=3, iters=2).collect()))
     assert a == b
+
+
+def test_ks_test_vs_brute(spark):
+    rng = random.Random(SEED + 5)
+    rows = []
+    for i in range(70):
+        rows.append((i, 10**6 * i, 0, "click", rng.randint(0, 30) / 2.0))
+    for i in range(55):
+        rows.append((500 + i, 10**6 * i, 0, "view", rng.randint(5, 35) / 2.0))
+    t = _events_tables(spark, rows)
+    r = CATALOG["ks_test_2samp"].build(spark, t).collect()[0]
+    xs = sorted(v for *_, g, v in rows if g == "click")
+    ys = sorted(v for *_, g, v in rows if g == "view")
+
+    def ecdf(sorted_vals, v):
+        import bisect
+
+        return bisect.bisect_right(sorted_vals, v) / len(sorted_vals)
+
+    points = sorted(set(xs) | set(ys))
+    gaps = [abs(ecdf(xs, v) - ecdf(ys, v)) for v in points]
+    d = max(gaps)
+    assert r["d_stat"] == pytest.approx(d, abs=1e-12)
+    assert r["d_location"] == points[gaps.index(d)]
+
+
+def test_anova_f_vs_numpy(spark):
+    rng = random.Random(SEED + 6)
+    rows = []
+    eid = 0
+    for g, (mu, n) in enumerate([(10, 40), (12, 55), (9, 35), (11, 60)]):
+        for _ in range(n):
+            rows.append((eid, 10**6 * eid, 0, f"g{g}", mu + rng.randint(-8, 8) / 4.0))
+            eid += 1
+    t = _events_tables(spark, rows)
+    r = CATALOG["anova_f"].build(spark, t).collect()[0]
+    groups = {}
+    for *_, g, v in rows:
+        groups.setdefault(g, []).append(v)
+    arrs = [np.array(v) for v in groups.values()]
+    all_v = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - all_v.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    k, n = len(arrs), len(all_v)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == k and r["n_total"] == n
+    assert r["df_between"] == k - 1 and r["df_within"] == n - k
+    assert r["f_stat"] == pytest.approx(f, rel=1e-10)
+
+
+def test_skew_kurtosis_vs_numpy(spark):
+    rng = random.Random(SEED + 7)
+    rows = [
+        (i, 10**6 * i, 0, "g0", rng.randint(0, 2000) ** 2 / 40000.0)
+        for i in range(300)
+    ]
+    # keep 2dp (the entry integerizes at value*100)
+    rows = [(a, b, c, d, round(v, 2)) for a, b, c, d, v in rows]
+    t = _events_tables(spark, rows)
+    r = CATALOG["skew_kurtosis"].build(spark, t).collect()[0]
+    v = np.array([x[4] for x in rows])
+    m = v.mean()
+    var = ((v - m) ** 2).mean()
+    skew = (((v - m) ** 3).mean()) / var**1.5
+    kurt = (((v - m) ** 4).mean()) / var**2
+    assert r["n"] == len(v)
+    assert r["skew_pop"] == pytest.approx(skew, rel=1e-9)
+    assert r["kurt_pop"] == pytest.approx(kurt, rel=1e-9)
