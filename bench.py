@@ -98,6 +98,8 @@ HEADLINE = [
     "exp_time_decayed_avg",
     "mixture_sampling_temperature",
     "cluster_balanced_selection",
+    "quantile_timing",
+    "covar_corr_matrix",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

@@ -1,0 +1,188 @@
+"""Round-7 batch 12: the last aggregate-family tails.
+
+- ``quantile_timing`` — ClickHouse ``quantileTiming`` analog: a
+  deterministic TIERED-BUCKET quantile for latency-like values (exact
+  1-unit buckets below 1024, 16-wide buckets to 65536, clamped above) —
+  unlike sampling/sketch quantiles the result is a pure function of the
+  multiset, so it is cross-engine exact by construction and mergeable
+  (bounded bucket-count state) — the serving-layer latency percentile at
+  100 TB;
+- ``covar_corr_matrix`` — ClickHouse ``covarPop``/``covarSamp``/
+  ``corrMatrix`` analog: the pairwise covariance/correlation matrix of
+  the lineitem measures, one output row per pair, every statistic
+  combined from exact decimal moments (catalog_stats discipline).
+
+Exactness rules as catalog10/11 (decimal moments, mirrored expression
+shapes, integer bucket arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from clickhouse_provider_spark.plans.catalog import as_double, dec, register
+
+#: timing tiers: exact below SMALL, STEP-wide to BIG, clamped at BIG
+_SMALL, _STEP, _BIG = 1024, 16, 65536
+
+
+@register(
+    "quantile_timing",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0) AS BIGINT) AS t  -- value in "cs"
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             CASE WHEN t < {_SMALL} THEN t
+                  WHEN t < {_BIG} THEN (t // {_STEP}) * {_STEP}
+                  ELSE {_BIG} END AS bucket,
+             count(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN 2 * cum >= n THEN bucket END) AS p50_bucket,
+           min(CASE WHEN 10 * cum >= 9 * n THEN bucket END) AS p90_bucket,
+           min(CASE WHEN 100 * cum >= 99 * n THEN bucket END) AS p99_bucket
+    FROM c GROUP BY event_type
+    """,
+    doc="ClickHouse quantileTiming analog over value*100 (centi-units, "
+    "a latency-like integer domain): tiered deterministic buckets — "
+    "exact 1-unit resolution below 1024, 16-wide buckets to 65536, "
+    "clamped above (the ClickHouse timing tradeoff: full accuracy for "
+    "small latencies, bounded state for the tail). The quantile is the "
+    "smallest bucket whose cumulative count reaches ceil(q*n), compared "
+    "in integers (2*cum >= n etc.) so no float appears anywhere — "
+    "cross-engine exact AND mergeable: per-group state is <= 3620 "
+    "bucket counts, the AggregatingMergeTree-style rollup shape. Scale: "
+    "one combiner groupBy to buckets, a tiny per-group window.",
+    tags=("analytics", "stats", "approx", "serving"),
+)
+def q_quantile_timing(spark, t):
+    v = t["events"].select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("t"),
+    )
+    bucket = (
+        F.when(F.col("t") < _SMALL, F.col("t"))
+        .when(F.col("t") < _BIG, F.expr(f"(t DIV {_STEP}) * {_STEP}"))
+        .otherwise(F.lit(_BIG))
+    )
+    b = v.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = b.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type").orderBy("bucket"))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+    def pick(mult_cum: int, mult_n: int, name: str) -> F.Column:
+        return F.min(
+            F.when(
+                F.lit(mult_cum) * F.col("cum") >= F.lit(mult_n) * F.col("n"),
+                F.col("bucket"),
+            )
+        ).alias(name)
+
+    return c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(2, 1, "p50_bucket"),
+        pick(10, 9, "p90_bucket"),
+        pick(100, 99, "p99_bucket"),
+    )
+
+
+_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+]
+
+_PAIR_SQL = """
+      SELECT '{x}|{y}' AS pair, count(*) AS n,
+             CAST(sum(CAST({x} AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST({y} AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST({x} AS DECIMAL(12,2))
+                           * CAST({x} AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(CAST({y} AS DECIMAL(12,2))
+                           * CAST({y} AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(CAST({x} AS DECIMAL(12,2))
+                           * CAST({y} AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+"""
+
+
+@register(
+    "covar_corr_matrix",
+    oracle="""
+    WITH m AS (
+    """
+    + "      UNION ALL".join(_PAIR_SQL.format(x=x, y=y) for x, y in _PAIRS)
+    + """
+    )
+    SELECT pair, n,
+           (sxy - sx * sy / n) / n AS covar_pop,
+           (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM m
+    """,
+    doc="ClickHouse covarPop / covarSamp / corrMatrix analog: the "
+    "pairwise covariance + correlation matrix of the lineitem measures "
+    "(quantity, price, discount), one row per unordered pair. Exact "
+    "decimal moments per pair (values are exactly 2dp; scaled sums stay "
+    "far below 2^53 per the catalog10 export rule), combined with "
+    "expression shapes mirrored token-for-token. Scale: the three "
+    "moment sets reduce in ONE pass over the fact table "
+    "(combiner-friendly partial sums), then a 3-row projection.",
+    tags=("analytics", "stats"),
+)
+def q_covar_corr_matrix(spark, t):
+    li = t["lineitem"]
+    frames = []
+    for x, y in _PAIRS:
+        dx, dy = dec(F.col(x)), dec(F.col(y))
+        frames.append(
+            li.agg(
+                F.count(F.lit(1)).alias("n"),
+                as_double(F.sum(dx)).alias("sx"),
+                as_double(F.sum(dy)).alias("sy"),
+                as_double(F.sum((dx * dx).cast(T.DecimalType(24, 4)))).alias(
+                    "sxx"
+                ),
+                as_double(F.sum((dy * dy).cast(T.DecimalType(24, 4)))).alias(
+                    "syy"
+                ),
+                as_double(F.sum((dx * dy).cast(T.DecimalType(24, 4)))).alias(
+                    "sxy"
+                ),
+            ).select(F.lit(f"{x}|{y}").alias("pair"), "*")
+        )
+    m = frames[0]
+    for f2 in frames[1:]:
+        m = m.unionByName(f2)
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "pair",
+        "n",
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr"),
+    )
