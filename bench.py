@@ -195,14 +195,26 @@ def bench_ingest(spark, n_replicas: int | None = None) -> dict:
         .localCheckpoint(eager=True)  # materialize inputs: time ONLY the DAG
     )
     n_blocks = n_base * n_replicas
-    tables = {k: df.persist() for k, df in ACT.extract_tables(blocks).items()}
-    start = time.perf_counter()
-    for df in tables.values():
-        force(df)  # populates the cache: timed work = extraction + persist
-    elapsed = time.perf_counter() - start
-    rows = sum(df.count() for df in tables.values())  # served from cache
-    for df in tables.values():
-        df.unpersist()
+
+    def one_pass() -> tuple[float, int]:
+        tables = {k: df.persist() for k, df in ACT.extract_tables(blocks).items()}
+        start = time.perf_counter()
+        for df in tables.values():
+            force(df)  # populates the cache: timed work = extraction + persist
+        elapsed = time.perf_counter() - start
+        rows = sum(df.count() for df in tables.values())  # served from cache
+        for df in tables.values():
+            df.unpersist()
+        return elapsed, rows
+
+    # warmup + min-of-REPS, same discipline as the query section: a single
+    # cold pass is dominated by whole-stage-codegen COMPILATION of the
+    # extraction DAG (measured: ~1.6k blocks/s cold vs ~7k warm on the
+    # same plan), which is what masqueraded as round-over-round ingest
+    # "variance" through r6
+    one_pass()
+    samples = [one_pass() for _ in range(max(2, REPS - 1))]
+    elapsed, rows = min(samples)
     return {
         "blocks": n_blocks,
         "rows_out": rows,
