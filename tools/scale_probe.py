@@ -55,6 +55,15 @@ PROBE_QUERIES = [
     "approx_topk_heavy_hitters",
     "uniq_state_merge_rollup",
     "quantile_state_merge_rollup",
+    # round-7 operators with explicit scale claims: distinct-collapse rank
+    # (no global sort), bucketed prefix-sum weighted median, quantized
+    # k-means (broadcast + dim-major combiner shuffle), gram-explode
+    # boilerplate sweep, value-collapse KS
+    "spearman_rank_corr",
+    "quantile_exact_weighted",
+    "semantic_cluster_kmeans",
+    "boilerplate_ngrams",
+    "ks_test_2samp",
 ]
 
 
