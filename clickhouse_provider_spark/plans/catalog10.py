@@ -115,8 +115,8 @@ def q_delta_sum_increases(spark, t):
              - max(CASE WHEN rn_a = 1 THEN value END) AS y_delta,
            (max(CASE WHEN rn_d = 1 THEN value END)
              - max(CASE WHEN rn_a = 1 THEN value END))
-             / ((max(CASE WHEN rn_d = 1 THEN ts_us END)
-                 - max(CASE WHEN rn_a = 1 THEN ts_us END)) / 86400000000.0)
+             / nullif((max(CASE WHEN rn_d = 1 THEN ts_us END)
+                 - max(CASE WHEN rn_a = 1 THEN ts_us END)) / 86400000000.0, 0.0)
              AS ratio_per_day
     FROM e GROUP BY event_type
     """,
@@ -144,9 +144,10 @@ def q_bounding_ratio(spark, t):
     return d.groupBy("event_type").agg(
         (last_ts - first_ts).alias("x_span_us"),
         (last_v - first_v).alias("y_delta"),
-        ((last_v - first_v) / ((last_ts - first_ts) / F.lit(86400000000.0))).alias(
-            "ratio_per_day"
-        ),
+        (
+            (last_v - first_v)
+            / F.nullif((last_ts - first_ts) / F.lit(86400000000.0), F.lit(0.0))
+        ).alias("ratio_per_day"),
     )
 
 
@@ -454,18 +455,22 @@ def _moments(t, et: str):
     m AS (
       SELECT x.n AS nx, y.n AS ny,
              x.s / x.n AS mx, y.s / y.n AS my,
-             (x.n * x.ss - x.s * x.s) / (x.n * (x.n - 1.0)) AS vx,
-             (y.n * y.ss - y.s * y.s) / (y.n * (y.n - 1.0)) AS vy
+             (x.n * x.ss - x.s * x.s) / nullif(x.n * (x.n - 1.0), 0.0) AS vx,
+             (y.n * y.ss - y.s * y.s) / nullif(y.n * (y.n - 1.0), 0.0) AS vy
       FROM x, y
     )
     SELECT nx, ny, mx AS mean_x, my AS mean_y,
-           (mx - my) / sqrt((((nx - 1.0) * vx + (ny - 1.0) * vy)
-                             / (nx + ny - 2.0)) * (1.0 / nx + 1.0 / ny))
+           (mx - my) / nullif(sqrt(greatest((((nx - 1.0) * vx
+                                + (ny - 1.0) * vy)
+                             / nullif(nx + ny - 2.0, 0.0))
+                            * (1.0 / nx + 1.0 / ny), 0.0)), 0.0)
              AS t_student,
-           (mx - my) / sqrt(vx / nx + vy / ny) AS t_welch,
+           (mx - my) / nullif(sqrt(greatest(vx / nx + vy / ny, 0.0)), 0.0)
+             AS t_welch,
            ((vx / nx + vy / ny) * (vx / nx + vy / ny))
-             / ((vx / nx) * (vx / nx) / (nx - 1.0)
-                + (vy / ny) * (vy / ny) / (ny - 1.0)) AS df_welch
+             / nullif((vx / nx) * (vx / nx) / nullif(nx - 1.0, 0.0)
+                + (vy / ny) * (vy / ny) / nullif(ny - 1.0, 0.0), 0.0)
+             AS df_welch
     FROM m
     """,
     doc="ClickHouse studentTTest + welchTTest analog between the 'click' "
@@ -493,18 +498,18 @@ def q_ttest_student_welch(spark, t):
         (F.col("sy") / F.col("ny")).alias("my"),
         (
             (F.col("nx") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            / (F.col("nx") * (F.col("nx") - F.lit(1.0)))
+            / F.nullif(F.col("nx") * (F.col("nx") - F.lit(1.0)), F.lit(0.0))
         ).alias("vx"),
         (
             (F.col("ny") * F.col("syy") - F.col("sy") * F.col("sy"))
-            / (F.col("ny") * (F.col("ny") - F.lit(1.0)))
+            / F.nullif(F.col("ny") * (F.col("ny") - F.lit(1.0)), F.lit(0.0))
         ).alias("vy"),
     )
     nx, ny = F.col("nx"), F.col("ny")
     vx, vy = F.col("vx"), F.col("vy")
     mx, my = F.col("mx"), F.col("my")
-    sp2 = ((nx - F.lit(1.0)) * vx + (ny - F.lit(1.0)) * vy) / (
-        nx + ny - F.lit(2.0)
+    sp2 = ((nx - F.lit(1.0)) * vx + (ny - F.lit(1.0)) * vy) / F.nullif(
+        nx + ny - F.lit(2.0), F.lit(0.0)
     )
     vxn, vyn = vx / nx, vy / ny
     return m.select(
@@ -512,15 +517,27 @@ def q_ttest_student_welch(spark, t):
         "ny",
         mx.alias("mean_x"),
         my.alias("mean_y"),
-        ((mx - my) / F.sqrt(sp2 * (F.lit(1.0) / nx + F.lit(1.0) / ny))).alias(
-            "t_student"
-        ),
-        ((mx - my) / F.sqrt(vxn + vyn)).alias("t_welch"),
+        (
+            (mx - my)
+            / F.nullif(
+                F.sqrt(
+                    F.greatest(
+                        sp2 * (F.lit(1.0) / nx + F.lit(1.0) / ny), F.lit(0.0)
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("t_student"),
+        (
+            (mx - my)
+            / F.nullif(F.sqrt(F.greatest(vxn + vyn, F.lit(0.0))), F.lit(0.0))
+        ).alias("t_welch"),
         (
             ((vxn + vyn) * (vxn + vyn))
-            / (
-                vxn * vxn / (nx - F.lit(1.0))
-                + vyn * vyn / (ny - F.lit(1.0))
+            / F.nullif(
+                vxn * vxn / F.nullif(nx - F.lit(1.0), F.lit(0.0))
+                + vyn * vyn / F.nullif(ny - F.lit(1.0), F.lit(0.0)),
+                F.lit(0.0),
             )
         ).alias("df_welch"),
     )
@@ -554,9 +571,10 @@ def q_ttest_student_welch(spark, t):
            rx - nx * (nx + 1) / 2.0 AS u_x,
            nx * CAST(ny AS DOUBLE) - (rx - nx * (nx + 1) / 2.0) AS u_y,
            ((rx - nx * (nx + 1) / 2.0) - nx * CAST(ny AS DOUBLE) / 2.0)
-             / sqrt((nx * CAST(ny AS DOUBLE) / 12.0)
+             / nullif(sqrt(greatest((nx * CAST(ny AS DOUBLE) / 12.0)
                     * ((nx + ny + 1.0)
-                       - tie3 / ((nx + ny) * (nx + ny - 1.0))))
+                       - tie3 / nullif((nx + ny) * (nx + ny - 1.0), 0.0)),
+                    0.0)), 0.0)
              AS z_tie_corrected
     FROM agg, ties
     """,
@@ -584,8 +602,12 @@ def q_mann_whitney_u(spark, t):
         "event_type", F.col("ar").cast(T.DecimalType(20, 1)).alias("avg_rank")
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("event_type") == "click", F.lit(1))).alias("nx"),
-        F.sum(F.when(F.col("event_type") == "view", F.lit(1))).alias("ny"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.lit(1))), F.lit(0)
+        ).alias("nx"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", F.lit(1))), F.lit(0)
+        ).alias("ny"),
         as_double(
             F.sum(F.when(F.col("event_type") == "click", F.col("avg_rank")))
         ).alias("rx"),
@@ -613,12 +635,19 @@ def q_mann_whitney_u(spark, t):
         (nxy - ux).alias("u_y"),
         (
             (ux - nxy / F.lit(2.0))
-            / F.sqrt(
-                (nxy / F.lit(12.0))
-                * (
-                    (nx + ny + F.lit(1.0))
-                    - tie3 / ((nx + ny) * (nx + ny - F.lit(1.0)))
-                )
+            / F.nullif(
+                F.sqrt(F.greatest(
+                    (nxy / F.lit(12.0))
+                    * (
+                        (nx + ny + F.lit(1.0))
+                        - tie3
+                        / F.nullif(
+                            (nx + ny) * (nx + ny - F.lit(1.0)), F.lit(0.0)
+                        )
+                    ),
+                    F.lit(0.0),
+                )),
+                F.lit(0.0),
             )
         ).alias("z_tie_corrected"),
     )
@@ -647,7 +676,8 @@ def q_mann_whitney_u(spark, t):
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0))
+                      * sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0)
              AS spearman_rho
     FROM m
     """,
@@ -687,9 +717,10 @@ def q_spearman_rank_corr(spark, t):
         as_double(F.sum(F.col("rq") * F.col("rp"))).alias("sxy"),
     )
     n = F.col("n")
-    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(F.greatest(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)))
+        * F.sqrt(F.greatest(n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))),
+        F.lit(0.0),
     )
     return m.select("l_returnflag", "n", rho.alias("spearman_rho"))
 
@@ -716,10 +747,12 @@ def q_spearman_rank_corr(spark, t):
       FROM r GROUP BY event_type
     )
     SELECT event_type, n,
-           (n * sxy - sx * sy) / (n * CAST(sxx AS DOUBLE) - sx * CAST(sx AS DOUBLE))
+           (n * sxy - sx * sy)
+             / nullif(n * CAST(sxx AS DOUBLE) - sx * CAST(sx AS DOUBLE), 0.0)
              AS slope_per_day,
            (sy - (n * sxy - sx * sy)
-                   / (n * CAST(sxx AS DOUBLE) - sx * CAST(sx AS DOUBLE)) * sx)
+                   / nullif(n * CAST(sxx AS DOUBLE) - sx * CAST(sx AS DOUBLE), 0.0)
+                   * sx)
              / n AS intercept
     FROM m
     """,
@@ -746,8 +779,8 @@ def q_simple_linear_regression(spark, t):
     )
     n, sx = F.col("n"), F.col("sx")
     sxx, sy, sxy = F.col("sxx"), F.col("sy"), F.col("sxy")
-    slope = (n * sxy - sx * sy) / (
-        n * sxx.cast("double") - sx * sx.cast("double")
+    slope = (n * sxy - sx * sy) / F.nullif(
+        n * sxx.cast("double") - sx * sx.cast("double"), F.lit(0.0)
     )
     return m.select(
         "event_type",
@@ -868,7 +901,8 @@ def q_quantile_exact_weighted(spark, t):
       FROM terms
     )
     SELECT n, k, m, chi2,
-           sqrt(chi2 / (n * CAST(least(k - 1, m - 1) AS DOUBLE))) AS cramers_v
+           sqrt(chi2 / nullif(n * CAST(least(k - 1, m - 1) AS DOUBLE), 0.0))
+             AS cramers_v
     FROM folded
     """,
     doc="ClickHouse cramersV analog over the returnflag x linestatus "
@@ -920,11 +954,12 @@ def q_cramers_v(spark, t):
         "chi2",
         F.sqrt(
             F.col("chi2")
-            / (
+            / F.nullif(
                 F.col("n")
                 * F.least(F.col("k") - F.lit(1), F.col("m") - F.lit(1)).cast(
                     "double"
-                )
+                ),
+                F.lit(0.0),
             )
         ).alias("cramers_v"),
     )

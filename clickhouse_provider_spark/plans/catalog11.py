@@ -49,7 +49,8 @@ from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
       FROM s
     ), gaps AS (
       SELECT value,
-             abs(CAST(cx AS DOUBLE) / nx - CAST(cy AS DOUBLE) / ny) AS gap
+             abs(CAST(cx AS DOUBLE) / nullif(nx, 0)
+                 - CAST(cy AS DOUBLE) / nullif(ny, 0)) AS gap
       FROM c, tot
     )
     SELECT max(nx) AS nx, max(ny) AS ny, max(gap) AS d_stat,
@@ -71,8 +72,12 @@ from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
 def q_ks_test_2samp(spark, t):
     s = t["events"].filter(F.col("event_type").isin("click", "view"))
     tot = s.agg(
-        F.sum(F.when(F.col("event_type") == "click", F.lit(1))).alias("nx"),
-        F.sum(F.when(F.col("event_type") == "view", F.lit(1))).alias("ny"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", F.lit(1))), F.lit(0)
+        ).alias("nx"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", F.lit(1))), F.lit(0)
+        ).alias("ny"),
     )
     # value-collapse before the cumulative window (operators/ranking.py
     # rationale): the ECDF gap is a function of per-DISTINCT-value counts,
@@ -97,8 +102,8 @@ def q_ks_test_2samp(spark, t):
         "nx",
         "ny",
         F.abs(
-            F.col("cx").cast("double") / F.col("nx")
-            - F.col("cy").cast("double") / F.col("ny")
+            F.col("cx").cast("double") / F.nullif(F.col("nx"), F.lit(0))
+            - F.col("cy").cast("double") / F.nullif(F.col("ny"), F.lit(0))
         ).alias("gap"),
     )
     gaps = gaps.withColumn("mx", F.max("gap").over(W.partitionBy()))
@@ -133,8 +138,9 @@ def q_ks_test_2samp(spark, t):
       FROM g
     )
     SELECT k, n_total,
-           ((sb_fold - s_all * s_all / n_total) / (k - 1.0))
-             / ((ss_all - sb_fold) / (n_total - CAST(k AS DOUBLE)))
+           ((sb_fold - s_all * s_all / n_total) / nullif(k - 1.0, 0.0))
+             / nullif((ss_all - sb_fold)
+                      / nullif(n_total - CAST(k AS DOUBLE), 0.0), 0.0)
              AS f_stat,
            k - 1 AS df_between,
            n_total - k AS df_within
@@ -188,7 +194,10 @@ def q_anova_f(spark, t):
         "k",
         "n_total",
         (
-            (ssb / (k - F.lit(1.0))) / (ssw / (n - k.cast("double")))
+            (ssb / F.nullif(k - F.lit(1.0), F.lit(0.0)))
+            / F.nullif(
+                ssw / F.nullif(n - k.cast("double"), F.lit(0.0)), F.lit(0.0)
+            )
         ).alias("f_stat"),
         (k - F.lit(1)).alias("df_between"),
         (n - k).alias("df_within"),
@@ -221,13 +230,14 @@ def q_anova_f(spark, t):
     SELECT event_type, n,
            (s3 / n - 3.0 * (s1 / n) * (s2 / n)
               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
-             / ((s2 / n - (s1 / n) * (s1 / n))
-                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+             / nullif((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)), 0.0)
+             AS skew_pop,
            (s4 / n - 4.0 * (s1 / n) * (s3 / n)
               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-             / ((s2 / n - (s1 / n) * (s1 / n))
-                * (s2 / n - (s1 / n) * (s1 / n))) AS kurt_pop
+             / nullif((s2 / n - (s1 / n) * (s1 / n))
+                * (s2 / n - (s1 / n) * (s1 / n)), 0.0) AS kurt_pop
     FROM m
     """,
     doc="ClickHouse skewPop + kurtPop analog per event_type. Moments run "
@@ -284,15 +294,15 @@ def q_skew_kurtosis(spark, t):
     m3 = F.col("s3") / n
     m4 = F.col("s4") / n
     var = m2 - m1 * m1
-    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / (
-        var * F.sqrt(var)
+    skew = (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1) / F.nullif(
+        var * F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)
     )
     kurt = (
         m4
         - F.lit(4.0) * m1 * m3
         + F.lit(6.0) * m1 * m1 * m2
         - F.lit(3.0) * m1 * m1 * m1 * m1
-    ) / (var * var)
+    ) / F.nullif(var * var, F.lit(0.0))
     return m.select(
         "event_type", "n", skew.alias("skew_pop"), kurt.alias("kurt_pop")
     )
@@ -446,11 +456,13 @@ def q_dedup_cluster_stats(spark, t):
       FROM terms
     )
     SELECT n, k, m,
-           sqrt(greatest(chi2 / n - (k - 1.0) * (m - 1.0) / (n - 1.0), 0.0)
+           sqrt(greatest(chi2 / n - (k - 1.0) * (m - 1.0)
+                           / nullif(n - 1.0, 0.0), 0.0)
                 / greatest(least(k - (CAST(k AS DOUBLE) - 1.0)
-                                   * (k - 1.0) / (n - 1.0),
+                                   * (k - 1.0) / nullif(n - 1.0, 0.0),
                                  m - (CAST(m AS DOUBLE) - 1.0)
-                                   * (m - 1.0) / (n - 1.0)) - 1.0, 1.0))
+                                   * (m - 1.0) / nullif(n - 1.0, 0.0)) - 1.0,
+                           1.0))
              AS cramers_v_bias_corrected,
            sqrt(chi2 / (chi2 + n)) AS contingency_coeff
     FROM folded
@@ -495,16 +507,13 @@ def q_association_measures(spark, t):
         ).alias("chi2"),
     )
     n, k, m, chi2 = F.col("n"), F.col("k"), F.col("m"), F.col("chi2")
+    nm1 = F.nullif(n - F.lit(1.0), F.lit(0.0))
     phi2_corr = F.greatest(
-        chi2 / n - (k - F.lit(1.0)) * (m - F.lit(1.0)) / (n - F.lit(1.0)),
+        chi2 / n - (k - F.lit(1.0)) * (m - F.lit(1.0)) / nm1,
         F.lit(0.0),
     )
-    k_corr = k - (k.cast("double") - F.lit(1.0)) * (k - F.lit(1.0)) / (
-        n - F.lit(1.0)
-    )
-    m_corr = m - (m.cast("double") - F.lit(1.0)) * (m - F.lit(1.0)) / (
-        n - F.lit(1.0)
-    )
+    k_corr = k - (k.cast("double") - F.lit(1.0)) * (k - F.lit(1.0)) / nm1
+    m_corr = m - (m.cast("double") - F.lit(1.0)) * (m - F.lit(1.0)) / nm1
     denom = F.greatest(F.least(k_corr, m_corr) - F.lit(1.0), F.lit(1.0))
     return folded.select(
         "n",

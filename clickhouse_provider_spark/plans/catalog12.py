@@ -134,9 +134,11 @@ _PAIR_SQL = """
     )
     SELECT pair, n,
            (sxy - sx * sy / n) / n AS covar_pop,
-           (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
+           (sxy - sx * sy / n) / nullif(n - 1.0, 0.0) AS covar_samp,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+             / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0))
+                      * sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0)
+             AS corr
     FROM m
     """,
     doc="ClickHouse covarPop / covarSamp / corrMatrix analog: the "
@@ -180,9 +182,15 @@ def q_covar_corr_matrix(spark, t):
         "pair",
         "n",
         ((sxy - sx * sy / n) / n).alias("covar_pop"),
-        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        ((sxy - sx * sy / n) / F.nullif(n - F.lit(1.0), F.lit(0.0))).alias(
+            "covar_samp"
+        ),
         (
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            / F.nullif(
+                F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
+                F.lit(0.0),
+            )
         ).alias("corr"),
     )
