@@ -100,6 +100,7 @@ HEADLINE = [
     "cluster_balanced_selection",
     "quantile_timing",
     "covar_corr_matrix",
+    "skew_salted_topk_revenue",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

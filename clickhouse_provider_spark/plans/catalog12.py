@@ -194,3 +194,48 @@ def q_covar_corr_matrix(spark, t):
             )
         ).alias("corr"),
     )
+
+
+@register(
+    "skew_salted_topk_revenue",
+    oracle="""
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 10
+    """,
+    doc="Skew-safe aggregation on the oracle-checked surface: top-10 "
+    "customers by revenue computed through layout.salted_aggregate — "
+    "phase 1 groups by (custkey, random 16-way salt) so a power-law hot "
+    "key spreads across reducers, phase 2 merges the partials — against "
+    "a plain GROUP BY oracle. Decimal partials merge exactly in any "
+    "order, so salting is value-invisible (the equivalence the oracle "
+    "hash proves). At 100 TB this is the difference between one reducer "
+    "owning a billion-row key and 16 sharing it; AQE skew-join handles "
+    "joins, salting handles aggregations.",
+    tags=("analytics", "layout", "serving"),
+)
+def q_skew_salted_topk_revenue(spark, t):
+    from clickhouse_provider_spark import layout
+    from clickhouse_provider_spark.plans.catalog import dec as _dec
+
+    agg = layout.salted_aggregate(
+        t["orders"],
+        "o_custkey",
+        lambda df: [
+            F.sum(_dec(F.col("o_totalprice"))).alias("revenue_dec"),
+            F.count(F.lit(1)).alias("count_orders"),
+        ],
+        n_salts=16,
+    )
+    return (
+        agg.select(
+            "o_custkey",
+            as_double(F.col("revenue_dec")).alias("revenue"),
+            F.col("count_orders").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .limit(10)
+    )
