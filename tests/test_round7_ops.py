@@ -285,3 +285,30 @@ def test_adaptive_histogram_spark_matches_local(spark):
             if r["grp"] == g
         )
         assert mine == expect, g
+
+
+def test_seq_next_node_backward_last_match(spark):
+    # two backward signup->click chains for user 1: anchors at the two
+    # clicks (each immediately preceded by a signup); last_match picks the
+    # LATEST anchor, whose before-chain node is 'p' (the first chain's
+    # before-node is 'v')
+    rows = [
+        (1, 10, 100, "v"),
+        (1, 11, 200, "s"),
+        (1, 12, 300, "c"),
+        (1, 13, 400, "p"),
+        (1, 14, 500, "s"),
+        (1, 15, 600, "c"),
+        # user 2: chain starts the stream -> next_node NULL kept
+        (2, 20, 100, "s"),
+        (2, 21, 200, "c"),
+    ]
+    out = sequence_next_node(
+        _events(spark, rows),
+        stage_conds=[F.col("event_type") == "c", F.col("event_type") == "s"],
+        direction="backward",
+        base="last_match",
+        **SEQ_KW,
+    ).collect()
+    got = {r["user_id"]: r["next_node"] for r in out}
+    assert got == {1: "p", 2: None}
