@@ -27,7 +27,7 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
 
 #: Entries whose SEMANTICS changed this round (round 7:
 #: window_funnel_strict_order rebuilt to ClickHouse's early-exit scan per
