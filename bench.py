@@ -101,6 +101,15 @@ HEADLINE = [
     "quantile_timing",
     "covar_corr_matrix",
     "skew_salted_topk_revenue",
+    # round-8 batch 13: the scalar-function families (URL parse, trigram
+    # multiset distance — the explode-heaviest of the batch, bitmap set
+    # algebra on a distinct self-join) + the two LLM evals
+    "url_functions",
+    "ngram_string_distance",
+    "bitmap_set_ops",
+    "geohash_encode",
+    "quality_logistic_score",
+    "knn_label_accuracy",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
@@ -290,11 +299,15 @@ def main() -> None:
     # Durable full snapshot: the driver keeps only a 2,000-char stdout tail
     # (round 5 lost the medians dict to it), so persist the complete output
     # in-repo where previous_round() — and the judge — can always read it.
-    full = Path(__file__).resolve().parent / f"BENCH_full_r{current_round():02d}.json"
-    try:
-        full.write_text(json.dumps(out, indent=1) + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries everything
+    # Local iteration runs (often concurrent with pytest, so their timings
+    # are polluted) must not clobber the committed round snapshot: set
+    # SPARK_GRAFT_BENCH_NO_PERSIST=1 to keep the run stdout-only.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_PERSIST"):
+        full = Path(__file__).resolve().parent / f"BENCH_full_r{current_round():02d}.json"
+        try:
+            full.write_text(json.dumps(out, indent=1) + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries everything
     print(json.dumps(out))
 
 
