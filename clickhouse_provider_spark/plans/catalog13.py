@@ -1022,11 +1022,19 @@ def q_quality_logistic_score(spark, t):
     tags=("llm", "similarity"),
 )
 def q_knn_label_accuracy(spark, t):
-    v = t["embeddings"]
+    # norms are per-VECTOR, not per-pair: fold each side's ||x|| once
+    # before the |q| x |v| join instead of re-folding it per scored row
+    # (3 array folds/pair -> 1). sqrt(fold) of the same operands in the
+    # same order is the same double, so cos_sim is bit-identical to the
+    # per-pair formulation and the oracle.
+    v = t["embeddings"].withColumn(
+        "v_norm", similarity.norm(F.col("embedding"))
+    )
     q = v.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qe"),
+        F.col("v_norm").alias("q_norm"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
@@ -1035,7 +1043,10 @@ def q_knn_label_accuracy(spark, t):
             "true_label",
             "vec_id",
             "label",
-            similarity.cosine(F.col("embedding"), F.col("qe")).alias("cos_sim"),
+            (
+                similarity.dot(F.col("embedding"), F.col("qe"))
+                / (F.col("v_norm") * F.col("q_norm"))
+            ).alias("cos_sim"),
         )
     )
     topk = scored.withColumn(
