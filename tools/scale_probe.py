@@ -64,6 +64,21 @@ PROBE_QUERIES = [
     "semantic_cluster_kmeans",
     "boilerplate_ngrams",
     "ks_test_2samp",
+    # round-8 batch 13: trigram multiset distance (the explode-heaviest of
+    # the batch — |text| grams per doc, two combiner groupBys), bitmap set
+    # algebra (distinct-collapse + per-day set ops), retention windows
+    # (conditional agg, one shuffle), capped per-group sorted capture,
+    # text-feature logistic score (map-only + one groupBy).
+    # knn_label_accuracy is deliberately NOT probed: its eval-query set is
+    # derived from the corpus (vec_id % 20), so the brute-force pair count
+    # grows k² BY CONSTRUCTION — a production eval keeps |queries| fixed
+    # while only candidates grow (linear), and that path is already probed
+    # via similarity_pq_topk.
+    "ngram_string_distance",
+    "bitmap_set_ops",
+    "retention_aggregate",
+    "group_array_sorted",
+    "quality_logistic_score",
 ]
 
 
@@ -127,8 +142,18 @@ def scaled_tables(spark, base: dict, k: int) -> dict:
         .withColumn("vec_id", F.col("vec_id") + F.col("_r") * okey_span)
         .drop("_r")
     )
+    # part doubles as a FACT for the string-function entries (trigram
+    # distance explodes |p_name| grams per part), so it scales too —
+    # p_brand kept so group cardinality stays fixed like the other dims
+    t["part"] = (
+        base["part"]
+        .crossJoin(rep())
+        .withColumn("p_partkey", F.col("p_partkey") + F.col("_r") * okey_span)
+        .drop("_r")
+    )
     # register views so SQL-built plans see the scaled relations too
-    for name in ("lineitem", "orders", "events", "documents", "embeddings"):
+    for name in ("lineitem", "orders", "events", "documents", "embeddings",
+                 "part"):
         t[name].createOrReplaceTempView(name)
     return t
 
