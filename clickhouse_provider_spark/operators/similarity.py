@@ -35,7 +35,11 @@ def norm(a: F.Column) -> F.Column:
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif: a zero vector (empty doc -> zero embedding) has no direction;
+    # under ANSI mode the bare division would THROW on it and kill the whole
+    # job at 100 TB. NULL instead — it sorts last under every DESC top-k in
+    # the catalog, same as the oracles' nullif (NULLS LAST on both engines).
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_topk(

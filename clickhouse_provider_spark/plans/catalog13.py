@@ -332,7 +332,8 @@ _TRIGRAMS_SQL = """
     per_part AS (
       SELECT p.p_partkey, p.p_brand,
              coalesce(c.n_common, 0) AS n_common,
-             (length(s1) - 2) + (length(s2) - 2) AS n_total
+             greatest(length(s1) - 2, 0) + greatest(length(s2) - 2, 0)
+               AS n_total
       FROM pairs p LEFT JOIN common c ON p.p_partkey = c.p_partkey
     )
 """
@@ -345,8 +346,10 @@ _TRIGRAMS_SQL = """
     SELECT p_brand, count(*) AS n_parts,
            CAST(sum(n_common) AS BIGINT) AS sum_common,
            CAST(sum(n_total) AS BIGINT) AS sum_total,
-           1.0 - 2.0 * sum(n_common) / sum(n_total) AS pooled_distance,
-           max(1.0 - 2.0 * n_common / n_total) AS max_part_distance
+           1.0 - 2.0 * sum(n_common) / nullif(sum(n_total), 0)
+             AS pooled_distance,
+           max(1.0 - 2.0 * n_common / nullif(n_total, 0))
+             AS max_part_distance
     FROM per_part GROUP BY p_brand
     """,
     doc="ClickHouse ngramDistance analog: trigram MULTISET similarity "
@@ -396,7 +399,14 @@ def q_ngram_string_distance(spark, t):
             "p_partkey",
             "p_brand",
             F.coalesce("n_common", F.lit(0)).alias("n_common"),
-            (F.length("s1") - 2 + F.length("s2") - 2).alias("n_total"),
+            # greatest(.., 0): the TRUE gram count for sub-trigram-length
+            # names (a bare length-2 goes negative and an ANSI divide on 0
+            # would kill the job on real-world junk part names); mirrored
+            # in the oracle
+            (
+                F.greatest(F.length("s1") - 2, F.lit(0))
+                + F.greatest(F.length("s2") - 2, F.lit(0))
+            ).alias("n_total"),
         )
     )
     return per_part.groupBy("p_brand").agg(
@@ -405,10 +415,11 @@ def q_ngram_string_distance(spark, t):
         F.sum("n_total").alias("sum_total"),
         (
             F.lit(1.0)
-            - F.lit(2.0) * F.sum("n_common") / F.sum("n_total")
+            - F.lit(2.0) * F.sum("n_common") / F.nullif(F.sum("n_total"), F.lit(0))
         ).alias("pooled_distance"),
         F.max(
-            F.lit(1.0) - F.lit(2.0) * F.col("n_common") / F.col("n_total")
+            F.lit(1.0)
+            - F.lit(2.0) * F.col("n_common") / F.nullif(F.col("n_total"), F.lit(0))
         ).alias("max_part_distance"),
     )
 
@@ -1045,7 +1056,7 @@ def q_knn_label_accuracy(spark, t):
             "label",
             (
                 similarity.dot(F.col("embedding"), F.col("qe"))
-                / (F.col("v_norm") * F.col("q_norm"))
+                / F.nullif(F.col("v_norm") * F.col("q_norm"), F.lit(0.0))
             ).alias("cos_sim"),
         )
     )

@@ -66,9 +66,12 @@ SQL_DOT = "list_dot_product({a}, {b})"
 
 
 def _cos_sql(a: str, b: str) -> str:
+    # nullif mirrors operators/similarity.cosine: zero vectors yield NULL
+    # (not a crash / inf), and NULLS LAST under DESC agrees cross-engine
     return (
         f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        f"nullif(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0.0)"
     )
 
 
