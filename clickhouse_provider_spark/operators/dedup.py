@@ -248,23 +248,24 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # the convergence flag is a function of (label, nlabel) already in
+        # hand, so compute it INSIDE the iteration's projection — checking
+        # via a new-vs-old join would add a second shuffle join per round
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
+        changed = new_labels.filter(F.col("_chg")).isEmpty()
+        labels = new_labels.select(
+            "doc_id", F.col("new_label").alias("label")
         )
-        labels = new_labels
         if changed:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -116,8 +116,12 @@ def bucketed_cumsum(
         "_off", F.sum("_bw").over(wb) - F.col("_bw")
     ).select(*group_cols, "_bkt", "_off")
     wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
+    # offsets is |groups|x|buckets| rows — BOUNDED by construction (the
+    # bucket fn is a coarse range), so broadcast it: the alternative is a
+    # full shuffle of the collapsed relation just to meet a few-KB table,
+    # and step 3's window re-shuffles on (group, bucket) anyway.
     return (
-        b.join(offsets, [*group_cols, "_bkt"])
+        b.join(F.broadcast(offsets), [*group_cols, "_bkt"])
         .withColumn(out_col, F.col("_off") + F.sum(val_col).over(wl))
         .drop("_bkt", "_off")
     )
