@@ -429,7 +429,6 @@ def q_scd2_intervals(spark, t):
            event_type, count(*) AS n
     FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) t
     WHERE epoch_us(ts) < ((epoch_us(ts) // {HOUR_US // 4}) - t.k) * {HOUR_US // 4} + {HOUR_US}
-      AND ((epoch_us(ts) // {HOUR_US // 4}) - t.k) >= 0
     GROUP BY 1, 2
     """,
     doc="Sliding (hopping) windows: 1-hour windows every 15 minutes per "
@@ -437,7 +436,10 @@ def q_scd2_intervals(spark, t):
     "expands to len/slide=4 epoch-aligned windows before a single "
     "aggregation shuffle (the Expand shape streaming uses for hopping "
     "windows; batch twin of streaming/windows.py). Oracle derives the "
-    "same 4 aligned windows per event with a range(4) cross join.",
+    "same 4 aligned windows per event with a range(4) cross join — "
+    "including negative-start windows for events within 45 min of the "
+    "epoch, which Spark's window() emits (an earlier slot>=0 clause "
+    "silently dropped them; caught by the degenerate-events fixture).",
     tags=("analytics", "temporal", "streaming-analog"),
 )
 def q_sliding_event_counts(spark, t):

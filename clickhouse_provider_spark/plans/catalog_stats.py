@@ -410,15 +410,18 @@ def q_quantile_state_merge_rollup(spark, t):
     tags=("analytics", "approx"),
 )
 def q_theta_set_algebra(spark, t):
-    e = t["events"].filter(F.col("event_type").isin("view", "purchase"))
-    sk = e.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("_sk")
+    # each side is a GLOBAL agg over its filtered segment: a global agg
+    # emits exactly one row even when the segment is EMPTY (theta_sketch_agg
+    # of nothing is a valid empty sketch, estimate 0) — the groupBy-then-
+    # filter form emitted ZERO rows for an absent event type, dropping the
+    # whole output where the oracle still reports a 0-count row (caught by
+    # the degenerate-events fixture)
+    e = t["events"]
+    v = e.filter(F.col("event_type") == "view").agg(
+        F.theta_sketch_agg("user_id").alias("_v")
     )
-    v = sk.filter(F.col("event_type") == "view").select(
-        F.col("_sk").alias("_v")
-    )
-    p = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("_sk").alias("_p")
+    p = e.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("_p")
     )
     est = v.crossJoin(p).select(  # 1x1: two single-row sketch frames
         F.theta_sketch_estimate(
