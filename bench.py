@@ -127,10 +127,20 @@ def _round_no(p: Path) -> int:
 
 
 def current_round() -> int:
-    """Round being built = newest driver-written BENCH_r{N}.json + 1 (the
-    driver records r{N} only after round N ends), so re-runs within a round
-    overwrite the same BENCH_full_r{N}.json instead of minting new ones."""
+    """Round being built, so re-runs within a round overwrite the same
+    BENCH_full_r{N}.json instead of minting new ones. PROGRESS.jsonl's
+    last record is authoritative (the driver stamps every heartbeat with
+    the round number and keeps writing even when it skips its end-of-round
+    BENCH_r{N}.json — round 7's never landed, which made the old
+    newest-BENCH_r+1 logic clobber the committed r07 snapshot from round
+    8). Fallback: newest driver BENCH_r{N}.json + 1."""
     here = Path(__file__).resolve().parent
+    progress = here / "PROGRESS.jsonl"
+    try:
+        last = progress.read_text().strip().rsplit("\n", 1)[-1]
+        return int(json.loads(last)["round"])
+    except (OSError, ValueError, KeyError, IndexError):
+        pass
     rounds = [_round_no(p) for p in here.glob("BENCH_r*.json")]
     return (max(rounds) if rounds else 0) + 1
 
