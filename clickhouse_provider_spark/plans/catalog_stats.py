@@ -34,8 +34,10 @@ D20_4 = T.DecimalType(20, 4)
     )
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
-           sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+             / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0))
+                      * sqrt(greatest(n * syy - sy * sy, 0.0)), 0.0)
+             AS corr_qty_price,
+           sqrt((n * sxx - sx * sx) / nullif(n * (n - 1), 0)) AS stddev_qty
     FROM m
     """,
     doc="Pearson correlation + sample stddev per group from exact decimal "
@@ -56,12 +58,20 @@ def q_price_qty_corr(spark, t):
         as_double(F.sum((y * y).cast(D20_4))).alias("syy"),
         as_double(F.sum((x * y).cast(D20_4))).alias("sxy"),
     )
+    # nullif/greatest guards mirror the oracle (catalog10 discipline):
+    # constant columns and single-row groups yield NULL on BOTH engines
+    # instead of an ANSI DIVIDE_BY_ZERO killing the Spark job — values on
+    # non-degenerate groups are bit-identical (the guards never bind)
     n = F.col("n")
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.sqrt(F.greatest(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)))
+        * F.sqrt(F.greatest(n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))),
+        F.lit(0.0),
     )
-    std = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1)))
+    std = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / F.nullif(n * (n - 1), F.lit(0))
+    )
     return g.select(
         "l_returnflag", "n", corr.alias("corr_qty_price"), std.alias("stddev_qty")
     )
