@@ -787,12 +787,20 @@ def q_pivot_priority_status(spark, t):
 
 @register(
     "json_props_stats",
+    # json_valid + try_cast: real-world props columns carry empty strings,
+    # truncated JSON, and wrong-typed values — DuckDB's json_extract ERRORS
+    # on invalid JSON and Spark's ANSI cast THROWS on a non-numeric k,
+    # either of which kills the whole job at scale. Both engines now treat
+    # dirty rows as NULL (Spark get_json_object is already parse-tolerant;
+    # try_cast mirrors DuckDB's). Graded-data values unchanged.
     oracle="""
     SELECT event_type,
            CAST(sum(k) AS DOUBLE) / count(k) AS avg_k,
            min(k) AS min_k, max(k) AS max_k, count(k) AS n_k
     FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 try_cast(CASE WHEN json_valid(props)
+                               THEN json_extract_string(props, '$.k')
+                          END AS BIGINT) AS k
           FROM events)
     GROUP BY event_type
     """,
@@ -800,11 +808,12 @@ def q_pivot_priority_status(spark, t):
     "escape hatch (action_json/args blobs, SURVEY §1.1): hot columns typed, "
     "long tail parsed on demand with get_json_object. Scale: JSON parsing "
     "is JVM-side codegen (no Python); for repeated access, materialize the "
-    "extracted column.",
+    "extracted column. Dirty-tolerant: malformed JSON / non-numeric k is "
+    "NULL on both engines, never a crash.",
     tags=("analytics", "json"),
 )
 def q_json_props_stats(spark, t):
-    k = F.get_json_object("props", "$.k").cast(T.LongType())
+    k = F.get_json_object("props", "$.k").try_cast(T.LongType())
     return (
         t["events"]
         .select("event_type", k.alias("k"))

@@ -105,3 +105,47 @@ def test_degenerate_inputs_stay_cross_engine_consistent(
     sdf = spec.build(spark, tables).toPandas()
     odf = con.execute(spec.oracle).df()
     assert not compare(sdf, odf)
+
+
+@pytest.mark.parametrize(
+    "name", ["json_props_stats", "pii_scrub_props", "sum_map_props",
+             "min_max_map_props"]
+)
+def test_dirty_json_props_stay_cross_engine_consistent(
+    name, spark, tmp_path_factory
+):
+    """Real props columns carry NULLs, empty strings, truncated JSON,
+    arrays-not-objects, and wrong-typed values. DuckDB's json_extract
+    ERRORS on invalid JSON and Spark's ANSI cast THROWS on non-numeric
+    values — json_props_stats guards both (json_valid + try_cast, round
+    8); the map/PII entries were already tolerant. Identical rows on
+    both engines, never a crash."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("dirty_props")
+    rows = [
+        (0, 1_000_000_000, 7, "solo", 5.25, None),
+        (1, 2_000_000_000, 8, "pair", 3.00, ""),
+        (2, 2_000_000_000, 9, "pair", 3.00, "{}"),
+        (3, 3_000_000_000, 9, "click", 1.00, "{not json"),
+        (4, 4_000_000_000, 7, "click", 2.00, '{"k":"x"}'),
+        (5, 5_000_000_000, 8, "view", 0.00, '{"k":3}'),
+        (6, 6_000_000_000, 8, "view", 0.00, "[1,2,3]"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.coalesce(1).write.parquet(str(d / "events.parquet"))
+    tables = {"events": spark.read.parquet(str(d / "events.parquet"))}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT event_id,"
+        " make_timestamp(ts // 1000) AS ts, user_id, event_type, value,"
+        f" props FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    spec = CATALOG[name]
+    sdf = spec.build(spark, tables).toPandas()
+    odf = con.execute(spec.oracle).df()
+    assert not compare(sdf, odf)
