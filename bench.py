@@ -138,8 +138,11 @@ def current_round() -> int:
     progress = here / "PROGRESS.jsonl"
     try:
         last = progress.read_text().strip().rsplit("\n", 1)[-1]
+        # TypeError: last line is valid JSON but not an object (bare
+        # number/string/list) — fall back to the BENCH_r*.json scan like
+        # any other malformed tail
         return int(json.loads(last)["round"])
-    except (OSError, ValueError, KeyError, IndexError):
+    except (OSError, ValueError, KeyError, IndexError, TypeError):
         pass
     rounds = [_round_no(p) for p in here.glob("BENCH_r*.json")]
     return (max(rounds) if rounds else 0) + 1

@@ -61,26 +61,109 @@ def has_pil() -> bool:
         return False
 
 
-def decode_image(content: bytes) -> bytes:
-    """Decode an image blob to raw RGB bytes.
+def _ppm_decode(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python decoder for binary PPM (P6, RGB) and PGM (P5, gray →
+    tripled to RGB): header tokens (with ``#`` comment lines) then raw
+    samples. maxval must be ≤ 255 (1 byte/sample). Returns (w, h, rgb)."""
+    import re as _re
 
-    Uses PIL when installed (guarded import — the decode then feeds
-    extract_features like any other decoder). Without an imaging library
-    this stays an explicit NotImplementedError: silently faking decode in
-    the *production* path would hide that the container can't decode.
+    if content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    # header = magic + 3 ASCII integer tokens separated by whitespace,
+    # comment lines (#...) allowed between tokens; ONE whitespace byte
+    # terminates the header
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        m = _re.compile(rb"\s*(?:#[^\n]*\n\s*)*(\d+)").match(content, pos)
+        if not m:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(m.group(1)))
+        pos = m.end()
+    if not content[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header terminator")
+    pos += 1
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM samples not supported")
+    n_samples = w * h * (3 if content[:2] == b"P6" else 1)
+    body = content[pos : pos + n_samples]
+    if len(body) != n_samples:
+        raise ValueError("truncated PPM body")
+    if content[:2] == b"P5":  # gray → RGB triple
+        import numpy as np
+
+        body = np.repeat(np.frombuffer(body, dtype=np.uint8), 3).tobytes()
+    return w, h, body
+
+
+def _bmp_decode(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-Python decoder for uncompressed (BI_RGB) 24/32-bit BMP.
+    Handles bottom-up and top-down rows and the 4-byte row padding.
+    Returns (w, h, rgb) in top-down row order."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"BM" or len(content) < 54:
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    w, h = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0:
+        raise NotImplementedError(
+            "compressed BMP (BI_RLE/BI_BITFIELDS) requires an imaging "
+            "library not present in this environment"
+        )
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+    body = content[pix_off : pix_off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("truncated BMP body")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) → RGB, alpha dropped
+    return w, h, np.ascontiguousarray(rgb).tobytes()
+
+
+def decode_image_full(content: bytes) -> tuple[int, int, bytes]:
+    """Decode an image blob to (width, height, raw RGB bytes).
+
+    Uncompressed formats decode dependency-free in pure Python/numpy:
+    binary PPM/PGM (magic ``P6``/``P5``) and BI_RGB 24/32-bit BMP
+    (``BM``). Anything else (PNG/JPEG/...) needs a real codec: PIL is
+    used when installed; otherwise an explicit NotImplementedError —
+    silently faking decode of a *compressed* format in the production
+    path would hide that the container can't decode it.
     """
+    if content[:2] in (b"P6", b"P5"):
+        return _ppm_decode(content)
+    if content[:2] == b"BM":
+        return _bmp_decode(content)
     try:
         from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires an imaging library (e.g. PIL) not "
-            "present in this environment; use fake_decode for pipeline "
-            "testing"
+            "compressed image formats require an imaging library (e.g. "
+            "PIL) not present in this environment; PPM/PGM/BMP decode "
+            "natively, or use fake_decode for pipeline testing"
         ) from exc
     import io
 
     with Image.open(io.BytesIO(content)) as img:
-        return img.convert("RGB").tobytes()
+        w, h = img.size
+        return w, h, img.convert("RGB").tobytes()
+
+
+def decode_image(content: bytes) -> bytes:
+    """Decode an image blob to raw RGB bytes (see decode_image_full)."""
+    return decode_image_full(content)[2]
 
 
 def fake_decode(content: bytes) -> bytes:
@@ -132,6 +215,97 @@ def extract_features(
             )
 
     return media.select("media_id", "content").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("pixel_md5", T.StringType(), True),
+    ]
+)
+
+
+def decode_pixel_stats(
+    media: DataFrame,
+    decode: Callable[[bytes], tuple[int, int, bytes]] = decode_image_full,
+) -> DataFrame:
+    """REAL image decode in the hot path: mapInPandas over Arrow batches,
+    each blob decoded to (w, h, rgb) by ``decode`` (PPM/PGM/BMP decode
+    natively — decode_image_full), then integer per-channel sums + an
+    md5 over the raw RGB bytes. All-integer/hash outputs, so the entry is
+    bit-exact against an oracle that reconstructs the same pixel bytes.
+
+    Scale: blobs move as Arrow chunks and are DROPPED at this operator's
+    output (8 fixed-width columns/image); per-blob math is vectorized
+    numpy; decode is embarrassingly parallel over input partitions —
+    no shuffle at all."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    out.append((media_id, None, None, None, None, None, None, None))
+                    continue
+                w, h, rgb = decode(bytes(content))
+                px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+                sums = px.sum(axis=0, dtype=np.int64)
+                out.append(
+                    (
+                        media_id,
+                        w,
+                        h,
+                        w * h,
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        hashlib.md5(rgb).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in PIXEL_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
+
+
+def documents_as_ppm_media(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic PPM fixture table derived from the documents table:
+    each doc becomes a P6 image whose pixel bytes are the ASCII bytes of
+    ``repeat(md5(doc_id), k)`` — w*h*3 bytes of reproducible, hash-derived
+    'pixel' data both engines can reconstruct (md5 hex is one byte per
+    char). Exists so the REAL decoder is exercised under oracle parity
+    without fabricating new input files."""
+    n = width * height * 3
+    reps = -(-n // 32)  # md5 hex is 32 chars
+    body = F.substring(
+        F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), reps), 1, n
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(F.lit(f"P6 {width} {height} 255\n"), body), "utf-8"
+        ).alias("content"),
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -82,10 +82,10 @@ def grouped_midrank(
 def bucketed_cumsum(
     df: DataFrame,
     order_col: str,
-    val_col: str,
+    val_col: str | list[str],
     bucket: "F.Column",
     group_cols: list[str] | None = None,
-    out_col: str = "cum",
+    out_col: str | list[str] = "cum",
 ) -> DataFrame:
     """Distributed running sum of ``val_col`` in ``order_col`` order within
     each group — the two-level prefix-sum that replaces a per-group
@@ -99,29 +99,54 @@ def bucketed_cumsum(
        bucket's prefix offset — parallel across |groups| x |buckets|
        partitions.
 
+    ``val_col``/``out_col`` may be parallel lists to compute several
+    running sums in one pass (e.g. a two-sample ECDF's cx and cy) — the
+    bucketing, offset window, and join are shared, so k columns cost the
+    same shuffles as one.
+
     Exact integer/decimal arithmetic throughout (same values as the
     single-window cumsum, any input order). Rows must be unique per
     (group, order_col) — pre-aggregate first, as rank statistics already
     do.
+
+    CONTRACT (broadcast bound): the offsets relation is
+    |groups| x |buckets| rows and is unconditionally ``F.broadcast()``-ed
+    — callers MUST pass a coarse ``bucket`` fn and group columns whose
+    product cardinality is driver-small (thousands, not millions). That
+    bound is the caller's obligation, not a property this operator can
+    check; a high-cardinality ``group_cols`` would OOM the driver on the
+    forced broadcast. Both shipped callers (quantile_exact_weighted's
+    per-flag price buckets, ks_test_2samp's value-range buckets) satisfy
+    it by construction.
     """
     group_cols = list(group_cols or [])
+    val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(val_cols) != len(out_cols):
+        raise ValueError("val_col and out_col lists must be parallel")
     b = df.withColumn("_bkt", bucket)
-    sub = b.groupBy(*group_cols, "_bkt").agg(F.sum(val_col).alias("_bw"))
+    sub = b.groupBy(*group_cols, "_bkt").agg(
+        *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)]
+    )
     wb = (
         W.partitionBy(*group_cols).orderBy("_bkt")
         if group_cols
         else W.orderBy("_bkt")
     )
-    offsets = sub.withColumn(
-        "_off", F.sum("_bw").over(wb) - F.col("_bw")
-    ).select(*group_cols, "_bkt", "_off")
-    wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
-    # offsets is |groups|x|buckets| rows — BOUNDED by construction (the
-    # bucket fn is a coarse range), so broadcast it: the alternative is a
-    # full shuffle of the collapsed relation just to meet a few-KB table,
-    # and step 3's window re-shuffles on (group, bucket) anyway.
-    return (
-        b.join(F.broadcast(offsets), [*group_cols, "_bkt"])
-        .withColumn(out_col, F.col("_off") + F.sum(val_col).over(wl))
-        .drop("_bkt", "_off")
+    offsets = sub.select(
+        *group_cols,
+        "_bkt",
+        *[
+            (F.sum(f"_bw{i}").over(wb) - F.col(f"_bw{i}")).alias(f"_off{i}")
+            for i in range(len(val_cols))
+        ],
     )
+    wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
+    # offsets is |groups|x|buckets| rows — BOUNDED by the documented caller
+    # contract above, so broadcast it: the alternative is a full shuffle of
+    # the collapsed relation just to meet a few-KB table, and step 3's
+    # window re-shuffles on (group, bucket) anyway.
+    out = b.join(F.broadcast(offsets), [*group_cols, "_bkt"])
+    for i, (v, o) in enumerate(zip(val_cols, out_cols)):
+        out = out.withColumn(o, F.col(f"_off{i}") + F.sum(v).over(wl))
+    return out.drop("_bkt", *[f"_off{i}" for i in range(len(val_cols))])

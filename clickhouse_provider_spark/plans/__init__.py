@@ -6,19 +6,19 @@ The correctness driver samples the FIRST 50 entries of ``queries()`` in
 insertion order, so the catalog is re-ordered after registration to put the
 entries that most need a fresh official row at the front:
 
-1. **Repaired this round** (``PRIORITY_REPAIRED``): round 7 reimplements
-   ``window_funnel_strict_order`` to ClickHouse's actual early-exit scan
-   semantics (the r6 green verified a divergent consecutive-rows
-   recurrence on both sides — see ADVICE r6); the entry and its oracle
-   both changed, so it needs a fresh official green under the new
-   semantics.
+1. **Repaired this round** (``PRIORITY_REPAIRED``): round 9 rebuilds
+   ``dedup_cluster_stats`` (all-shared-shingle candidates → the LSH scale
+   path, oracle re-banded to match — VERDICT r8 "What's wrong" #1) and
+   ``ks_test_2samp`` (global cumulative window → bucketed two-level
+   prefix sum — VERDICT r8 #2); both need a fresh official green under
+   the new plans.
 2. **Never hash-green** (``PRIORITY_NEVER_GREEN``): entries that have never
    had an official ``hash_match: true`` row in any round (``no_oracle`` or
-   out-of-window so far). Empty for round 6 — after r5, every other entry
-   has been green at least once; brand-new entries land here automatically
+   out-of-window so far). Empty since round 5 — every existing entry has
+   been green at least once; brand-new entries land here automatically
    (absent from ``LAST_GREEN_ROUND``).
 3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
-   frozen from CORRECTNESS_r0{1..6}.json; ties keep insertion order) — so
+   frozen from CORRECTNESS_r0{1..8}.json; ties keep insertion order) — so
    long-unverified entries cycle back into the window before recently
    verified ones.
 
@@ -27,14 +27,18 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
 
-#: Entries whose SEMANTICS changed this round (round 7:
-#: window_funnel_strict_order rebuilt to ClickHouse's early-exit scan per
-#: ADVICE r6 — implementation AND oracle replaced), so the r6 green no
-#: longer attests the current code; they lead the official window.
+#: Entries whose PLAN (and for dedup_cluster_stats also the oracle)
+#: changed this round, so the r8 green no longer attests the current code;
+#: they lead the official window. Round 9: dedup_cluster_stats moved from
+#: the all-shared-shingle candidate join to the LSH scale path (oracle
+#: mirrors the banding), ks_test_2samp's ECDF moved from one global
+#: cumulative window to the bucketed two-level prefix sum (values
+#: identical; plan rebuilt).
 PRIORITY_REPAIRED = (
-    "window_funnel_strict_order",
+    "dedup_cluster_stats",
+    "ks_test_2samp",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
@@ -104,6 +108,34 @@ LAST_GREEN_ROUND = {
         "regex_classify", "seq_next_node", "sum_map_props",
         "theta_set_algebra", "uniq_state_merge_rollup",
         "window_funnel_strict_increase", "window_funnel_strict_order",
+    )},
+    # round 8 official window: all 50 rows green (CORRECTNESS_r08.json).
+    # Later **-entries override the earlier tiers for the few names that
+    # were re-attested (q11/q22 from r4, window_funnel_strict_order from
+    # r6).
+    **{n: 8 for n in (
+        "anova_f", "association_measures", "bitmap_set_ops",
+        "boilerplate_ngrams", "bounding_ratio",
+        "cluster_balanced_selection", "covar_corr_matrix", "cramers_v",
+        "date_time_functions", "dedup_cluster_stats",
+        "delta_sum_increases", "entropy_rank_profile",
+        "exp_time_decayed_avg", "geohash_encode", "group_array_sorted",
+        "histogram_adaptive", "interval_length_sum", "ipv4_functions",
+        "knn_label_accuracy", "ks_test_2samp", "lttb_downsample",
+        "mann_whitney_u", "max_intersections", "min_max_map_props",
+        "mixture_sampling_temperature", "moving_window_aggs",
+        "neighbor_diffs", "ngram_string_distance",
+        "q11_important_parts", "q22_global_sales_opportunity",
+        "quality_logistic_score", "quantile_exact_weighted",
+        "quantile_timing", "retention_aggregate",
+        "semantic_cluster_kmeans", "seq_next_node_backward",
+        "seq_next_node_last_match", "similarity_recall_eval",
+        "simple_linear_regression", "skew_kurtosis",
+        "skew_salted_topk_revenue", "sparkbar_render",
+        "spearman_rank_corr", "string_search_multi",
+        "topk_weighted", "ttest_student_welch", "uniq_up_to",
+        "url_functions", "window_funnel_strict_dedup",
+        "window_funnel_strict_order",
     )},
 }
 

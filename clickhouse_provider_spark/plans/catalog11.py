@@ -27,7 +27,11 @@ from pyspark.sql.window import Window as W
 
 from clickhouse_provider_spark.operators import dedup, similarity
 from clickhouse_provider_spark.plans.catalog import as_double, dec, register
-from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
+from clickhouse_provider_spark.plans.llm_catalog import (
+    SQL_SHINGLES,
+    _cos_sql,
+    _minhash_cols_sql,
+)
 
 
 @register(
@@ -65,11 +69,17 @@ from clickhouse_provider_spark.plans.llm_catalog import SQL_SHINGLES, _cos_sql
     "a sum) — order-free, so the statistic is cross-engine exact. The "
     "p-value needs the KS distribution series — documented out of "
     "exact-arithmetic scope. Scale: the raw rows pay one combiner "
-    "groupBy; the cumulative window runs over distinct values only "
-    "(operators/ranking.py value-collapse pattern).",
+    "groupBy; both ECDF running counts then go through the two-level "
+    "bucketed prefix sum (operators/ranking.bucketed_cumsum, one shared "
+    "pass) so NO stage serializes the distinct-value relation into one "
+    "task — distinct doubles grow with data, so the old single global "
+    "window was a 100x scale-killer; the arg-max value is a struct-max "
+    "fold, not a second global window.",
     tags=("analytics", "stats", "tests"),
 )
 def q_ks_test_2samp(spark, t):
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+
     s = t["events"].filter(F.col("event_type").isin("click", "view"))
     tot = s.agg(
         F.coalesce(
@@ -79,9 +89,9 @@ def q_ks_test_2samp(spark, t):
             F.sum(F.when(F.col("event_type") == "view", F.lit(1))), F.lit(0)
         ).alias("ny"),
     )
-    # value-collapse before the cumulative window (operators/ranking.py
+    # value-collapse before the cumulative pass (operators/ranking.py
     # rationale): the ECDF gap is a function of per-DISTINCT-value counts,
-    # so the raw rows pay one combiner groupBy and the ordered window runs
+    # so the raw rows pay one combiner groupBy and the prefix sums run
     # over |distinct values| rows — the raw relation is never sorted
     g = s.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
@@ -91,11 +101,16 @@ def q_ks_test_2samp(spark, t):
             "dy"
         ),
     )
-    wv = W.orderBy("value")
-    c = g.select(
+    # both running counts in ONE bucketed two-level prefix sum: coarse
+    # value-range buckets keep every stage parallel (offsets = |buckets|
+    # rows, broadcast-bounded per the operator contract); integer sums,
+    # so cx/cy are bit-identical to the single-window formulation
+    c = bucketed_cumsum(
+        g,
         "value",
-        F.sum("dx").over(wv).alias("cx"),
-        F.sum("dy").over(wv).alias("cy"),
+        ["dx", "dy"],
+        bucket=F.floor(F.col("value") / F.lit(16.0)),
+        out_col=["cx", "cy"],
     )
     gaps = c.crossJoin(F.broadcast(tot)).select(
         "value",
@@ -106,15 +121,18 @@ def q_ks_test_2samp(spark, t):
             - F.col("cy").cast("double") / F.nullif(F.col("ny"), F.lit(0))
         ).alias("gap"),
     )
-    gaps = gaps.withColumn("mx", F.max("gap").over(W.partitionBy()))
+    # d_location = smallest value at the peak gap: max over
+    # struct(gap, -value) picks max gap then (via the negation) the MIN
+    # value among ties — one ordinary aggregate instead of a global
+    # max-window + equality re-scan (the gap set is identical doubles on
+    # both engines, so the argmax tie-break is exact)
+    best = F.max(F.struct(F.col("gap").alias("g"), (-F.col("value")).alias("nv")))
     return gaps.agg(
         F.max("nx").alias("nx"),
         F.max("ny").alias("ny"),
         F.max("gap").alias("d_stat"),
-        F.min(F.when(F.col("gap") == F.col("mx"), F.col("value"))).alias(
-            "d_location"
-        ),
-    )
+        best.alias("_best"),
+    ).select("nx", "ny", "d_stat", (-F.col("_best.nv")).alias("d_location"))
 
 
 @register(
@@ -369,10 +387,26 @@ def q_similarity_recall_eval(spark, t):
     "dedup_cluster_stats",
     oracle=f"""
     {SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN concat(mh_0, '|', mh_1) WHEN 1 THEN concat(mh_2, '|', mh_3)
+               WHEN 2 THEN concat(mh_4, '|', mh_5) ELSE concat(mh_6, '|', mh_7)
+             END AS band_hash
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN cand ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b AND a.shingle = b.shingle
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -410,15 +444,24 @@ def q_similarity_recall_eval(spark, t):
     "distribution of dedup_survivors' connected components (singletons "
     "included) — how much of the corpus sits in duplicate clusters and "
     "how large they run, the first summary any dedup rollout reports. "
-    "Oracle recomputes the identical closure with a recursive CTE. "
-    "Scale: adds two count shuffles on top of the components fixpoint; "
-    "cluster ids are min-doc-id labels, so the distribution is stable "
-    "across reruns.",
-    tags=("llm", "dedup"),
+    "Edges come from the SCALE PATH: MinHash→LSH band candidates, then "
+    "candidate-first exact-Jaccard verification ≥ 0.1 (same pipeline as "
+    "dedup_lsh_verified) — never the all-shared-shingle self-join, whose "
+    "pair space is m² per hot shingle (the classic dedup scale-killer; "
+    "it was this entry's r8 plan and its slowest-headline cost). Oracle "
+    "mirrors the banding verbatim and recomputes the identical closure "
+    "with a recursive CTE. Scale: candidate generation is band-bucketed, "
+    "verification is O(|candidates|·shingles/doc), then two count "
+    "shuffles on top of the components fixpoint; cluster ids are "
+    "min-doc-id labels, so the distribution is stable across reruns.",
+    tags=("llm", "dedup", "scale-path"),
 )
 def q_dedup_cluster_stats(spark, t):
     docs = t["documents"]
-    pairs = dedup.jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    pairs = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
     labeled = dedup.dedup_survivors(docs, pairs).select(
         "doc_id", F.col("survivor_doc_id").alias("comp_id")
     )

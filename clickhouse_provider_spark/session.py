@@ -31,6 +31,14 @@ def get_spark(
     On a real cluster ``master`` comes from spark-submit; locally we default
     to ``local[$SPARK_GRAFT_CPUS]``.
     """
+    # Activate the vendored protobuf shim (if any) BEFORE the gateway JVM
+    # launches: python workers inherit PYTHONPATH from the JVM environment,
+    # captured at JVM launch, so a shim activated here reaches workers and
+    # transformWithStateInPandas' state protocol can initialize. No-op when
+    # protobuf is properly installed (real clusters) or no bundle exists.
+    from clickhouse_provider_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

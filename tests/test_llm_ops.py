@@ -267,8 +267,78 @@ def test_multimodal_features_roundtrip(spark, tables):
 
 
 def test_multimodal_decode_stub_raises():
+    # PNG is a COMPRESSED format: without an imaging library the decoder
+    # must refuse explicitly, never fake (uncompressed PPM/PGM/BMP decode
+    # natively — tests below)
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_ppm_decode_native():
+    # 2x2 P6 with a comment line in the header
+    pixels = bytes(range(12))
+    w, h, rgb = multimodal.decode_image_full(b"P6\n# c\n2 2\n255\n" + pixels)
+    assert (w, h, rgb) == (2, 2, pixels)
+    # P5 grayscale triples to RGB
+    w, h, rgb = multimodal.decode_image_full(b"P5 2 1 255\n\x10\xfe")
+    assert (w, h, rgb) == (2, 1, b"\x10\x10\x10\xfe\xfe\xfe")
+    with pytest.raises(ValueError):  # truncated body
+        multimodal.decode_image_full(b"P6 2 2 255\n\x00\x01")
+    with pytest.raises(ValueError):  # 16-bit samples unsupported
+        multimodal.decode_image_full(b"P6 1 1 65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def _make_bmp(width, height, rows_rgb, bpp=24, top_down=False):
+    """Minimal BI_RGB BMP writer for the decode tests: rows_rgb is
+    top-down [[(r,g,b), ...], ...]."""
+    import struct
+
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    body = b""
+    ordered = rows_rgb if top_down else rows_rgb[::-1]
+    for row in ordered:
+        line = b"".join(
+            bytes((b, g, r)) + (b"\xff" if nch == 4 else b"") for (r, g, b) in row
+        )
+        body += line + b"\x00" * (stride - len(line))
+    h_field = -height if top_down else height
+    dib = struct.pack("<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0, len(body), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + dib + body
+
+
+def test_bmp_decode_native():
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (250, 251, 252)]]
+    flat = bytes(v for row in rows for px in row for v in px)
+    for bpp in (24, 32):
+        for top_down in (False, True):
+            blob = _make_bmp(2, 2, rows, bpp=bpp, top_down=top_down)
+            w, h, rgb = multimodal.decode_image_full(blob)
+            assert (w, h, rgb) == (2, 2, flat), (bpp, top_down)
+    # compressed BMP refuses explicitly
+    bad = bytearray(_make_bmp(2, 2, rows))
+    bad[30] = 1  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_full(bytes(bad))
+
+
+def test_decode_pixel_stats_operator(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", b"P6 2 1 255\n\x01\x02\x03\x0a\x14\x1e", ("image/x-portable-pixmap", 2, 1, None)),
+            (2, "image", None, (None, None, None, None)),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.decode_pixel_stats(media).collect()}
+    r1 = rows[1]
+    assert (r1["width"], r1["height"], r1["n_pixels"]) == (2, 1, 2)
+    assert (r1["sum_r"], r1["sum_g"], r1["sum_b"]) == (1 + 10, 2 + 20, 3 + 30)
+    import hashlib
+
+    assert r1["pixel_md5"] == hashlib.md5(b"\x01\x02\x03\x0a\x14\x1e").hexdigest()
+    assert rows[2]["n_pixels"] is None  # null blob → null stats row
 
 
 def test_frame_sample_plan(spark):
