@@ -151,28 +151,42 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
     BASELINE whose pair space explodes on stopword-like shingles; at scale
     always pass LSH candidates.
 
-    With ``pairs``, the computation is candidate-first: the pair list is
-    joined to shingles BEFORE any pair counting, so work is
-    O(|pairs| · shingles-per-doc) — never the all-shared-shingle pair
-    space. (Round-1 weakness: counting all shared-shingle pairs and
-    semi-joining candidates after the fact.)
+    With ``pairs``, the computation is candidate-first ALL the way: the
+    (deduplicated) pair list is materialized once, shingling is
+    restricted to documents that actually appear in a candidate pair,
+    and that reduced shingle relation is materialized and reused for the
+    size counts and both join sides — so work is
+    O(|pairs| · shingles-per-doc) and the corpus-wide explode never runs
+    (at scale, candidates ≪ corpus). (Round-1 weakness: counting all
+    shared-shingle pairs and semi-joining candidates after the fact;
+    round-9 refinement: previously the FULL corpus was shingled 3× and
+    the candidate plan recomputed once per consumer.)
 
     Jaccard emitted as exact integer counts + a double ratio of them, so
     the oracle matches bit-for-bit.
     """
-    sh = shingles(df)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     if pairs is not None:
+        # duplicate candidate rows (e.g. raw band collisions, where one pair
+        # can collide in several bands) would inflate n_common → Jaccard > 1;
+        # distinct + localCheckpoint also stops the (often expensive) LSH
+        # candidate plan from re-running for each of its THREE consumers
+        # below (doc-id restriction + join spine)
+        p = pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
+        need = (
+            p.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(p.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # shingle ONLY candidate docs, once; reuse for sizes + both sides
+        sh = shingles(df.join(need, "doc_id")).localCheckpoint(eager=True)
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
         # expand each candidate pair by doc_a's shingles, then inner-join
         # doc_b's shingles on (doc_b, shingle): one row per common shingle
         # per candidate pair — proportional to candidate work only
-        # duplicate candidate rows (e.g. raw band collisions, where one pair
-        # can collide in several bands) would inflate n_common → Jaccard > 1;
-        # distinct() is cheap relative to the shingle join that follows
         common = (
-            pairs.select("doc_a", "doc_b")
-            .distinct()
-            .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+            p.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
             .join(
                 sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
                 ["doc_b", "shingle"],
@@ -181,6 +195,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
     else:
+        sh = shingles(df)
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
         a = sh.alias("a")
         b = sh.alias("b")
         common = (
@@ -213,6 +231,61 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def substring_dup_ratio(
+    df: DataFrame, n: int = 8, anchor_hex: str = "0"
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span signal per document (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's sampled word-n-gram ANCHORS that recur
+    verbatim in at least one other document — the curation filter that
+    catches long copied passages whole-doc MinHash misses.
+
+    Anchor selection is CONTENT-DEFINED (keep shingles whose md5 starts
+    with ``anchor_hex``, a 1/16 sample): the same copied span selects the
+    same anchors in every document regardless of its position, so no
+    stride-alignment is needed — the word-boundary + hash-threshold pair
+    plays the role of a suffix-array scan at 1/16 the shuffle volume.
+
+    Scale: hashing is map-side over the shingle explode (CPU linear in
+    corpus words); only the 1/16 anchor subset shuffles — once for the
+    doc-frequency count and once joining back per doc. No pair space is
+    ever materialized (the output is per-document, not per-pair).
+
+    Returns (doc_id, n_anchors, n_dup_anchors, dup_anchor_ratio) for
+    every document; docs with no anchors get 0/0/NULL.
+    """
+    anch = shingles(df, n).filter(
+        F.substring(F.md5("shingle"), 1, len(anchor_hex)) == anchor_hex
+    )
+    dfreq = anch.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")  # shingles() is doc-distinct already
+    )
+    per_doc = (
+        anch.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_dup_anchors"
+            ),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_anchors", F.lit(0)).alias("n_anchors"),
+            F.coalesce("n_dup_anchors", F.lit(0))
+            .cast("long")
+            .alias("n_dup_anchors"),
+            (
+                F.col("n_dup_anchors").cast("double") / F.col("n_anchors")
+            ).alias("dup_anchor_ratio"),
+        )
+    )
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:

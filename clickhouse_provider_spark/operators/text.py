@@ -153,6 +153,84 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical retrieval: top-k documents for a fixed query term set under
+    a BM25 scoring shape — the sparse twin of the similarity_* dense
+    retrieval entries (hybrid RAG pipelines run both).
+
+    Per-term score = idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    the RATIONAL idf (N − df + 0.5)/(df + 0.5): like tfidf_top_terms, ln
+    is the one op whose low bits may differ across engines, so the
+    portable form drops it (monotone per term; a production deployment
+    swaps ln back in — the plan is identical). Per-doc scores fold in
+    lexicographic term order (array_sort + aggregate), so the double sum
+    is reproducible and oracle-exact.
+
+    Scale: the postings relation is FILTERED to the |Q| query terms
+    before any shuffle (an IN over a literal set, pushed into the scan);
+    df/N/avgdl are 1-row or |Q|-row broadcast frames; the final top-k is
+    a TakeOrdered over per-doc scores — no global sort, no full-corpus
+    postings shuffle.
+    """
+    from clickhouse_provider_spark.operators.dedup import normalized_words
+
+    words = normalized_words(text_col)
+    lens = df.select("doc_id", F.size(words).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        df.select("doc_id", F.explode(words).alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n_docs") - F.col("df_count") + F.lit(0.5))
+                 / (F.col("df_count") + F.lit(0.5)))
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "term_score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term_score"],
+        ).alias("score"),
+    )
+    return (
+        per_doc.orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", "n_terms_hit", "score")
+    )
+
+
 def ngram_repetition(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Within-document repetition: fraction of word n-gram occurrences that
     are repeats (the Gopher/C4-style boilerplate signal). Pure per-row

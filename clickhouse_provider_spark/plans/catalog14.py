@@ -16,8 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from clickhouse_provider_spark.operators import multimodal
+from clickhouse_provider_spark.operators import dedup, multimodal, text
 from clickhouse_provider_spark.plans.catalog import register
+from clickhouse_provider_spark.plans.llm_catalog import SQL_WORDS
 
 # w*h*3 = 96 pixel bytes = exactly 3 md5-hex repeats — keep in sync with
 # documents_as_ppm_media's defaults
@@ -74,3 +75,102 @@ def q_multimodal_decode_pixel_stats(spark, t):
         "sum_b",
         "pixel_md5",
     )
+
+
+_BM25_TERMS = ("merge", "stream", "vector")
+
+
+@register(
+    "substring_dup_ratio",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(words[i:i+7], ' ')
+         for i in generate_series(1, len(words) - 7)]
+      )) AS shingle
+      FROM d WHERE len(words) >= 8
+    ),
+    anch AS (
+      SELECT doc_id, shingle FROM sh WHERE substr(md5(shingle), 1, 1) = '0'
+    ),
+    dfreq AS (
+      SELECT shingle, count(*) AS df FROM anch GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT a.doc_id, count(*) AS n_anchors,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup_anchors
+      FROM anch a JOIN dfreq USING (shingle) GROUP BY a.doc_id
+    )
+    SELECT docs.doc_id,
+           coalesce(n_anchors, 0) AS n_anchors,
+           CAST(coalesce(n_dup_anchors, 0) AS BIGINT) AS n_dup_anchors,
+           CAST(n_dup_anchors AS DOUBLE) / n_anchors AS dup_anchor_ratio
+    FROM documents docs LEFT JOIN per_doc ON docs.doc_id = per_doc.doc_id
+    """,
+    doc="ExactSubstr-style duplicated-span signal (Lee et al. 2022): per "
+    "document, the fraction of its CONTENT-DEFINED word-8-gram anchors "
+    "(md5 starts with '0' — a position-independent 1/16 sample, so "
+    "copied spans select the same anchors in every host doc) that recur "
+    "verbatim in another document. Catches long copied passages that "
+    "whole-doc MinHash similarity dilutes away. Scale: hashing is "
+    "map-side over the shingle explode; only the 1/16 anchor subset "
+    "shuffles (df count + per-doc join-back); output is per-document — "
+    "no pair space exists anywhere in the plan.",
+    tags=("llm", "dedup", "text"),
+)
+def q_substring_dup_ratio(spark, t):
+    return dedup.substring_dup_ratio(t["documents"], n=8, anchor_hex="0")
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_WORDS} AS words FROM documents),
+    lens AS (SELECT doc_id, len(words) AS dl FROM d),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS term FROM d)
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((n_docs - df_count + CAST(0.5 AS DOUBLE))
+              / (df_count + CAST(0.5 AS DOUBLE)))
+             * (tf * CAST(2.2 AS DOUBLE))
+             / (tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS term_score
+      FROM tf JOIN dfreq USING (term) JOIN lens ON lens.doc_id = tf.doc_id,
+           stats
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_terms_hit,
+             list_reduce(list(term_score ORDER BY term),
+                         (a, b) -> a + b) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, score
+    FROM per_doc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    doc="Lexical retrieval: BM25 top-10 documents for a fixed 3-term "
+    "query — the sparse twin of the similarity_* dense entries (hybrid "
+    "RAG runs both). Rational idf (N-df+0.5)/(df+0.5) instead of its ln "
+    "(tfidf_top_terms precedent: ln's low bits are the one cross-engine "
+    "hazard; production swaps ln back into the identical plan). Per-doc "
+    "scores fold in lexicographic term order (array_sort + aggregate = "
+    "list ORDER BY + list_reduce), so the double sum is bit-reproducible. "
+    "Scale: postings are filtered to the |Q| query terms BEFORE any "
+    "shuffle; df/N/avgdl are broadcast scalar frames; top-k is a "
+    "TakeOrdered, never a global sort.",
+    tags=("llm", "text", "similarity"),
+)
+def q_bm25_topk(spark, t):
+    return text.bm25_topk(t["documents"], _BM25_TERMS, k=10)

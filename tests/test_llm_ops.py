@@ -599,3 +599,47 @@ def test_pq_encode_arrow_rejects_partial_codebook(spark):
     ).filter("NOT (sub_id = 0 AND code = 0)")  # keep 4 rows, one invalid
     with pytest.raises(ValueError, match="out of range|missing"):
         similarity.pq_encode_arrow(emb, out_of_range, n_sub=2, n_codes=2, sub_dim=4)
+
+
+def test_substring_dup_ratio_detects_copied_span(spark):
+    span = " ".join(f"w{i}" for i in range(40))  # 40-word verbatim span
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma"),
+            (2, f"delta {span} epsilon zeta"),
+            (3, "unique words only here nothing shared at all beyond eight tokens"),
+            (4, "short doc"),  # < 8 words: no shingles, no anchors
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_dup_ratio(docs).collect()}
+    # the copied span selects the SAME anchors in both hosts (content-
+    # defined selection is position-independent), so both docs flag dups
+    assert rows[1]["n_dup_anchors"] > 0
+    assert rows[2]["n_dup_anchors"] > 0
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["n_dup_anchors"] == 0
+    assert rows[4]["n_anchors"] == 0 and rows[4]["dup_anchor_ratio"] is None
+
+
+def test_bm25_topk_ranking(spark):
+    from clickhouse_provider_spark.operators import text as T_
+
+    docs = spark.createDataFrame(
+        [
+            (1, "merge merge merge filler filler filler"),
+            (2, "merge filler filler filler filler filler"),
+            (3, "filler filler filler filler filler filler"),
+            (4, "merge stream filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = T_.bm25_topk(docs, ("merge", "stream"), k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids  # no query term -> not retrieved
+    # two distinct rare+common terms beat repeated common term; repeated
+    # term beats single occurrence (tf saturation keeps it bounded)
+    assert ids[0] == 4 and ids.index(1) < ids.index(2)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["n_terms_hit"] == 2
+    assert all(r["score"] > 0 for r in rows)
