@@ -110,6 +110,11 @@ HEADLINE = [
     "geohash_encode",
     "quality_logistic_score",
     "knn_label_accuracy",
+    # round-9 batch 14: real-decode multimodal path (Arrow mapInPandas),
+    # ExactSubstr-style anchored span dedup, BM25 lexical retrieval
+    "multimodal_decode_pixel_stats",
+    "substring_dup_ratio",
+    "bm25_topk",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

@@ -46,21 +46,41 @@ def value_midranks(
     value_col: str,
     group_cols: list[str] | None = None,
     out_col: str = "avg_rank",
+    bucket: "F.Column | None" = None,
 ) -> DataFrame:
     """Midrank per DISTINCT value within each group: one row per
     (group, value) with its tie count and midrank. The collapsed relation
     callers can aggregate directly (rank-sum statistics never need the
-    join back)."""
+    join back).
+
+    The cumulative tie-count pass defaults to a window over the collapsed
+    relation; for UNGROUPED callers that window is global — a single-task
+    sort whose input (|distinct values|) grows with the data. Pass
+    ``bucket`` (a coarse monotone fn of ``value_col``, see
+    :func:`bucketed_cumsum`) to run it as the distributed two-level
+    prefix sum instead — identical half-integer midranks (integer tie
+    counts sum exactly in any decomposition)."""
     group_cols = list(group_cols or [])
     g = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    w = W.partitionBy(*group_cols).orderBy(value_col) if group_cols else W.orderBy(
-        value_col
+    if bucket is not None and not group_cols:
+        g = bucketed_cumsum(g, value_col, "_cnt", bucket=bucket, out_col="_cum")
+        cum = F.col("_cum")
+    else:
+        w = W.partitionBy(*group_cols).orderBy(value_col) if group_cols else W.orderBy(
+            value_col
+        )
+        cum = F.sum("_cnt").over(w)
+    return (
+        g.withColumn(
+            out_col,
+            cum
+            - F.col("_cnt")
+            + F.lit(1)
+            + (F.col("_cnt") - F.lit(1)) / F.lit(2.0),
+        )
+        .withColumnRenamed("_cnt", "tie_count")
+        .drop("_cum")
     )
-    cum = F.sum("_cnt").over(w)
-    return g.withColumn(
-        out_col,
-        cum - F.col("_cnt") + F.lit(1) + (F.col("_cnt") - F.lit(1)) / F.lit(2.0),
-    ).withColumnRenamed("_cnt", "tie_count")
 
 
 def grouped_midrank(
@@ -68,14 +88,18 @@ def grouped_midrank(
     value_col: str,
     group_cols: list[str] | None = None,
     out_col: str = "avg_rank",
+    bucket: "F.Column | None" = None,
 ) -> DataFrame:
     """Append ``out_col`` = midrank of ``value_col`` within each group
     (global when ``group_cols`` is empty/None), via the distinct-collapse
     two-pass rank. Values are identical to
     ``rank() OVER (PARTITION BY group ORDER BY value)`` plus tie-count
-    averaging — only the physical plan differs."""
+    averaging — only the physical plan differs. ``bucket`` as in
+    :func:`value_midranks`."""
     group_cols = list(group_cols or [])
-    ranks = value_midranks(df, value_col, group_cols, out_col).drop("tie_count")
+    ranks = value_midranks(df, value_col, group_cols, out_col, bucket).drop(
+        "tie_count"
+    )
     return df.join(ranks, [*group_cols, value_col])
 
 
@@ -128,19 +152,62 @@ def bucketed_cumsum(
     sub = b.groupBy(*group_cols, "_bkt").agg(
         *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)]
     )
-    wb = (
-        W.partitionBy(*group_cols).orderBy("_bkt")
-        if group_cols
-        else W.orderBy("_bkt")
-    )
-    offsets = sub.select(
-        *group_cols,
-        "_bkt",
-        *[
-            (F.sum(f"_bw{i}").over(wb) - F.col(f"_bw{i}")).alias(f"_off{i}")
-            for i in range(len(val_cols))
-        ],
-    )
+    k = len(val_cols)
+    if group_cols:
+        wb = W.partitionBy(*group_cols).orderBy("_bkt")
+        offsets = sub.select(
+            *group_cols,
+            "_bkt",
+            *[
+                (F.sum(f"_bw{i}").over(wb) - F.col(f"_bw{i}")).alias(f"_off{i}")
+                for i in range(k)
+            ],
+        )
+    else:
+        # ungrouped: the bucket subtotals are BOUNDED (caller contract), so
+        # compute their exclusive prefix sums in ONE single-row aggregate —
+        # sort_array + an array fold — instead of a global window, which
+        # would be an Exchange SinglePartition + an (accurately) warning
+        # WindowExec. Same exact arithmetic: the fold adds the per-bucket
+        # sums in ascending _bkt order, each bucket's offset taken BEFORE
+        # its own subtotal is folded in.
+        sum_dts = [sub.schema[f"_bw{i}"].dataType for i in range(k)]
+        bkt_dt = sub.schema["_bkt"].dataType.simpleString()
+        out_t = (
+            "array<struct<_bkt:" + bkt_dt + ","
+            + ",".join(f"_off{i}:{dt.simpleString()}" for i, dt in enumerate(sum_dts))
+            + ">>"
+        )
+        packed = sub.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("_bkt", *[f"_bw{i}" for i in range(k)])
+                )
+            ).alias("_a")
+        )
+        fold = F.aggregate(
+            F.col("_a"),
+            F.struct(
+                *[F.lit(0).cast(dt).alias(f"s{i}") for i, dt in enumerate(sum_dts)],
+                F.array().cast(out_t).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                *[
+                    (acc[f"s{i}"] + x[f"_bw{i}"]).cast(dt).alias(f"s{i}")
+                    for i, dt in enumerate(sum_dts)
+                ],
+                F.array_append(
+                    acc["out"],
+                    F.struct(
+                        x["_bkt"].alias("_bkt"),
+                        *[acc[f"s{i}"].alias(f"_off{i}") for i in range(k)],
+                    ),
+                ).alias("out"),
+            ),
+        )
+        offsets = packed.select(F.explode(fold["out"]).alias("_o")).select(
+            "_o._bkt", *[f"_o._off{i}" for i in range(k)]
+        )
     wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
     # offsets is |groups|x|buckets| rows — BOUNDED by the documented caller
     # contract above, so broadcast it: the alternative is a full shuffle of

@@ -33,12 +33,13 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 #: changed this round, so the r8 green no longer attests the current code;
 #: they lead the official window. Round 9: dedup_cluster_stats moved from
 #: the all-shared-shingle candidate join to the LSH scale path (oracle
-#: mirrors the banding), ks_test_2samp's ECDF moved from one global
-#: cumulative window to the bucketed two-level prefix sum (values
-#: identical; plan rebuilt).
+#: mirrors the banding); ks_test_2samp's ECDF and mann_whitney_u's
+#: midranks moved from global cumulative windows to the bucketed
+#: two-level prefix sum (values identical; plans rebuilt).
 PRIORITY_REPAIRED = (
     "dedup_cluster_stats",
     "ks_test_2samp",
+    "mann_whitney_u",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.

@@ -593,11 +593,17 @@ def q_mann_whitney_u(spark, t):
     from clickhouse_provider_spark.operators.ranking import grouped_midrank
 
     s = t["events"].filter(F.col("event_type").isin("click", "view"))
-    # range-partitioned two-pass midrank (operators/ranking.py): same
-    # half-integer values as the single global window, but the sort runs
-    # parallel across all partitions instead of in one task
+    # distinct-collapse two-pass midrank with BUCKETED cumulative counts
+    # (operators/ranking.py): same half-integer values as a single global
+    # rank window, but no stage ever serializes the distinct-value
+    # relation into one task (distinct doubles grow with data — the same
+    # 100x hazard ks_test_2samp's ECDF had)
     ranked = grouped_midrank(
-        s.select("event_type", "value"), "value", [], "ar"
+        s.select("event_type", "value"),
+        "value",
+        [],
+        "ar",
+        bucket=F.floor(F.col("value") / F.lit(16.0)),
     ).select(
         "event_type", F.col("ar").cast(T.DecimalType(20, 1)).alias("avg_rank")
     )

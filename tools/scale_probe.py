@@ -79,6 +79,14 @@ PROBE_QUERIES = [
     "retention_aggregate",
     "group_array_sorted",
     "quality_logistic_score",
+    # round-9: the repaired scale paths (LSH-candidate cluster stats,
+    # bucketed-prefix-sum ECDF/midranks) + the new batch-14 operators
+    # (anchored span dedup, BM25 postings path, real-decode mapInPandas)
+    "dedup_cluster_stats",
+    "mann_whitney_u",
+    "substring_dup_ratio",
+    "bm25_topk",
+    "multimodal_decode_pixel_stats",
 ]
 
 
