@@ -35,11 +35,16 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 #: the all-shared-shingle candidate join to the LSH scale path (oracle
 #: mirrors the banding); ks_test_2samp's ECDF and mann_whitney_u's
 #: midranks moved from global cumulative windows to the bucketed
-#: two-level prefix sum (values identical; plans rebuilt).
+#: two-level prefix sum; cramers_v / association_measures swapped their
+#: grand-total global window for agg+broadcast (values identical; plans
+#: rebuilt — tests/test_plan_audit.py now forbids the global-window
+#: class repo-wide).
 PRIORITY_REPAIRED = (
     "dedup_cluster_stats",
     "ks_test_2samp",
     "mann_whitney_u",
+    "cramers_v",
+    "association_measures",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.

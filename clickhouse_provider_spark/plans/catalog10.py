@@ -927,14 +927,17 @@ def q_cramers_v(spark, t):
         .groupBy(F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s"))
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    # grand total via agg + broadcast, not sum() OVER () — the global
+    # window compiles to a single-partition WindowExec even over the
+    # bounded cells relation (tests/test_plan_audit.py flags it)
+    grand = cells.agg(F.sum("o").alias("n"))
     tot = cells.select(
         "f",
         "s",
         "o",
         F.sum("o").over(W.partitionBy("f")).alias("r"),
         F.sum("o").over(W.partitionBy("s")).alias("c"),
-        F.sum("o").over(W.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(grand))
     e = (F.col("r") * F.col("c")) / F.col("n").cast("double")
     term = (
         (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
