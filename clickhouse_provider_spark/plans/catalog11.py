@@ -125,8 +125,16 @@ def q_ks_test_2samp(spark, t):
     # struct(gap, -value) picks max gap then (via the negation) the MIN
     # value among ties — one ordinary aggregate instead of a global
     # max-window + equality re-scan (the gap set is identical doubles on
-    # both engines, so the argmax tie-break is exact)
-    best = F.max(F.struct(F.col("gap").alias("g"), (-F.col("value")).alias("nv")))
+    # both engines, so the argmax tie-break is exact). Rows with NULL gap
+    # (an empty sample makes every gap NULL) must not elect a location:
+    # struct-max would otherwise rank on the -value field alone, where
+    # the oracle's "value WHERE gap = mx" stays NULL.
+    best = F.max(
+        F.when(
+            F.col("gap").isNotNull(),
+            F.struct(F.col("gap").alias("g"), (-F.col("value")).alias("nv")),
+        )
+    )
     return gaps.agg(
         F.max("nx").alias("nx"),
         F.max("ny").alias("ny"),
