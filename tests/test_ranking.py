@@ -90,3 +90,59 @@ def test_bucketed_cumsum_matches_window(spark):
     both = got.join(want.select("g", "v", "want"), ["g", "v"])
     assert both.count() == 300
     assert both.filter(F.col("cum") != F.col("want")).count() == 0
+
+
+def test_bucketed_cumsum_multicol_ungrouped_matches_window(spark):
+    """The round-9 paths in one test: several running sums in ONE pass,
+    UNGROUPED (offsets via the single-row array fold, no WindowExec) —
+    values must equal the global cumulative window's, on shuffled
+    tie-free data."""
+    import random
+
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+
+    rng = random.Random(7)
+    rows = [(float(i), rng.randint(1, 9), rng.randint(-4, 4)) for i in range(257)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "v double, a long, b long").repartition(6)
+    got = bucketed_cumsum(
+        df,
+        "v",
+        ["a", "b"],
+        bucket=F.floor(F.col("v") / F.lit(19.0)),
+        out_col=["ca", "cb"],
+    )
+    w = W.orderBy("v")
+    want = df.select(
+        "v",
+        F.sum("a").over(w).alias("wa"),
+        F.sum("b").over(w).alias("wb"),
+    )
+    both = got.join(want, "v")
+    assert both.count() == 257
+    assert (
+        both.filter(
+            (F.col("ca") != F.col("wa")) | (F.col("cb") != F.col("wb"))
+        ).count()
+        == 0
+    )
+    # and the plan truly carries no unpartitioned WindowExec
+    plan = got._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got._jdf.queryExecution(), "formatted"
+    )
+    from tests.test_plan_audit import _unpartitioned_window_nodes
+
+    assert _unpartitioned_window_nodes(plan) == 0
+
+
+def test_value_midranks_bucketed_matches_window(spark):
+    """value_midranks(bucket=...) must produce the identical midranks as
+    the default global-window path on tie-heavy data."""
+    df = _df(spark, seed=31)
+    base = value_midranks(df, "v", [], "r")
+    bucketed = value_midranks(
+        df, "v", [], "r", bucket=F.floor(F.col("v") / F.lit(3.0))
+    )
+    a = {r["v"]: (r["r"], r["tie_count"]) for r in base.collect()}
+    b = {r["v"]: (r["r"], r["tie_count"]) for r in bucketed.collect()}
+    assert a == b
