@@ -115,6 +115,11 @@ HEADLINE = [
     "multimodal_decode_pixel_stats",
     "substring_dup_ratio",
     "bm25_topk",
+    # round-10: stdlib PNG decode (zlib inflate + unfilter in the Arrow
+    # batch path — the heaviest per-row Python work in the repo, worth
+    # watching), and dedup_cluster_stats stays above under its new
+    # hub-edge candidate graph
+    "multimodal_decode_png_stats",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

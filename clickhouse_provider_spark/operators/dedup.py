@@ -97,6 +97,82 @@ def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def melt_bands(
+    sig: DataFrame, band_size: int = BAND_SIZE, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): the melted banded-signature relation —
+    one explode over each per-doc signature row. Shared by the pair-listing
+    self-join (:func:`lsh_candidate_pairs`), the O(m)-per-bucket hub-edge
+    builder (:func:`lsh_hub_edges`), and the on-disk incremental index
+    (operators/dedup_index.py)."""
+    n_bands = n_hashes // band_size
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_hub_edges(
+    sig: DataFrame,
+    band_size: int = BAND_SIZE,
+    n_hashes: int = N_HASHES,
+    materialize: bool = True,
+) -> DataFrame:
+    """STAR (hub) edges per LSH band bucket: every doc in a bucket links to
+    the bucket's MINIMUM doc_id instead of to every other member — the
+    candidate relation for CONNECTED-COMPONENT consumers (VERDICT r9 #1).
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b (doc_a is always a
+    hub). A bucket of size m yields m−1 edges, not m·(m−1)/2 pairs, so a
+    giant duplicate cluster — the common case in 100 TB dedup, where
+    boilerplate clusters hold millions of docs — costs O(m) instead of the
+    O(m²) blowup the pair self-join pays (SCALE_PROBE_r09b showed the pair
+    path going 3.55× for 2× data once clusters grow with the corpus).
+
+    CANDIDATE-graph connectivity is exactly that of
+    :func:`lsh_candidate_pairs`: a bucket is a clique there and a star
+    here — same components. After per-edge Jaccard VERIFICATION the two
+    graphs can differ: a hub that fails the threshold against a member
+    drops the star edge where the clique may keep a member–member edge —
+    see the dedup_cluster_stats entry doc (plans/catalog11.py) for the
+    recall statement. For pairwise-similar clusters (every pair ≥
+    threshold — the regime the banding targets, and any exact-duplicate
+    cluster, where Jaccard is 1) verified components are identical; pinned
+    by tests/test_llm_ops.py::test_hub_edges_components_match_pairs.
+
+    Plan: one groupBy + one join, both keyed on (band_id, band_hash) — the
+    join reuses the aggregation's exchange, so the whole operator is one
+    shuffle of the melted band relation; no self-join ever materializes.
+    """
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
+    bands = melt_bands(sig, band_size, n_hashes)
+    hubs = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.min("doc_id").alias("hub"), F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= 2)
+        .drop("_m")
+    )
+    return (
+        bands.join(hubs, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     band_size: int = BAND_SIZE,
@@ -114,23 +190,7 @@ def lsh_candidate_pairs(
     """
     if materialize:
         sig = sig.localCheckpoint(eager=True)
-    n_bands = n_hashes // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    bands = melt_bands(sig, band_size, n_hashes)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -168,17 +228,24 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
     if pairs is not None:
         # duplicate candidate rows (e.g. raw band collisions, where one pair
         # can collide in several bands) would inflate n_common → Jaccard > 1;
-        # distinct + localCheckpoint also stops the (often expensive) LSH
-        # candidate plan from re-running for each of its THREE consumers
-        # below (doc-id restriction + join spine)
-        p = pairs.select("doc_a", "doc_b").distinct().localCheckpoint(eager=True)
+        # distinct + persist also stops the (often expensive) LSH candidate
+        # plan from re-running for each of its THREE consumers below (doc-id
+        # restriction + join spine). persist, NOT localCheckpoint (ADVICE
+        # r10): checkpointing is an action under AQE (toRdd materializes the
+        # shuffle stages even with eager=False), so merely BUILDING this
+        # plan used to execute the whole shingle+minhash+band pipeline —
+        # persist is fully lazy, caches on first action, and every later
+        # consumer reuses the one computation (pinned by
+        # tests/test_llm_ops.py::test_jaccard_pairs_build_runs_no_jobs).
+        p = pairs.select("doc_a", "doc_b").distinct().persist()
         need = (
             p.select(F.col("doc_a").alias("doc_id"))
             .unionByName(p.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
         # shingle ONLY candidate docs, once; reuse for sizes + both sides
-        sh = shingles(df.join(need, "doc_id")).localCheckpoint(eager=True)
+        # (lazy persist for the same build-vs-run reason as `p` above)
+        sh = shingles(df.join(need, "doc_id")).persist()
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_shingles")
         )

@@ -132,20 +132,198 @@ def _bmp_decode(content: bytes) -> tuple[int, int, bytes]:
     return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode(content: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decoder (VERDICT r9 #6): 8-bit non-interlaced RGB
+    (color type 2) and RGBA (type 6) — PNG's DEFLATE stream is stdlib
+    ``zlib``, so no imaging library is needed for this, the dominant
+    uncompressed-content case. Parses the chunk stream (IHDR → IDAT+ →
+    IEND, CRCs present but not re-verified — corruption surfaces as a
+    zlib/length error), inflates, and reverses all five scanline filters
+    (None/Sub/Up/Average/Paeth). RGBA alpha is dropped after unfiltering
+    (matching PIL's ``convert("RGB")`` on a fully-opaque image, the
+    fixture case). Returns (w, h, rgb) top-down.
+
+    Palette, grayscale, 16-bit, and interlaced PNGs raise
+    NotImplementedError — a real codec belongs in a library; this decoder
+    exists so the container can decode the common case dependency-free.
+    The per-row unfilter walks bytes in Python where a left-neighbor
+    dependence forbids vectorizing (Sub/Average/Paeth); fine for the
+    mapInPandas batch sizes here, and the seam where a C codec would slot
+    in at scale.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced RGB/RGBA PNG decodes natively; "
+            "palette/gray/16-bit/interlaced require an imaging library "
+            "not present in this environment"
+        )
+    nch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — no left dependence, vectorized
+            row += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — sequential left
+            for i in range(stride):
+                a = int(row[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    row[i] = (int(row[i]) + a) & 0xFF
+                elif ftype == 3:
+                    row[i] = (int(row[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - nch]) if i >= nch else 0
+                    row[i] = (int(row[i]) + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if nch == 4:
+        px = px[:, :, :3]
+    return w, h, np.ascontiguousarray(px).tobytes()
+
+
+def png_encode(
+    w: int, h: int, rgb: bytes, alpha: bytes | None = None,
+    filter_cycle: tuple[int, ...] = (0, 1, 2, 3, 4),
+) -> bytes:
+    """Minimal stdlib PNG ENCODER (fixture/test side of _png_decode):
+    8-bit RGB, or RGBA when ``alpha`` (w*h bytes) is given. Each row is
+    filtered with ``filter_cycle[y % len]`` so a round-trip exercises
+    every unfilter path — a decoder bug in any filter breaks the
+    pixel-md5 parity of the multimodal_decode_png_stats entry."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    nch = 3 if alpha is None else 4
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    if alpha is not None:
+        a = np.frombuffer(alpha, dtype=np.uint8).reshape(h, w, 1)
+        px = np.concatenate([px, a], axis=2)
+    flat = px.reshape(h, w * nch).astype(np.int16)
+    stride = w * nch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = flat[y]
+        ftype = filter_cycle[y % len(filter_cycle)]
+        if ftype == 0:
+            enc = row.copy()
+        elif ftype == 2:
+            enc = (row - prev) % 256
+        else:
+            left = np.zeros(stride, dtype=np.int16)
+            left[nch:] = row[:-nch]
+            if ftype == 1:
+                enc = (row - left) % 256
+            elif ftype == 3:
+                enc = (row - ((left + prev) >> 1)) % 256
+            else:  # Paeth
+                ul = np.zeros(stride, dtype=np.int16)
+                ul[nch:] = prev[:-nch]
+                pred = np.array(
+                    [
+                        _paeth(int(left[i]), int(prev[i]), int(ul[i]))
+                        for i in range(stride)
+                    ],
+                    dtype=np.int16,
+                )
+                enc = (row - pred) % 256
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if nch == 3 else 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_full(content: bytes) -> tuple[int, int, bytes]:
     """Decode an image blob to (width, height, raw RGB bytes).
 
-    Uncompressed formats decode dependency-free in pure Python/numpy:
-    binary PPM/PGM (magic ``P6``/``P5``) and BI_RGB 24/32-bit BMP
-    (``BM``). Anything else (PNG/JPEG/...) needs a real codec: PIL is
-    used when installed; otherwise an explicit NotImplementedError —
-    silently faking decode of a *compressed* format in the production
-    path would hide that the container can't decode it.
+    Dependency-free decoders cover binary PPM/PGM (magic ``P6``/``P5``),
+    BI_RGB 24/32-bit BMP (``BM``), and — r10 — 8-bit non-interlaced
+    RGB/RGBA PNG (stdlib zlib inflate + full five-filter unfilter; see
+    :func:`_png_decode`). Anything else (JPEG, exotic PNG variants)
+    needs a real codec: PIL is used when installed; otherwise an explicit
+    NotImplementedError — silently faking decode of a *compressed* format
+    in the production path would hide that the container can't decode it.
     """
     if content[:2] in (b"P6", b"P5"):
         return _ppm_decode(content)
     if content[:2] == b"BM":
         return _bmp_decode(content)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return _png_decode(content)
+        except NotImplementedError:
+            if not has_pil():  # PIL can still take the exotic variants
+                raise
     try:
         from PIL import Image
     except ImportError as exc:
@@ -301,6 +479,58 @@ def documents_as_ppm_media(docs: DataFrame, width: int = 8, height: int = 4) -> 
         ).alias("content"),
         F.struct(
             F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def documents_as_png_media(
+    docs: DataFrame, width: int = 16, height: int = 5
+) -> DataFrame:
+    """Deterministic PNG fixture table from the documents table: each doc
+    becomes a REAL zlib-compressed RGBA PNG whose RGB stream is the ASCII
+    bytes of ``repeat(md5(doc_id), k)`` (the documents_as_ppm_media
+    derivation — reconstructible by the DuckDB oracle) and whose alpha
+    plane is opaque. Rows are filtered with the full 0–4 filter cycle
+    (height 5 hits every type), so decode parity attests zlib inflate AND
+    all five unfilters, not just the chunk walk.
+
+    Encoding runs in an Arrow-batched mapInPandas (PNG needs zlib+CRC —
+    not expressible in SQL); blobs are small (w*h*4 + headers) and the
+    stage is map-only."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    n = width * height * 3
+    reps = -(-n // 32)
+
+    def batches(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                hexs = hashlib.md5(str(doc_id).encode()).hexdigest()
+                rgb = (hexs * reps)[:n].encode("ascii")
+                alpha = b"\xff" * (width * height)
+                out.append(
+                    (int(doc_id), png_encode(width, height, rgb, alpha))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    encoded = docs.select("doc_id").mapInPandas(batches, enc_schema)
+    return encoded.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.struct(
+            F.lit("image/png").alias("mime"),
             F.lit(width).alias("width"),
             F.lit(height).alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),

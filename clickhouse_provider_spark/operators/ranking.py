@@ -59,8 +59,20 @@ def value_midranks(
     ``bucket`` (a coarse monotone fn of ``value_col``, see
     :func:`bucketed_cumsum`) to run it as the distributed two-level
     prefix sum instead — identical half-integer midranks (integer tie
-    counts sum exactly in any decomposition)."""
+    counts sum exactly in any decomposition).
+
+    ``bucket`` is ONLY meaningful for the ungrouped case (the grouped
+    window already parallelizes across groups); passing both is rejected
+    rather than silently ignoring ``bucket`` (ADVICE r10) — a caller who
+    wants a bucketed grouped rank should call :func:`bucketed_cumsum`
+    with ``group_cols`` directly."""
     group_cols = list(group_cols or [])
+    if bucket is not None and group_cols:
+        raise ValueError(
+            "bucket= applies only to the ungrouped midrank; with group_cols "
+            "the per-group window is already distributed — use "
+            "bucketed_cumsum(group_cols=...) for a bucketed grouped cumsum"
+        )
     g = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
     if bucket is not None and not group_cols:
         g = bucketed_cumsum(g, value_col, "_cnt", bucket=bucket, out_col="_cum")
@@ -110,6 +122,7 @@ def bucketed_cumsum(
     bucket: "F.Column",
     group_cols: list[str] | None = None,
     out_col: str | list[str] = "cum",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Distributed running sum of ``val_col`` in ``order_col`` order within
     each group — the two-level prefix-sum that replaces a per-group
@@ -134,14 +147,29 @@ def bucketed_cumsum(
     do.
 
     CONTRACT (broadcast bound): the offsets relation is
-    |groups| x |buckets| rows and is unconditionally ``F.broadcast()``-ed
-    — callers MUST pass a coarse ``bucket`` fn and group columns whose
-    product cardinality is driver-small (thousands, not millions). That
-    bound is the caller's obligation, not a property this operator can
-    check; a high-cardinality ``group_cols`` would OOM the driver on the
-    forced broadcast. Both shipped callers (quantile_exact_weighted's
+    |groups| x |buckets| rows; with ``broadcast_offsets=True`` (default)
+    it is force-``F.broadcast()``-ed — callers MUST then pass a coarse
+    ``bucket`` fn and group columns whose product cardinality is
+    driver-small (thousands, not millions). That bound is the caller's
+    obligation, not a property this operator can check without an action;
+    a high-cardinality caller passes ``broadcast_offsets=False`` to take
+    a plain shuffle join instead (values identical; step 3's window
+    re-shuffles on (group, bucket) regardless, so the extra exchange is
+    the only cost). Both shipped callers (quantile_exact_weighted's
     per-flag price buckets, ks_test_2samp's value-range buckets) satisfy
-    it by construction.
+    the broadcast bound by construction.
+
+    NULL keys (ADVICE r10): rows whose ``bucket`` expression (or, within
+    a bucket, whose ``order_col``) evaluates to NULL are EXCLUDED from
+    the output — the offsets equi-join on ``_bkt`` is null-dropping,
+    matching SQL window semantics only for non-NULL sort keys. An
+    all-NULL ``val_col`` bucket contributes 0 (not NULL) to later
+    buckets' offsets in both the grouped window path (SUM ignores NULLs)
+    and the ungrouped fold (explicit coalesce below) — the same totals
+    the single-window formulation produces. NULL ``val_col`` rows carry
+    the running total of prior non-NULL values, except that rows preceded
+    by NO non-NULL value at all get 0 where SQL's window yields NULL (see
+    the inline note at the local-sum step).
     """
     group_cols = list(group_cols or [])
     val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
@@ -192,8 +220,13 @@ def bucketed_cumsum(
                 F.array().cast(out_t).alias("out"),
             ),
             lambda acc, x: F.struct(
+                # coalesce: an all-NULL-val bucket's subtotal is NULL and
+                # must add 0, not poison every later bucket's offset —
+                # mirrors SUM-over-window's NULL-ignoring fold
                 *[
-                    (acc[f"s{i}"] + x[f"_bw{i}"]).cast(dt).alias(f"s{i}")
+                    (acc[f"s{i}"] + F.coalesce(x[f"_bw{i}"], F.lit(0).cast(dt)))
+                    .cast(dt)
+                    .alias(f"s{i}")
                     for i, dt in enumerate(sum_dts)
                 ],
                 F.array_append(
@@ -210,10 +243,21 @@ def bucketed_cumsum(
         )
     wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
     # offsets is |groups|x|buckets| rows — BOUNDED by the documented caller
-    # contract above, so broadcast it: the alternative is a full shuffle of
-    # the collapsed relation just to meet a few-KB table, and step 3's
-    # window re-shuffles on (group, bucket) anyway.
-    out = b.join(F.broadcast(offsets), [*group_cols, "_bkt"])
+    # contract above, so broadcast by default: the alternative is a full
+    # shuffle of the collapsed relation just to meet a few-KB table, and
+    # step 3's window re-shuffles on (group, bucket) anyway. A caller whose
+    # group product is NOT driver-small opts out via broadcast_offsets.
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    out = b.join(offsets, [*group_cols, "_bkt"])
     for i, (v, o) in enumerate(zip(val_cols, out_cols)):
-        out = out.withColumn(o, F.col(f"_off{i}") + F.sum(v).over(wl))
+        # coalesce the local window sum as well: a NULL-val row carries the
+        # running total of prior non-NULL values (its bucket's local prefix
+        # may be all-NULL). One deliberate divergence from the SQL window:
+        # rows preceded by NO non-NULL value anywhere get 0 here where SQL
+        # yields NULL — indistinguishable from a legitimate 0 offset without
+        # extra state, and unreachable for the shipped count-valued callers.
+        out = out.withColumn(
+            o, F.col(f"_off{i}") + F.coalesce(F.sum(v).over(wl), F.lit(0))
+        )
     return out.drop("_bkt", *[f"_off{i}" for i in range(len(val_cols))])

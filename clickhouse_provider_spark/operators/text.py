@@ -168,8 +168,12 @@ def bm25_topk(
     Per-term score = idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
     the RATIONAL idf (N − df + 0.5)/(df + 0.5): like tfidf_top_terms, ln
     is the one op whose low bits may differ across engines, so the
-    portable form drops it (monotone per term; a production deployment
-    swaps ln back in — the plan is identical). Per-doc scores fold in
+    portable form drops it (monotone PER TERM; a production deployment
+    swaps ln back in — the plan is identical). CAVEAT (ADVICE r10):
+    per-term monotonicity does NOT survive the cross-term SUM — rare
+    terms carry exp(idf)-scale weight here vs linear under ln, so
+    MULTI-term orderings can differ from true ln-idf BM25; treat this
+    ranking as "BM25-shaped, rational-idf", not a drop-in BM25 scorer. Per-doc scores fold in
     lexicographic term order (array_sort + aggregate), so the double sum
     is reproducible and oracle-exact.
 
@@ -181,6 +185,12 @@ def bm25_topk(
     """
     from clickhouse_provider_spark.operators.dedup import normalized_words
 
+    if not query_terms:
+        # F.col().isin() with zero args raises from py4j; an empty query
+        # has a well-defined answer (no term hits → no scored docs)
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, n_terms_hit long, score double"
+        )
     words = normalized_words(text_col)
     lens = df.select("doc_id", F.size(words).alias("dl"))
     stats = lens.agg(

@@ -6,19 +6,18 @@ The correctness driver samples the FIRST 50 entries of ``queries()`` in
 insertion order, so the catalog is re-ordered after registration to put the
 entries that most need a fresh official row at the front:
 
-1. **Repaired this round** (``PRIORITY_REPAIRED``): round 9 rebuilds
-   ``dedup_cluster_stats`` (all-shared-shingle candidates → the LSH scale
-   path, oracle re-banded to match — VERDICT r8 "What's wrong" #1) and
-   ``ks_test_2samp`` (global cumulative window → bucketed two-level
-   prefix sum — VERDICT r8 #2); both need a fresh official green under
-   the new plans.
+1. **Repaired this round** (``PRIORITY_REPAIRED``): round 10 rebuilds
+   ``dedup_cluster_stats`` again (LSH pair self-join → per-bucket hub
+   edges, oracle mirrored — VERDICT r9 "What's wrong" #1); it needs a
+   fresh official green under the new plan+oracle.
 2. **Never hash-green** (``PRIORITY_NEVER_GREEN``): entries that have never
    had an official ``hash_match: true`` row in any round (``no_oracle`` or
    out-of-window so far). Empty since round 5 — every existing entry has
    been green at least once; brand-new entries land here automatically
-   (absent from ``LAST_GREEN_ROUND``).
+   (absent from ``LAST_GREEN_ROUND``); round 10 adds
+   ``multimodal_decode_png_stats`` this way.
 3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
-   frozen from CORRECTNESS_r0{1..8}.json; ties keep insertion order) — so
+   frozen from CORRECTNESS_r0{1..9}.json; ties keep insertion order) — so
    long-unverified entries cycle back into the window before recently
    verified ones.
 
@@ -29,22 +28,15 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
 from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
 
-#: Entries whose PLAN (and for dedup_cluster_stats also the oracle)
-#: changed this round, so the r8 green no longer attests the current code;
-#: they lead the official window. Round 9: dedup_cluster_stats moved from
-#: the all-shared-shingle candidate join to the LSH scale path (oracle
-#: mirrors the banding); ks_test_2samp's ECDF and mann_whitney_u's
-#: midranks moved from global cumulative windows to the bucketed
-#: two-level prefix sum; cramers_v / association_measures swapped their
-#: grand-total global window for agg+broadcast (values identical; plans
-#: rebuilt — tests/test_plan_audit.py now forbids the global-window
-#: class repo-wide).
+#: Entries whose PLAN (and oracle) changed this round, so the prior green
+#: no longer attests the current code; they lead the official window.
+#: Round 10: dedup_cluster_stats moved its candidate graph from the LSH
+#: pair self-join (O(m²) per hot band bucket) to per-bucket HUB (star)
+#: edges (operators/dedup.py:lsh_hub_edges, O(m) per bucket — VERDICT r9
+#: "What's wrong" #1); the oracle mirrors the hub construction, so both
+#: sides changed and the r9 green is stale.
 PRIORITY_REPAIRED = (
     "dedup_cluster_stats",
-    "ks_test_2samp",
-    "mann_whitney_u",
-    "cramers_v",
-    "association_measures",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
@@ -53,7 +45,7 @@ PRIORITY_REPAIRED = (
 #: from LAST_GREEN_ROUND.
 PRIORITY_NEVER_GREEN = ()
 
-#: name -> round of most recent official hash-green (CORRECTNESS_r0{1..5}).
+#: name -> round of most recent official hash-green (CORRECTNESS_r0{1..9}).
 #: Frozen so the rotation is deterministic and file-independent; refresh
 #: each round from the latest CORRECTNESS file.
 LAST_GREEN_ROUND = {
@@ -142,6 +134,30 @@ LAST_GREEN_ROUND = {
         "topk_weighted", "ttest_student_welch", "uniq_up_to",
         "url_functions", "window_funnel_strict_dedup",
         "window_funnel_strict_order",
+    )},
+    # round 9 official window: all 50 rows green (CORRECTNESS_r09.json) —
+    # folded in per the per-round refresh (VERDICT r9 task 2). Overrides
+    # earlier tiers for the re-attested r4/r5/r6 names.
+    **{n: 9 for n in (
+        "anti_join_not_exists", "association_measures", "bm25_topk",
+        "corpus_curation", "cramers_v", "daily_counts",
+        "dedup_cluster_stats", "dedup_embedding_pairs", "dedup_exact",
+        "dedup_lsh_pairs", "dedup_lsh_verified",
+        "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_survivors", "distinct_parts_per_flag",
+        "embedding_norms", "except_nations", "intersect_nations",
+        "json_props_stats", "ks_test_2samp", "latest_watermark",
+        "mann_whitney_u", "monthly_orders",
+        "multimodal_decode_pixel_stats", "pivot_priority_status",
+        "price_qty_corr", "q16_supplier_concentration",
+        "q20_dominant_suppliers", "q3_shipping_priority",
+        "q5_regional_revenue", "replacing_dedup", "rollup_sales",
+        "running_total", "semi_join_exists", "session_gaps",
+        "similarity_topk", "substring_dup_ratio", "text_contamination",
+        "text_fingerprint", "text_lang_id", "text_ngram_repetition",
+        "text_quality", "text_tfidf_top_terms", "text_token_rarity",
+        "text_token_stats", "time_range", "top3_per_group",
+        "user_history", "value_percentiles",
     )},
 }
 

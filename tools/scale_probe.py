@@ -87,6 +87,9 @@ PROBE_QUERIES = [
     "substring_dup_ratio",
     "bm25_topk",
     "multimodal_decode_pixel_stats",
+    # round-10: PNG decode (zlib + per-row unfilter inside mapInPandas —
+    # must stay exactly linear, it's pure map work)
+    "multimodal_decode_png_stats",
 ]
 
 
