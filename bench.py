@@ -136,15 +136,18 @@ def _round_no(p: Path) -> int:
     return int("".join(filter(str.isdigit, p.stem)) or 0)
 
 
-def current_round() -> int:
+def current_round(here: Path | None = None) -> int:
     """Round being built, so re-runs within a round overwrite the same
     BENCH_full_r{N}.json instead of minting new ones. PROGRESS.jsonl's
     last record is authoritative (the driver stamps every heartbeat with
     the round number and keeps writing even when it skips its end-of-round
     BENCH_r{N}.json — round 7's never landed, which made the old
     newest-BENCH_r+1 logic clobber the committed r07 snapshot from round
-    8). Fallback: newest driver BENCH_r{N}.json + 1."""
-    here = Path(__file__).resolve().parent
+    8). Fallback: newest driver BENCH_r{N}.json + 1. ``here`` overrides
+    the repo root for tests (tests/test_bench_cli.py pins the malformed-
+    tail fallbacks, incl. the valid-JSON-but-not-an-object TypeError row
+    from ADVICE r9)."""
+    here = here or Path(__file__).resolve().parent
     progress = here / "PROGRESS.jsonl"
     try:
         last = progress.read_text().strip().rsplit("\n", 1)[-1]

@@ -500,6 +500,82 @@ def q_dedup_cluster_stats(spark, t):
 
 
 @register(
+    "dedup_survivors_lsh",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sig AS (SELECT doc_id, {_minhash_cols_sql()} FROM sh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN concat(mh_0, '|', mh_1) WHEN 1 THEN concat(mh_2, '|', mh_3)
+               WHEN 2 THEN concat(mh_4, '|', mh_5) ELSE concat(mh_6, '|', mh_7)
+             END AS band_hash
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band_id)
+    ),
+    hubs AS (
+      SELECT band_id, band_hash, min(doc_id) AS hub
+      FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    cand AS (
+      SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN hubs h USING (band_id, band_hash)
+      WHERE b.doc_id <> h.hub
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN cand ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(comp.component_id, d.doc_id) AS survivor_doc_id,
+           coalesce(comp.component_id, d.doc_id) = d.doc_id AS is_survivor
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """.replace("WITH d AS", "WITH RECURSIVE d AS", 1),
+    doc="The dedup END DECISION in its SCALE form: MinHash→LSH hub edges "
+    "(O(m) per band bucket, operators/dedup.py:lsh_hub_edges) → "
+    "candidate-first Jaccard ≥ 0.1 → min-label CC → min-doc_id survivor "
+    "per cluster. Complements dedup_survivors, which keeps the exact "
+    "all-shared-shingle closure as the oracle-checkable recall baseline "
+    "— at 100 TB THIS is the plan a curation rollout runs (the baseline "
+    "pair space explodes on hot shingles), and the incremental twin "
+    "(operators/dedup_index.components_apply_edges) maintains exactly "
+    "these labels batch-over-batch. Same banding/hub recall semantics "
+    "as dedup_cluster_stats (stated there); oracle mirrors the hub "
+    "construction and recomputes the closure with a recursive CTE.",
+    tags=("llm", "dedup", "scale-path"),
+)
+def q_dedup_survivors_lsh(spark, t):
+    docs = t["documents"]
+    cand = dedup.lsh_hub_edges(dedup.minhash_signatures(docs))
+    pairs = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dedup_survivors(docs, pairs)
+
+
+@register(
     "association_measures",
     oracle="""
     WITH cells AS (

@@ -144,3 +144,47 @@ def test_incremental_components_equal_batch(spark, docs, tmp_path_factory):
         .collect()
     }
     assert touched, "fixture must actually produce cross-batch merges"
+
+
+def test_incremental_components_multi_batch(spark, docs, tmp_path_factory):
+    """Continuous-curation loop: THREE ingest batches, each folding its
+    verified incremental candidates into the persisted labels; after every
+    batch the maintained labels must equal batch dedup_survivors over all
+    docs ingested so far. This is the end-to-end shape a streaming
+    foreachBatch curation job runs."""
+    path = str(tmp_path_factory.mktemp("lsh_idx_cc3") / "index")
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    ingested = None
+    labels = None
+    for b, batch in enumerate(parts):
+        dedup_index.lsh_index_append(batch, path, batch_id=b)
+        ingested = batch if ingested is None else ingested.unionByName(batch)
+        cand = dedup_index.lsh_new_candidates(spark, path, batch_id=b)
+        edges = dedup.jaccard_pairs(ingested, pairs=cand, threshold=0.1).select(
+            "doc_a", "doc_b"
+        )
+        if labels is None:
+            labels = dedup.dedup_survivors(batch, edges).select(
+                "doc_id", F.col("survivor_doc_id").alias("component_id")
+            )
+        else:
+            labels = dedup_index.components_apply_edges(labels, edges)
+        # fill isolated/new docs to survivor convention, then persist shape
+        labels = (
+            ingested.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component_id", "doc_id").alias("component_id"),
+            )
+            .localCheckpoint(eager=True)  # "persisted state" between batches
+        )
+        pairs_all = dedup.jaccard_pairs(
+            ingested, pairs=_full_pairs(ingested), threshold=0.1
+        ).select("doc_a", "doc_b")
+        want = dedup.dedup_survivors(ingested, pairs_all).select(
+            "doc_id", F.col("survivor_doc_id").alias("component_id")
+        )
+        got = {(r["doc_id"], r["component_id"]) for r in labels.collect()}
+        expect = {(r["doc_id"], r["component_id"]) for r in want.collect()}
+        assert got == expect, f"divergence after batch {b}"

@@ -1,0 +1,119 @@
+"""Continuous-curation stream (streaming/curation.py): after draining any
+prefix of the document stream, the persisted label table must equal batch
+dedup_survivors over every document ingested so far — the streaming path
+IS the batch path, maintained incrementally."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import dedup
+from clickhouse_provider_spark.streaming import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from clickhouse_provider_spark.session import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001")["documents"]
+
+
+def _batch_truth(docs_so_far):
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs_so_far))
+    pairs = dedup.jaccard_pairs(docs_so_far, pairs=cand, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dedup_survivors(docs_so_far, pairs).select(
+        "doc_id", F.col("survivor_doc_id").alias("component_id")
+    )
+
+
+def test_streaming_curation_equals_batch(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("curation"))
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    # three drop files → three micro-batches (maxFilesPerTrigger=1)
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(os.path.join(src, f"drop_{i}"))
+    # the file source lists drop dirs in one pass; feed files, not dirs
+    import glob
+    import shutil
+
+    for i, d in enumerate(sorted(glob.glob(os.path.join(src, "drop_*")))):
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        shutil.move(f, os.path.join(src, f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+
+    q = curation.run_curation(
+        spark,
+        src,
+        state_root=os.path.join(root, "state"),
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    state = curation.CurationState(os.path.join(root, "state"))
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in state.labels(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["component_id"]) for r in _batch_truth(docs).collect()
+    }
+    assert got == want
+    # and the index sidecar really is invisible to the band reader
+    idx = spark.read.parquet(state.index_path)
+    assert set(idx.columns) == {"doc_id", "band_hash", "batch_id", "band_id"}
+    assert idx.select("batch_id").distinct().count() == 3
+
+
+def test_streaming_curation_resume_midstream(spark, docs, tmp_path_factory):
+    """Drain one file, stop, add two more, resume from the checkpoint:
+    the final labels must still equal the batch truth (state and
+    checkpoint survive the restart)."""
+    root = str(tmp_path_factory.mktemp("curation_resume"))
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(3)]
+    import glob
+    import shutil
+
+    def drop(i, p):
+        d = os.path.join(root, f"stage_{i}")
+        p.coalesce(1).write.parquet(d)
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        shutil.move(f, os.path.join(src, f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+
+    drop(0, parts[0])
+    kw = dict(
+        state_root=os.path.join(root, "state"),
+        checkpoint=os.path.join(root, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    curation.run_curation(spark, src, **kw).awaitTermination()
+    state = curation.CurationState(os.path.join(root, "state"))
+    got0 = {
+        (r["doc_id"], r["component_id"])
+        for r in state.labels(spark).collect()
+    }
+    want0 = {
+        (r["doc_id"], r["component_id"])
+        for r in _batch_truth(parts[0]).collect()
+    }
+    assert got0 == want0
+
+    drop(1, parts[1])
+    drop(2, parts[2])
+    curation.run_curation(spark, src, **kw).awaitTermination()
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in state.labels(spark).collect()
+    }
+    want = {
+        (r["doc_id"], r["component_id"]) for r in _batch_truth(docs).collect()
+    }
+    assert got == want
