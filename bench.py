@@ -120,6 +120,11 @@ HEADLINE = [
     # watching), and dedup_cluster_stats stays above under its new
     # hub-edge candidate graph
     "multimodal_decode_png_stats",
+    # round-10 batch 15: lexical+dense fusion (two TakeOrdered inputs +
+    # k-row join) and the SimHash hub-edge clustering (signature-only
+    # verify — the text column never shuffles)
+    "hybrid_rrf_topk",
+    "dedup_simhash_clusters",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

@@ -361,8 +361,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
     as the receipt→tx closure (operators/transactions.py). component_id =
     the smallest doc_id reachable through near-duplicate edges.
 
-    Scale: each iteration is one shuffle on doc_id; iterations = cluster
-    diameter (near-dup clusters are tiny); label state is 2 longs per doc.
+    Scale: each iteration is one shuffle join on the edges plus one
+    label self-join (path compression, r10) — iterations ≈ log(cluster
+    diameter), so even chain-of-stars graphs (overlapping hub buckets)
+    converge in a handful of driver-synchronized rounds; label state is
+    2 longs per doc.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -382,30 +385,61 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
         .select("doc_id", F.least("doc_id", "nb").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # the convergence flag is a function of (label, nlabel) already in
-        # hand, so compute it INSIDE the iteration's projection — checking
-        # via a new-vs-old join would add a second shuffle join per round
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                (F.col("nlabel") < F.col("label")).alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+        mid = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("_mid"),
         )
+        if it == 0:
+            # round 0: plain neighbor-min only. Most near-dup graphs
+            # (star buckets, tiny cliques) converge here; paying the
+            # compression self-join before knowing the graph is deep
+            # costs more than it saves.
+            new_labels = mid.select(
+                "doc_id",
+                F.col("_mid").alias("new_label"),
+                (F.col("_mid") < F.col("_old")).alias("_chg"),
+            ).localCheckpoint(eager=True)
+        else:
+            # PATH COMPRESSION (r10), rounds ≥ 1: also pull each doc's
+            # label's label — label values are always member doc_ids of
+            # this relation (init: least(self, a neighbor); step: least
+            # of such values), so the self-join always matches. Chasing
+            # one indirection per round turns O(diameter) rounds into
+            # O(log diameter) on chain-of-stars graphs (hub edges over
+            # overlapping buckets — exactly the dedup_*_clusters shape),
+            # and each driver-synchronized round is the expensive unit
+            # of this fixpoint at any scale.
+            chase = mid.select(
+                F.col("doc_id").alias("_mk"), F.col("_mid").alias("_ml")
+            )
+            new_label = F.least(
+                F.col("_mid"), F.coalesce(F.col("_ml"), F.col("_mid"))
+            )
+            new_labels = (
+                mid.join(chase, mid["_mid"] == chase["_mk"], "left")
+                .select(
+                    "doc_id",
+                    new_label.alias("new_label"),
+                    # convergence flag from columns already in hand — a
+                    # new-vs-old join would add a shuffle join per round
+                    (new_label < F.col("_old")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
         changed = new_labels.filter(F.col("_chg")).isEmpty()
         labels = new_labels.select(
             "doc_id", F.col("new_label").alias("label")
         )
+        connected_components.last_iterations = it + 1  # observability
         if changed:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))
@@ -414,7 +448,10 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
 def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Final dedup decision: cluster near-dup pairs, elect min-doc_id
     survivor per component; docs in no component survive as themselves.
-    Returns (doc_id, survivor_doc_id, is_survivor)."""
+    Returns (doc_id, survivor_doc_id, is_survivor).
+
+    (CC docstring above covers the fixpoint; since r10 each round also
+    path-compresses, so rounds ≈ log(diameter).)"""
     cc = connected_components(pairs)
     return (
         docs.select("doc_id")
@@ -436,10 +473,20 @@ def simhash32(df: DataFrame) -> DataFrame:
     no UDF, fully codegen. Portable: conv(hex,16,10) == DuckDB
     ('0x'||hex)::BIGINT.
     """
-    words = df.repartition(_parallelism(df), "doc_id").select(
-        "doc_id", F.explode(normalized_words()).alias("word")
+    # hoist the word hash into ONE projected column: inlining it in each
+    # of the 32 vote aggregates would evaluate md5+conv 32× per row (the
+    # signature stage dominated the dedup_simhash_clusters headline)
+    words = (
+        df.repartition(_parallelism(df), "doc_id")
+        .select("doc_id", F.explode(normalized_words()).alias("word"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("_h"),
+        )
     )
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("bigint")
+    h = F.col("_h")
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -452,6 +499,78 @@ def simhash32(df: DataFrame) -> DataFrame:
     for i in range(32):
         sig = sig + F.when(F.col(f"v_{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(0)
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_hub_pairs(
+    sig: DataFrame, max_hamming: int = 3, materialize: bool = True
+) -> DataFrame:
+    """SimHash near-dup edges in HUB form — the star-edge treatment of
+    :func:`lsh_hub_edges` applied to the byte-band buckets of
+    :func:`simhash_near_pairs`: every doc in a (band, byte) bucket links
+    to the bucket's min doc_id, then the edge is verified with the exact
+    hamming distance (bit_count of xor — no text join needed, the
+    signatures carry the verification). O(m) edges per bucket instead of
+    O(m²) pairs; same connected components as the pair form on clusters
+    whose members are pairwise within ``max_hamming`` (a bucket is a
+    clique there and a star here). Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b.
+
+    ``materialize`` localCheckpoints the signatures first: this operator
+    consumes ``sig`` THREE times (band melt + both verify joins), and the
+    32-aggregate simhash plan is the expensive stage — without the
+    checkpoint it re-executes per consumer (measured ~3× on the
+    dedup_simhash_clusters headline)."""
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.byte")
+    hubs = (
+        bands.groupBy("band_id", "byte")
+        .agg(F.min("doc_id").alias("doc_a"), F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= 2)
+        .drop("_m")
+    )
+    cand = (
+        bands.join(hubs, ["band_id", "byte"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sigs = sig.select("doc_id", "simhash")
+    return (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -411,6 +411,35 @@ def ivf_write_index(
     cents.write.mode("overwrite").parquet(os.path.join(path, "_centroids"))
 
 
+def ivf_index_append(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append one ingest batch to an EXISTING IVF layout (round 10 — the
+    ANN twin of dedup_index.lsh_index_append): new vectors are assigned
+    to the index's PERSISTED centroids (read from ``_centroids``, never
+    retrained — retraining would reshuffle the whole layout) and appended
+    as new files under their cell_id directories. Existing files are
+    never rewritten, so concurrent probes stay consistent and the append
+    costs O(new vectors) regardless of index size.
+
+    Centroid drift is the operator's documented trade: a corpus whose
+    distribution shifts eventually wants a re-train + rewrite (offline,
+    like any index rebuild); until then appended vectors are still
+    exactly queryable — probes read cells, and each vector lives in its
+    argmax cell under the ORIGINAL metric. Equality with a from-scratch
+    write over the union (same centroids) is pinned by
+    tests/test_llm_ops.py::test_ivf_index_append_equals_rewrite."""
+    import os
+
+    spark = emb.sparkSession
+    cents = spark.read.parquet(os.path.join(path, "_centroids"))
+    assigned = _argmax_cell(emb, cents, id_col, vec_col).drop("cos_to_centroid")
+    assigned.write.partitionBy("cell_id").mode("append").parquet(path)
+
+
 def ivf_query_index(
     spark,
     path: str,

@@ -15,7 +15,9 @@ entries that most need a fresh official row at the front:
    out-of-window so far). Empty since round 5 — every existing entry has
    been green at least once; brand-new entries land here automatically
    (absent from ``LAST_GREEN_ROUND``); round 10 adds
-   ``multimodal_decode_png_stats`` this way.
+   ``multimodal_decode_png_stats``, ``dedup_survivors_lsh``,
+   ``hybrid_rrf_topk``, ``dedup_simhash_clusters``, and
+   ``dedup_lsh_recall_eval`` this way.
 3. Everything else, **oldest official green first** (``LAST_GREEN_ROUND``,
    frozen from CORRECTNESS_r0{1..9}.json; ties keep insertion order) — so
    long-unverified entries cycle back into the window before recently
@@ -26,7 +28,7 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog15, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.

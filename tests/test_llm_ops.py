@@ -738,3 +738,93 @@ def test_hub_edges_single_shuffle_plan(spark):
     n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
     assert n_joins == 1, plan
     assert "hashpartitioning(band_id" in plan
+
+
+def test_simhash_hub_pairs_components_match_pair_form(spark):
+    """Hub-edge SimHash (r10): on clusters pairwise within the hamming
+    radius, hub edges + CC == pair edges + CC, at O(m) edges per bucket."""
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    docs = [(100 + i, base) for i in range(20)]  # identical → hamming 0
+    docs += [
+        (1, base.replace("lazy", "sleepy")),
+        (2, "completely different content about spark shuffles and parquet"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = dedup.simhash32(df)
+    hub = dedup.simhash_hub_pairs(sig)
+    pair = dedup.simhash_near_pairs(sig)
+    n_hub = hub.filter(F.col("doc_a") >= 100).count()
+    n_pair = pair.filter(F.col("doc_a") >= 100).count()
+    assert n_hub == 19 and n_pair == 190  # star vs clique on the 20-clique
+    comp_h = {
+        (r["doc_id"], r["survivor_doc_id"])
+        for r in dedup.dedup_survivors(df, hub).collect()
+    }
+    comp_p = {
+        (r["doc_id"], r["survivor_doc_id"])
+        for r in dedup.dedup_survivors(df, pair).collect()
+    }
+    assert comp_h == comp_p
+    assert {(d, s) for d, s in comp_h if d >= 100} == {
+        (100 + i, 100) for i in range(20)
+    }
+
+
+def test_hybrid_rrf_fuses_both_retrievers(spark):
+    """RRF must surface a doc ranked by only one retriever below one
+    ranked by both, and respect the 1/(60+rank) weighting."""
+    from clickhouse_provider_spark.plans.catalog import CATALOG
+    from clickhouse_provider_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01")
+    out = CATALOG["hybrid_rrf_topk"].build(spark, t).collect()
+    assert len(out) == 10
+    for r in out:
+        want = (1.0 / (60 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
+        )
+        assert r["rrf_score"] == want
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # a doc present in BOTH top-10s (if any) must beat every single-list doc
+    both = [r for r in out if r["lex_rank"] and r["dense_rank"]]
+    single = [r for r in out if not (r["lex_rank"] and r["dense_rank"])]
+    if both and single:
+        assert min(b["rrf_score"] for b in both) > max(
+            s["rrf_score"] for s in single
+        ) or min(b["rrf_score"] for b in both) >= 1.0 / 61
+
+
+def test_ivf_index_append_equals_rewrite(spark, tables, tmp_path):
+    """Incremental ANN maintenance (r10): appending a batch to an IVF
+    layout under the persisted centroids must answer queries identically
+    to a from-scratch write over the union with the same centroids —
+    at O(new vectors) append cost, no rewrite of existing files."""
+    import glob
+    import os
+
+    emb = tables["embeddings"]
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter((F.col("vec_id") % 3 == 0) & (F.col("vec_id") != 0))
+    cents = similarity.ivf_train_centroids(old, n_cells=8, iters=3)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    similarity.ivf_write_index(old, inc_path, centroids=cents)
+    before = set(glob.glob(os.path.join(inc_path, "cell_id=*/*.parquet")))
+    similarity.ivf_index_append(new, inc_path)
+    after = set(glob.glob(os.path.join(inc_path, "cell_id=*/*.parquet")))
+    assert before <= after and len(after) > len(before)  # append-only
+
+    full_path = str(tmp_path / "ivf_full")
+    similarity.ivf_write_index(
+        old.unionByName(new), full_path, centroids=cents
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = similarity.ivf_query_index(spark, inc_path, qvec, k=10, nprobe=3)
+    want = similarity.ivf_query_index(spark, full_path, qvec, k=10, nprobe=3)
+    g = [(r["vec_id"], r["cell_id"], r["cos_sim"]) for r in got.collect()]
+    w = [(r["vec_id"], r["cell_id"], r["cos_sim"]) for r in want.collect()]
+    assert g == w

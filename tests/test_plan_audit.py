@@ -28,6 +28,9 @@ BOUNDED_WINDOW_OK = {
     # constant of the operator; operators/clustering.py seeds)
     "semantic_cluster_kmeans",
     "cluster_balanced_selection",
+    # rank windows over the two TakeOrdered top-10 retriever outputs —
+    # both inputs are limit(k) relations regardless of corpus size
+    "hybrid_rrf_topk",
 }
 
 
