@@ -90,6 +90,11 @@ PROBE_QUERIES = [
     # round-10: PNG decode (zlib + per-row unfilter inside mapInPandas —
     # must stay exactly linear, it's pure map work)
     "multimodal_decode_png_stats",
+    # round-10 batch 15: SimHash hub clustering (signature-only verify +
+    # path-compressed CC — rounds must stay ~log of chain depth) and the
+    # k-row retrieval fusion (must be flat: both inputs are top-10s)
+    "dedup_simhash_clusters",
+    "hybrid_rrf_topk",
 ]
 
 
