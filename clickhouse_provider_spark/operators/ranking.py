@@ -176,7 +176,13 @@ def bucketed_cumsum(
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(val_cols) != len(out_cols):
         raise ValueError("val_col and out_col lists must be parallel")
-    b = df.withColumn("_bkt", bucket)
+    # enforce the NULL-key contract AT THE SOURCE: a NULL bucket row must
+    # be fully excluded, not merely dropped by the offsets equi-join —
+    # NULL sorts first in both offset passes, so an unfiltered NULL
+    # bucket's subtotal would silently leak into every real bucket's
+    # offset while its own rows vanish (caught by
+    # tests/test_round10_pins.py::test_bucketed_cumsum_null_bucket_rows_excluded)
+    b = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isNotNull())
     sub = b.groupBy(*group_cols, "_bkt").agg(
         *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)]
     )
