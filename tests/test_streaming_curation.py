@@ -117,3 +117,26 @@ def test_streaming_curation_resume_midstream(spark, docs, tmp_path_factory):
         (r["doc_id"], r["component_id"]) for r in _batch_truth(docs).collect()
     }
     assert got == want
+
+
+def test_curate_batch_replay_is_idempotent(spark, docs, tmp_path_factory):
+    """Docstring contract: re-running the SAME batch (foreachBatch replay
+    after a failure) must leave the labels identical — duplicate band and
+    sidecar rows collapse before anything quadratic."""
+    root = str(tmp_path_factory.mktemp("curation_replay"))
+    state = curation.CurationState(os.path.join(root, "state"))
+    part = docs.filter(F.col("doc_id") % 3 == 0)
+    curation.curate_batch(state, part, batch_id=0)
+    first = {
+        (r["doc_id"], r["component_id"])
+        for r in state.labels(spark).collect()
+    }
+    curation.curate_batch(state, part, batch_id=0)  # replay
+    second = {
+        (r["doc_id"], r["component_id"])
+        for r in state.labels(spark).collect()
+    }
+    assert first == second
+    assert first == {
+        (r["doc_id"], r["component_id"]) for r in _batch_truth(part).collect()
+    }
