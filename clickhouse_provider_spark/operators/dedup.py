@@ -205,7 +205,12 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.0,
+    track: list | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard for (doc_a, doc_b) pairs; if ``pairs`` is None,
     candidates are generated by sharing ≥1 shingle — a VERIFICATION
     BASELINE whose pair space explodes on stopword-like shingles; at scale
@@ -224,6 +229,15 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
 
     Jaccard emitted as exact integer counts + a double ratio of them, so
     the oracle matches bit-for-bit.
+
+    Cache lifecycle (ADVICE r10): the candidate path persists two
+    intermediates (the deduped pair list and the candidate-restricted
+    shingles). Pass ``track`` (a list) to receive them and unpersist after
+    the consuming action — long-running callers (the continuous-curation
+    foreachBatch loop) MUST, or Spark's CacheManager accumulates one pair
+    of cached plans per call for the life of the session. One-shot
+    catalog/oracle runs may omit ``track``: their caches are reclaimed
+    with the session, which is the documented contract for those entries.
     """
     if pairs is not None:
         # duplicate candidate rows (e.g. raw band collisions, where one pair
@@ -238,6 +252,8 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
         # consumer reuses the one computation (pinned by
         # tests/test_llm_ops.py::test_jaccard_pairs_build_runs_no_jobs).
         p = pairs.select("doc_a", "doc_b").distinct().persist()
+        if track is not None:
+            track.append(p)
         need = (
             p.select(F.col("doc_a").alias("doc_id"))
             .unionByName(p.select(F.col("doc_b").alias("doc_id")))
@@ -246,6 +262,8 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None, threshold: floa
         # shingle ONLY candidate docs, once; reuse for sizes + both sides
         # (lazy persist for the same build-vs-run reason as `p` above)
         sh = shingles(df.join(need, "doc_id")).persist()
+        if track is not None:
+            track.append(sh)
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_shingles")
         )
@@ -355,11 +373,20 @@ def substring_dup_ratio(
     )
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
     """(doc_id, component_id) for every doc in ``pairs`` (doc_a, doc_b):
     min-label propagation to fixpoint — the same shallow-iteration shape
     as the receipt→tx closure (operators/transactions.py). component_id =
     the smallest doc_id reachable through near-duplicate edges.
+
+    Observability: pass ``stats`` (a dict) to receive
+    ``stats["iterations"]`` — per-call, caller-owned, so concurrent CC
+    runs can't race each other's counters (ADVICE r10: the old
+    function-attribute write was process-global mutable state).
 
     Scale: each iteration is one shuffle join on the edges plus one
     label self-join (path compression, r10) — iterations ≈ log(cluster
@@ -439,7 +466,8 @@ def connected_components(pairs: DataFrame, max_iterations: int = 50) -> DataFram
         labels = new_labels.select(
             "doc_id", F.col("new_label").alias("label")
         )
-        connected_components.last_iterations = it + 1  # observability
+        if stats is not None:
+            stats["iterations"] = it + 1  # per-call observability
         if changed:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))
@@ -515,8 +543,17 @@ def simhash_hub_pairs(
     clique there and a star here). Returns (doc_a, doc_b, hamming),
     doc_a < doc_b.
 
+    Verify-join shape (VERDICT r10 task 4): the doc_b side's signature
+    rides the band row it came from, so verification needs exactly ONE
+    join — candidate × hub signatures — and the hub relation is ≤
+    n_bands × 256 rows BY CONSTRUCTION (one hub per (band, byte) bucket;
+    1,024 at the default 4 bands), so that join is a broadcast: the
+    (potentially huge) candidate relation never shuffles to verify.
+    Pinned by tests/test_round11_pins.py (BroadcastHashJoin on the hub
+    side, no shuffle join in the verify stage).
+
     ``materialize`` localCheckpoints the signatures first: this operator
-    consumes ``sig`` THREE times (band melt + both verify joins), and the
+    consumes ``sig`` twice (band melt + the hub-signature build), and the
     32-aggregate simhash plan is the expensive stage — without the
     checkpoint it re-executes per consumer (measured ~3× on the
     dedup_simhash_clusters headline)."""
@@ -545,26 +582,29 @@ def simhash_hub_pairs(
         .filter(F.col("_m") >= 2)
         .drop("_m")
     )
+    # the non-hub endpoint's signature is already on its band row: carry
+    # it through, so no join is ever needed on the (large) doc_b side;
+    # hubs is the same ≤1,024-row relation — broadcast it as well, so the
+    # band relation never shuffles for the candidate join either
     cand = (
-        bands.join(hubs, ["band_id", "byte"])
+        bands.join(F.broadcast(hubs), ["band_id", "byte"])
         .filter(F.col("doc_id") != F.col("doc_a"))
-        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sim_b"),
+        )
         .distinct()
     )
-    sigs = sig.select("doc_id", "simhash")
+    # hub signatures: ≤ 4 bands × 256 bytes = 1,024 rows by construction
+    # — broadcast, so the candidate relation verifies without a shuffle
+    hub_sigs = F.broadcast(
+        sig.join(
+            hubs.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id"
+        ).select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    )
     return (
-        cand.join(
-            sigs.select(
-                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
-            ),
-            "doc_b",
-        )
+        cand.join(hub_sigs, "doc_a")
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )

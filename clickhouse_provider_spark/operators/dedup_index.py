@@ -75,18 +75,25 @@ def lsh_index_append(
     docs: DataFrame, path: str, batch_id: int, **band_kwargs
 ) -> None:
     """Append one ingest batch's band rows to the index (batch 0 creates
-    it). Signature compute touches ONLY ``docs``; the write is an append
-    of new files under each band_id partition — existing files are never
-    rewritten, so concurrent readers stay consistent and the append cost
-    is O(new docs) regardless of index size."""
+    it). Signature compute touches ONLY ``docs``; the write lands new
+    files under ``batch_id=N/band_id=*/`` — prior batches' directories
+    are never rewritten, so concurrent readers stay consistent and the
+    append cost is O(new docs) regardless of index size.
+
+    The batch-keyed subpath makes the append IDEMPOTENT (ADVICE r10):
+    replaying a failed micro-batch (foreachBatch is at-least-once)
+    overwrites only its own ``batch_id=N`` directory, so the index never
+    accumulates duplicate band rows — no read-side dedup needed. Both
+    levels are partition directories: candidate probes prune on batch_id
+    (new side) AND band_id, readers see ``batch_id`` as an ordinary
+    column."""
     (
         band_rows(docs, **band_kwargs)
-        .withColumn("batch_id", F.lit(int(batch_id)))
         .repartition("band_id")
         .sortWithinPartitions("band_hash")
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("band_id")
-        .parquet(path)
+        .parquet(os.path.join(path, f"batch_id={int(batch_id)}"))
     )
 
 
@@ -125,7 +132,10 @@ def lsh_new_candidates(
 
 
 def components_apply_edges(
-    labels: DataFrame, new_edges: DataFrame, max_iterations: int = 50
+    labels: DataFrame,
+    new_edges: DataFrame,
+    max_iterations: int = 50,
+    track: list | None = None,
 ) -> DataFrame:
     """Incremental connected-component maintenance (VERDICT r9 #7 — the
     last batch-only piece of the continuous-curation story): fold a batch
@@ -157,10 +167,17 @@ def components_apply_edges(
     convention: absent from ``labels`` is equivalent to labeled
     self — pass whichever the pipeline persists; docs absent from both
     ``labels`` and ``new_edges`` pass through untouched (or stay absent).
+
+    Cache lifecycle: the edge list and touched-component set are
+    persisted (each feeds two joins). Pass ``track`` to receive them and
+    unpersist after the consuming action — required for long-running
+    loops (see dedup.jaccard_pairs for the full contract).
     """
     from clickhouse_provider_spark.operators.dedup import connected_components
 
     edges = new_edges.select("doc_a", "doc_b").distinct().persist()
+    if track is not None:
+        track.append(edges)
     touched_docs = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
@@ -172,6 +189,8 @@ def components_apply_edges(
         .distinct()
         .persist()
     )
+    if track is not None:
+        track.append(touched_comps)
     members = labels.join(touched_comps, "component_id")
     old_star = members.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("component_id").alias("doc_a"), F.col("doc_id").alias("doc_b")

@@ -299,15 +299,17 @@ def _argmax_cell(
 ) -> DataFrame:
     """Each vector → its max-cosine centroid: broadcast the (tiny)
     centroid relation, per-vector argmax via row_number — map-side up to
-    the per-vector window, ties broken by cell_id for determinism."""
+    the per-vector window, ties broken by cell_id for determinism.
+    Payload columns of ``emb`` (metadata tags like ``lang`` or ``label``)
+    ride along, so an index written from a tagged relation can serve
+    predicate-filtered probes (round 11)."""
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(id_col).orderBy(F.col("cos_to_centroid").desc(), F.col("cell_id"))
     return (
         emb.join(F.broadcast(centroids))
         .select(
-            F.col(id_col),
-            F.col(vec_col),
+            emb["*"],
             F.col("cell_id"),
             cosine(F.col(vec_col), F.col("centroid")).alias("cos_to_centroid"),
         )
@@ -440,6 +442,93 @@ def ivf_index_append(
     assigned.write.partitionBy("cell_id").mode("append").parquet(path)
 
 
+def ivf_filtered_topk(
+    emb: DataFrame,
+    allowed: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    mode: str = "inprobe",
+    expansion: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Predicate-filtered ANN top-k (VERDICT r10 task 5) — the retrieval
+    shape hybrid-RAG / curation pipelines hit constantly: "top-k cosine
+    neighbors WHERE a document predicate holds". ``allowed`` is the
+    one-column (``id_col``) relation of ids satisfying the predicate
+    (caller derives it — e.g. documents WHERE lang='en' — keeping this
+    operator metadata-agnostic).
+
+    Two classic strategies, selected by ``mode``:
+
+    - ``inprobe``: the predicate is pushed INTO the probe — candidates
+      are restricted to ``allowed`` (semi-join) BEFORE any distance is
+      computed, then the query's nprobe best cells are scanned. Cost is
+      O(matching vectors in probed cells); returns up to k and recall
+      only degrades through cell pruning (same nprobe dial as unfiltered
+      IVF). This is the scale path for selective predicates.
+    - ``postfilter``: run the UNFILTERED probe for k·``expansion``
+      candidates, then apply the predicate and keep k. Cost is the
+      unfiltered probe (no second scan), but a predicate of selectivity
+      s keeps ~s·k·expansion rows — under-fills (and under-recalls)
+      whenever expansion < 1/s. This is what naive vector-DB usage does;
+      the entry ``similarity_filtered_ann_eval`` measures both against
+      filtered exact ground truth.
+
+    Probe cells are ranked by query→centroid cosine over the FULL-corpus
+    centroids (the index layout is built unfiltered; a per-predicate
+    index would not compose). Output (id_col, cell_id, cos_sim), ordered
+    cos desc / id asc, deterministic across engines."""
+    if mode not in ("inprobe", "postfilter"):
+        raise ValueError(f"unknown mode: {mode!r}")
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    cents = centroids.select("cell_id", "centroid")
+    assigned = ivf_assignments(emb, id_col=id_col, vec_col=vec_col, centroids=cents)
+    q_vec = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        q_vec.join(F.broadcast(cents))
+        .select(
+            "cell_id", "q_vec", cosine(F.col("q_vec"), F.col("centroid")).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col("cell_id"))
+        .limit(nprobe)
+        .select("cell_id", "q_vec")
+    )
+    allowed = allowed.select(id_col).distinct()
+    cand = assigned.filter(F.col(id_col) != query_vec_id)
+    if mode == "inprobe":
+        # predicate BELOW the probe join: no distance is ever computed
+        # for a vector that fails the filter
+        cand = cand.join(allowed, id_col)
+    scored = cand.join(F.broadcast(probes), "cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    if mode == "inprobe":
+        return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    prefetch = scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(
+        k * expansion
+    )
+    # the k·expansion prefetch is tiny by construction — broadcast it so
+    # the post-filter join never shuffles the allowed relation
+    return (
+        F.broadcast(prefetch)
+        .join(allowed, id_col)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_query_index(
     spark,
     path: str,
@@ -448,6 +537,7 @@ def ivf_query_index(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: F.Column | None = None,
 ) -> DataFrame:
     """ANN top-k against a materialized IVF layout (:func:`ivf_write_index`).
 
@@ -456,7 +546,15 @@ def ivf_query_index(
     reading a partition manifest) — then the candidate scan filters
     ``cell_id IN (probes)``, which Catalyst turns into partition-directory
     pruning (asserted in tests/test_llm_ops.py): the corpus outside the
-    probed cells is never opened."""
+    probed cells is never opened.
+
+    ``predicate`` (round 11): an optional Column over the index's
+    payload columns (anything ``ivf_write_index`` persisted alongside
+    the vector, e.g. a ``lang`` tag), applied INSIDE the pruned probe —
+    it lands in the parquet scan's PushedFilters, so row groups failing
+    the predicate are skipped before any distance is computed (pinned by
+    tests/test_round11_pins.py). This is the index-backed form of
+    :func:`ivf_filtered_topk`'s ``inprobe`` mode."""
     import os
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -471,6 +569,8 @@ def ivf_query_index(
         .collect()
     ]
     idx = spark.read.parquet(path).filter(F.col("cell_id").isin(probes))
+    if predicate is not None:
+        idx = idx.filter(predicate)
     return (
         idx.select(
             F.col(id_col),

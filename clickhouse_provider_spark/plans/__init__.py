@@ -28,17 +28,18 @@ already-green entries keep local coverage via ``tests/test_oracle_parity.py``.
 """
 
 from clickhouse_provider_spark.plans.catalog import CATALOG, QuerySpec
-from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog15, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
+from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalog5, catalog6, catalog7, catalog8, catalog9, catalog10, catalog11, catalog12, catalog13, catalog14, catalog15, catalog16, catalog_stats, llm_catalog, llm_catalog2, llm_catalog3  # noqa: F401  (register entries)
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 10: dedup_cluster_stats moved its candidate graph from the LSH
-#: pair self-join (O(m²) per hot band bucket) to per-bucket HUB (star)
-#: edges (operators/dedup.py:lsh_hub_edges, O(m) per bucket — VERDICT r9
-#: "What's wrong" #1); the oracle mirrors the hub construction, so both
-#: sides changed and the r9 green is stale.
+#: Round 11: dedup_simhash_clusters' verify stage was restructured
+#: (VERDICT r10 task 4 — sim_b now rides the band row and the hub
+#: signatures broadcast, so verification has no shuffle join); the output
+#: relation is provably unchanged but the logical plan is new, so the r10
+#: green is re-attested officially. The curation storage-layer changes
+#: have no oracle entry; nothing else moved.
 PRIORITY_REPAIRED = (
-    "dedup_cluster_stats",
+    "dedup_simhash_clusters",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
@@ -160,6 +161,35 @@ LAST_GREEN_ROUND = {
         "text_quality", "text_tfidf_top_terms", "text_token_rarity",
         "text_token_stats", "time_range", "top3_per_group",
         "user_history", "value_percentiles",
+    )},
+    # round 10 official window: all 50 rows green (CORRECTNESS_r10.json) —
+    # folded in per the per-round refresh (VERDICT r10 task 2). Overrides
+    # earlier tiers for the re-attested names; the five round-10-new
+    # entries (dedup_survivors_lsh, dedup_simhash_clusters,
+    # dedup_lsh_recall_eval, hybrid_rrf_topk, multimodal_decode_png_stats)
+    # get their first entry here.
+    **{n: 10 for n in (
+        "above_avg_orders", "approx_distinct_users",
+        "approx_value_quantiles", "argmax_latest_event",
+        "asof_last_purchase", "bloom_runtime_semijoin",
+        "chain_continuity", "cube_sales", "date_parts",
+        "dedup_cluster_stats", "dedup_lsh_recall_eval",
+        "dedup_simhash_clusters", "dedup_survivors_lsh",
+        "first_last_window", "grouping_sets_mixed", "having_big_brands",
+        "hybrid_rrf_topk", "hypertable_rollup_1h1d1w",
+        "in_subquery_nations", "low_card_in",
+        "multimodal_decode_png_stats", "multimodal_frame_sample",
+        "needle_lookup", "ordered_string_agg", "per_group_counts",
+        "pii_scrub_props", "point_lookup", "price_buckets",
+        "q1_pricing_summary", "range_frame_window",
+        "range_join_1h_windows", "range_page", "range_scan",
+        "rank_dense_percent", "retention_cohorts", "sample_reservoir",
+        "sample_stratified", "scd2_intervals", "seq_match_timed",
+        "seq_match_user_paths", "similarity_ann_lsh",
+        "similarity_ivf_topk", "similarity_pq_topk",
+        "sliding_event_counts", "string_brand_stats",
+        "token_budget_selection", "tumbling_event_counts",
+        "user_sessions", "window_funnel", "window_funnel_exact",
     )},
 }
 

@@ -208,12 +208,20 @@ def q_hybrid_rrf_topk(spark, t):
     "→ exact hamming ≤ 3 verification → CC → component-size "
     "distribution. Unlike MinHash, verification never joins text: the "
     "32-bit signature pair carries the exact distance (bit_count of "
-    "xor), so the verify stage is a signature-only join — at 100 TB the "
-    "text column never shuffles anywhere in this plan. Same hub recall "
-    "semantics as dedup_cluster_stats (clusters pairwise within the "
-    "radius are EQUAL to the pair form; a hub failing verification "
-    "against a member can split what the clique keeps). Oracle mirrors "
-    "bands, hubs, hamming and the recursive closure verbatim.",
+    "xor), so the verify stage is a signature-only join — and since r11 "
+    "that one join BROADCASTS the hub-signature side, which is <= "
+    "n_bands*256 = 1,024 rows BY CONSTRUCTION (one hub per (band, byte) "
+    "bucket): at 100 TB neither the text column nor the candidate "
+    "relation ever shuffles anywhere in this plan. Bucket-density recall "
+    "regime: banding recall is unchanged (hubs don't alter which docs "
+    "share a bucket); the star form equals the clique form whenever a "
+    "bucket's members are pairwise within the radius — i.e. in DENSE "
+    "buckets of true near-dups, exactly where the O(m^2) saving matters; "
+    "it can under-merge only in mixed buckets where the hub sits outside "
+    "the radius of two members that are within it of each other (those "
+    "members still co-bucket in 3 other bands, so a miss needs all four "
+    "to fail). Oracle mirrors bands, hubs, hamming and the recursive "
+    "closure verbatim.",
     tags=("llm", "dedup", "scale-path"),
 )
 def q_dedup_simhash_clusters(spark, t):

@@ -25,8 +25,11 @@ Scale: per batch, signature compute touches only new docs; the index
 probe broadcasts the new batch's band rows (an ingest batch fits by
 definition) against the index scan; Jaccard shingles only candidate
 docs; the relabel fixpoint sees only touched components. Nothing in the
-loop re-reads the full corpus — per-batch cost is O(batch + touched),
-independent of total corpus size.
+loop SHUFFLES or shingles the full corpus — per-batch shuffle/compute
+is O(batch + candidates + touched components). The two historical
+relations (band index, text sidecar) are read as column-pruned,
+shuffle-free scans on the probe/verify build side; per-batch wall-time
+vs corpus growth is measured in SCALE_PROBE_r11_curation.json.
 
 Reference parity note: the reference pipeline has no dedup stage (its
 dedup is ReplacingMergeTree key collapse, storage.py:75); this module is
@@ -36,6 +39,7 @@ part of the training-data-pipeline surface the build brief adds on top.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,50 +57,101 @@ class CurationState:
 
     def labels(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.labels_path):
-            return None
+            old = self.labels_path + "_old"
+            if os.path.exists(old):
+                # crash landed between the two renames of _swap_labels:
+                # the previous generation is intact under _old — promote
+                # it back so no ingested document's label is ever lost
+                # (ADVICE r10: the old rmtree-then-rename swap rebuilt
+                # labels from a single batch after such a crash)
+                os.rename(old, self.labels_path)
+            else:
+                return None
         return spark.read.parquet(self.labels_path)
+
+
+def _swap_labels(final: str, tmp: str) -> None:
+    """Crash-safe label swap (ADVICE r10): keep the previous generation
+    under ``<final>_old`` until the new one is in place. Crash windows:
+    before the first rename → ``final`` intact; between the renames →
+    ``_old`` intact and :meth:`CurationState.labels` recovers it; after
+    → ``final`` is the new generation and the stale ``_old`` is swept by
+    the next swap. At no instant is every generation deleted."""
+    old = final + "_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # stale leftover from a crash after the swap
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def curate_batch(
     state: CurationState, batch: DataFrame, batch_id: int
-) -> None:
+) -> list[DataFrame]:
     """One micro-batch of the continuous-curation loop (foreachBatch
     body). ``batch`` must carry (doc_id, text) with doc_ids never seen
     before (the ingest contract). Replaying the SAME batch_id after a
-    failure is safe: duplicate band/text rows from the replayed append
-    collapse before anything quadratic — candidates are distinct pairs,
-    the text sidecar is deduped by doc_id on read — and re-folding an
-    identical edge set into the labels is a no-op by CC idempotence."""
+    failure is safe AT THE STORAGE LAYER (ADVICE r10): the band index and
+    the text sidecar are batch-keyed overwrites (idempotent — no
+    duplicate rows can accumulate, so no corpus-wide read-side dedup is
+    needed), the doc_id spine below the labels is ``.distinct()`` (a
+    replayed batch's ids are already in ``prev``), and re-folding an
+    identical edge set into the labels is a no-op by CC idempotence.
+
+    Per-batch cost is O(batch + candidates + touched components) in
+    shuffle/compute: signature compute touches only new docs, the
+    candidate probe broadcasts the batch's band rows (partition-pruned
+    to its batch_id directory), Jaccard shingles only candidate docs,
+    and the relabel fixpoint sees only touched components. The index and
+    text-sidecar SCANS the probe/verify joins read are column-pruned and
+    shuffle-free (the historical side never repartitions) — measured
+    flat-enough in SCALE_PROBE_r11_curation.json.
+
+    Returns the per-batch cache handles AFTER releasing them — every
+    ``persist()`` this batch registered is unpersisted before return, so
+    a long-running stream holds zero CacheManager entries between
+    batches (ADVICE r10; pinned by
+    tests/test_streaming_curation.py::test_curate_batch_releases_caches).
+    """
     spark = batch.sparkSession
-    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    track: list[DataFrame] = []
+    batch = batch.select("doc_id", "text").persist()
+    track.append(batch)
     dedup_index.lsh_index_append(batch, state.index_path, batch_id=batch_id)
     cand = dedup_index.lsh_new_candidates(
         spark, state.index_path, batch_id=batch_id
     )
     prev = state.labels(spark)
     # Jaccard verification needs the TEXT of both endpoints, so the index
-    # keeps a (doc_id, text) sidecar, appended per batch (O(batch) like
-    # the band rows; the leading underscore keeps Spark's band-partition
+    # keeps a (doc_id, text) sidecar under batch-keyed subdirs (O(batch)
+    # appends; idempotent on replay — the batch overwrites only its own
+    # directory; the leading underscore keeps Spark's band-partition
     # reader from listing it). jaccard_pairs restricts shingling to
     # candidate doc_ids, so reading it back never shingles the corpus.
     texts_path = os.path.join(state.index_path, "_texts")
-    batch.write.mode("append").parquet(texts_path)
-    # dropDuplicates: a replayed batch would double every shingle count
-    # and skew Jaccard (n_common scales quadratically in the dupes,
-    # sizes linearly) — dedup by doc_id restores replay idempotence
-    corpus = spark.read.parquet(texts_path).dropDuplicates(["doc_id"])
+    batch.write.mode("overwrite").parquet(
+        os.path.join(texts_path, f"batch_id={int(batch_id)}")
+    )
+    corpus = spark.read.parquet(texts_path).select("doc_id", "text")
     edges = dedup.jaccard_pairs(
-        corpus, pairs=cand, threshold=state.threshold
+        corpus, pairs=cand, threshold=state.threshold, track=track
     ).select("doc_a", "doc_b")
     if prev is None:
         labels = dedup.dedup_survivors(batch, edges).select(
             "doc_id", F.col("survivor_doc_id").alias("component_id")
         )
     else:
-        merged = dedup_index.components_apply_edges(prev, edges)
+        merged = dedup_index.components_apply_edges(prev, edges, track=track)
         labels = (
             prev.select("doc_id")
             .unionByName(batch.select("doc_id"))
+            # a replayed batch's doc_ids are already in prev: the spine
+            # must be a set, not a bag, or every replayed doc gets two
+            # identical label rows (ADVICE r10 — counts over the label
+            # table would inflate even though the SET was right)
+            .distinct()
             .join(merged, "doc_id", "left")
             .select(
                 "doc_id",
@@ -105,18 +160,16 @@ def curate_batch(
                 ),
             )
         )
-    # atomic swap: write-new-then-rename keeps readers consistent (the
-    # label table is small — 2 longs/doc — but correctness matters more
-    # than the rewrite cost; a production deployment uses a table format
-    # with snapshot commits here)
+    # crash-safe swap: write-new-then-two-phase-rename keeps readers
+    # consistent and never drops the previous generation (the label
+    # table is small — 2 longs/doc; a production deployment uses a table
+    # format with snapshot commits here)
     tmp = state.labels_path + f"_b{batch_id}"
     labels.write.mode("overwrite").parquet(tmp)
-    final = state.labels_path
-    if os.path.exists(final):
-        import shutil
-
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    _swap_labels(state.labels_path, tmp)
+    for df in track:
+        df.unpersist()
+    return track
 
 
 def run_curation(

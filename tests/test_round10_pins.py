@@ -17,11 +17,12 @@ def test_cc_chain_converges_in_log_rounds(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
-    cc = dedup.connected_components(pairs)
+    stats = {}
+    cc = dedup.connected_components(pairs, stats=stats)
     labels = {r["doc_id"]: r["component_id"] for r in cc.collect()}
     assert labels == {i: 0 for i in range(n)}
-    assert dedup.connected_components.last_iterations <= 10, (
-        f"path compression regressed: {dedup.connected_components.last_iterations} "
+    assert stats["iterations"] <= 10, (
+        f"path compression regressed: {stats['iterations']} "
         "rounds for a 64-chain"
     )
 
@@ -32,9 +33,10 @@ def test_cc_star_converges_in_two_rounds(spark):
     pairs = spark.createDataFrame(
         [(0, i) for i in range(1, 30)], ["doc_a", "doc_b"]
     )
-    cc = dedup.connected_components(pairs)
+    stats = {}
+    cc = dedup.connected_components(pairs, stats=stats)
     assert {r["component_id"] for r in cc.collect()} == {0}
-    assert dedup.connected_components.last_iterations <= 2
+    assert stats["iterations"] <= 2
 
 
 def test_hub_edges_skip_singleton_buckets_and_shingleless_docs(spark):

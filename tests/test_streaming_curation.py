@@ -121,22 +121,84 @@ def test_streaming_curation_resume_midstream(spark, docs, tmp_path_factory):
 
 def test_curate_batch_replay_is_idempotent(spark, docs, tmp_path_factory):
     """Docstring contract: re-running the SAME batch (foreachBatch replay
-    after a failure) must leave the labels identical — duplicate band and
-    sidecar rows collapse before anything quadratic."""
+    after a failure — including AFTER a successful label swap) must leave
+    labels, band index, and text sidecar identical AS BAGS, not just as
+    sets (ADVICE r10: a bag-union spine used to double every replayed
+    doc's label row)."""
     root = str(tmp_path_factory.mktemp("curation_replay"))
     state = curation.CurationState(os.path.join(root, "state"))
-    part = docs.filter(F.col("doc_id") % 3 == 0)
-    curation.curate_batch(state, part, batch_id=0)
-    first = {
-        (r["doc_id"], r["component_id"])
-        for r in state.labels(spark).collect()
-    }
-    curation.curate_batch(state, part, batch_id=0)  # replay
-    second = {
-        (r["doc_id"], r["component_id"])
-        for r in state.labels(spark).collect()
-    }
-    assert first == second
-    assert first == {
-        (r["doc_id"], r["component_id"]) for r in _batch_truth(part).collect()
-    }
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(2)]
+    curation.curate_batch(state, parts[0], batch_id=0)
+    curation.curate_batch(state, parts[1], batch_id=1)
+
+    def snapshot():
+        lab = state.labels(spark).collect()
+        idx = spark.read.parquet(state.index_path)
+        txt = spark.read.parquet(os.path.join(state.index_path, "_texts"))
+        return (
+            sorted((r["doc_id"], r["component_id"]) for r in lab),
+            len(lab),  # bag size: duplicates would inflate this
+            idx.count(),
+            txt.count(),
+        )
+
+    first = snapshot()
+    # replay the LAST batch after its swap already succeeded (the
+    # at-least-once window: failure between os.rename and checkpoint
+    # commit) — every artifact must be bag-identical afterwards
+    curation.curate_batch(state, parts[1], batch_id=1)
+    assert snapshot() == first
+    ingested = parts[0].unionByName(parts[1])
+    assert first[0] == sorted(
+        (r["doc_id"], r["component_id"]) for r in _batch_truth(ingested).collect()
+    )
+    assert first[1] == ingested.count()  # exactly one label row per doc
+
+
+def test_labels_swap_crash_recovery(spark, docs, tmp_path_factory):
+    """ADVICE r10: a crash between the two renames of the label swap
+    leaves the previous generation under labels_old; the next reader (or
+    replayed batch) must recover it instead of silently rebuilding labels
+    from a single batch."""
+    root = str(tmp_path_factory.mktemp("curation_crash"))
+    state = curation.CurationState(os.path.join(root, "state"))
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(2)]
+    curation.curate_batch(state, parts[0], batch_id=0)
+    before = sorted(
+        (r["doc_id"], r["component_id"]) for r in state.labels(spark).collect()
+    )
+    # simulate the crash window: final renamed away, replacement not yet in
+    os.rename(state.labels_path, state.labels_path + "_old")
+    recovered = sorted(
+        (r["doc_id"], r["component_id"]) for r in state.labels(spark).collect()
+    )
+    assert recovered == before
+    assert os.path.exists(state.labels_path)  # promoted back in place
+    # and the loop continues correctly from the recovered generation
+    curation.curate_batch(state, parts[1], batch_id=1)
+    ingested = parts[0].unionByName(parts[1])
+    got = sorted(
+        (r["doc_id"], r["component_id"]) for r in state.labels(spark).collect()
+    )
+    assert got == sorted(
+        (r["doc_id"], r["component_id"]) for r in _batch_truth(ingested).collect()
+    )
+    assert not os.path.exists(state.labels_path + "_old")  # swept by swap
+
+
+def test_curate_batch_releases_caches(spark, docs, tmp_path_factory):
+    """ADVICE r10 cache lifecycle: every persist() a micro-batch registers
+    (batch pin, jaccard candidates + shingles, relabel edge/component
+    sets) is unpersisted before curate_batch returns, so a long-running
+    stream holds no CacheManager entries between batches."""
+    root = str(tmp_path_factory.mktemp("curation_caches"))
+    state = curation.CurationState(os.path.join(root, "state"))
+    parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(2)]
+    for b, part in enumerate(parts):
+        track = curation.curate_batch(state, part, batch_id=b)
+        assert track, "batch must register (and release) cache handles"
+        for df in track:
+            lvl = df.storageLevel
+            assert not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap), (
+                f"batch {b} left a persisted relation behind: {lvl}"
+            )
