@@ -206,13 +206,19 @@ def bench_ingest(spark, n_replicas: int | None = None) -> dict:
 
     Replication happens as DataFrame ops (explode a replica index and
     shift block.header.height), so the measured work is the real
-    extraction plan over n_replicas × 5 distinct blocks."""
+    extraction plan over n_replicas × 5 distinct blocks.
+
+    Round 11 (VERDICT r10 task 7): default scale raised 10k → 100k
+    blocks so blocks/s reflects steady-state, not ramp-up. Cross-round
+    comparisons across the scale change are apples-to-oranges on `sec`
+    but fine on blocks_per_sec (same plan; ±15% host-noise caveat,
+    bisect/BENCH_DRIFT_r09.md, still applies)."""
     from pyspark.sql import functions as F
 
     from clickhouse_provider_spark.operators import actions as ACT
     from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
 
-    n_replicas = n_replicas or int(os.environ.get("SPARK_GRAFT_INGEST_REPLICAS", "2000"))
+    n_replicas = n_replicas or int(os.environ.get("SPARK_GRAFT_INGEST_REPLICAS", "20000"))
     fixture = Path(__file__).resolve().parent / "fixtures" / "blocks.jsonl"
     if not fixture.exists():
         return {}
@@ -265,6 +271,116 @@ def bench_ingest(spark, n_replicas: int | None = None) -> dict:
     }
 
 
+def bench_assembly(spark, n_replicas: int | None = None) -> dict:
+    """Throughput of the OTHER pipeline half (VERDICT r10 task 7): the
+    batch transactions-mode assembly — receipt→tx closure fixpoint,
+    completeness accounting, 4-table fan-out (reference
+    transactions.rs:216-441) — which the extraction bench above never
+    exercises.
+
+    Raw block replication would be WRONG here: the assembly correlates
+    by tx_hash / receipt_id / data_id, and 20k copies of the same ids
+    would cross-link into a dense bipartite blowup no real chain has. So
+    the fixture's extracted PARTS are replicated with per-replica salted
+    ids (concat '#rep' onto every top-level join key, heights shifted)
+    — each replica is an independent, correctly-shaped receipt DAG, and
+    the measured work is the real assembly plan at n_replicas × the
+    fixture's tx count. Inputs are materialized first; timed work is
+    assembly only."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_provider_spark.operators import transactions as TX
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    n_replicas = n_replicas or int(
+        os.environ.get(
+            "SPARK_GRAFT_ASSEMBLY_REPLICAS",
+            os.environ.get("SPARK_GRAFT_INGEST_REPLICAS", "20000"),
+        )
+    )
+    fixture = Path(__file__).resolve().parent / "fixtures" / "blocks.jsonl"
+    if not fixture.exists():
+        return {}
+    base = spark.read.schema(BLOCK_SCHEMA).json(str(fixture))
+    n_base = base.count()
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rep = spark.range(n_replicas).select(F.col("id").alias("_rep"))
+    _sfx = F.concat(F.lit("#"), F.col("_rep").cast("string"))
+
+    def salt(c):
+        return F.concat(F.col(c), _sfx)
+
+    def salt_arr(c):
+        return F.transform(F.col(c), lambda x: F.concat(x, _sfx))
+
+    shift = F.col("_rep") * 10
+    seeds = (
+        TX.tx_seeds(base)
+        .crossJoin(rep)
+        .withColumn("tx_hash", salt("tx_hash"))
+        .withColumn("seed_receipt_ids", salt_arr("seed_receipt_ids"))
+        .withColumn("tx_block_height", F.col("tx_block_height") + shift)
+        .drop("_rep")
+    )
+    outs = (
+        TX.outcome_units(base)
+        .crossJoin(rep)
+        .withColumn("receipt_id", salt("receipt_id"))
+        .withColumn("spawned_receipt_ids", salt_arr("spawned_receipt_ids"))
+        .withColumn("input_data_ids", salt_arr("input_data_ids"))
+        .withColumn("block_height", F.col("block_height") + shift)
+        .drop("_rep")
+    )
+    data = (
+        TX.data_receipt_units(base)
+        .crossJoin(rep)
+        .withColumn("data_id", salt("data_id"))
+        .withColumn("receipt_id", salt("receipt_id"))
+        .withColumn("block_height", F.col("block_height") + shift)
+        .drop("_rep")
+    )
+    binfo = (
+        TX.block_rows(base)
+        .select("block_height", "block_hash", "block_timestamp")
+        .crossJoin(rep)
+        .withColumn("block_height", F.col("block_height") + shift)
+        .drop("_rep")
+    )
+    parts = [
+        df.repartition(n_cpus).localCheckpoint(eager=True)
+        for df in (seeds, outs, data, binfo)
+    ]
+    n_txs = parts[0].count()
+
+    def one_pass() -> tuple[float, int]:
+        out = TX.assemble_from_parts(*parts)
+        tables = {
+            k: df.persist() for k, df in out.items() if k != "mapping"
+        }
+        start = time.perf_counter()
+        for df in tables.values():
+            force(df)
+        elapsed = time.perf_counter() - start
+        rows = sum(df.count() for df in tables.values())
+        for df in tables.values():
+            df.unpersist()
+        out["mapping"].unpersist()  # assemble_from_parts' exposed persist
+        return elapsed, rows
+
+    one_pass()  # codegen warmup, same discipline as the extraction half
+    samples = [one_pass() for _ in range(max(2, REPS - 1))]
+    elapsed, rows = min(samples)
+    n_blocks = n_base * n_replicas
+    return {
+        "blocks": n_blocks,
+        "txs_in": n_txs,
+        "rows_out": rows,
+        "sec": round(elapsed, 3),
+        "blocks_per_sec": round(n_blocks / elapsed, 1),
+        "txs_per_sec": round(n_txs / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -308,6 +424,7 @@ def main() -> None:
     spreads = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
 
     ingest = bench_ingest(spark)
+    assembly = bench_assembly(spark)
 
     total = round(sum(timings.values()), 3)
     prev_name, prev = previous_round()
@@ -321,6 +438,7 @@ def main() -> None:
         "reps": max(1, REPS),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,  # pipeline-half throughput (actions-mode DAG)
+        "assembly": assembly,  # tx-assembly half (closure + fan-out)
     }
     if prev:
         out["prev_round"] = prev_name

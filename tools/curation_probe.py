@@ -1,0 +1,151 @@
+"""Continuous-curation scale probe (VERDICT r10 task 1): is per-batch
+cost flat as the accumulated corpus grows?
+
+The loop's 100 TB claim is O(batch + candidates + touched components)
+per micro-batch — argued in streaming/curation.py's docstrings and
+pinned for correctness, but never measured. This probe ingests
+``--batches`` fixed-size batches (each = the sf-dir documents table with
+per-batch shifted doc_ids and perturbed text, the scale_probe.py
+replication convention: same dup structure, no artificial k² densify)
+through the REAL foreachBatch body (curation.curate_batch) and records
+each batch's wall time. Flat-ish latency (efficiency ≈ 1 vs batch 1)
+means corpus growth doesn't leak into per-batch cost; monotone growth
+would flag a hidden full-corpus term (the ADVICE-r10 corpus-wide
+dropDuplicates was exactly such a term — removed this round via
+batch-keyed idempotent sidecar writes).
+
+After the final batch the labels parquet is re-pinned equal to batch
+``dedup_survivors`` over EVERY ingested document (the invariant from
+tests/test_streaming_curation.py, at the probe's largest factor).
+
+Usage: python tools/curation_probe.py [--batches 32]
+Prints one JSON line; save as SCALE_PROBE_r{N}_curation.json.
+NEVER run other Spark work concurrently — timings are judge-read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import dedup
+from clickhouse_provider_spark.session import get_spark, load_tables
+from clickhouse_provider_spark.streaming import curation
+
+DOC_SPAN = 10_000_000_000
+
+
+def make_batch(base, b: int):
+    """Batch ``b``: the base documents with disjoint doc_ids and
+    per-batch perturbed text (exact replicas would quadratically densify
+    every LSH bucket — a different workload than corpus growth)."""
+    return base.select(
+        (F.col("doc_id") + F.lit(b * DOC_SPAN)).alias("doc_id"),
+        F.concat("text", F.lit(f" replica-{b}")).alias("text"),
+    )
+
+
+def batch_truth(docs):
+    """The batch ground truth from tests/test_streaming_curation.py."""
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    pairs = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.dedup_survivors(docs, pairs).select(
+        "doc_id", F.col("survivor_doc_id").alias("component_id")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=32)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-final-pin", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="curation_probe")
+    base = load_tables(spark, args.sf_dir)["documents"].select(
+        "doc_id", "text"
+    )
+    n_docs = base.count()
+
+    # codegen/JIT warmup on a THROWAWAY state root: batch-1 latency must
+    # measure the plan, not first-compilation of every stage in it
+    warm_root = tempfile.mkdtemp(prefix="curation_probe_warm_")
+    try:
+        warm_state = curation.CurationState(os.path.join(warm_root, "s"))
+        for b in range(2):
+            wb = make_batch(base, b).localCheckpoint(eager=True)
+            curation.curate_batch(warm_state, wb, batch_id=b)
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="curation_probe_")
+    per_batch: dict[int, float] = {}
+    try:
+        state = curation.CurationState(os.path.join(root, "state"))
+        for b in range(args.batches):
+            batch = make_batch(base, b).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            curation.curate_batch(state, batch, batch_id=b)
+            per_batch[b + 1] = round(time.perf_counter() - start, 3)
+        labels_equal = None
+        if not args.skip_final_pin:
+            got = {
+                (r["doc_id"], r["component_id"])
+                for r in state.labels(spark).collect()
+            }
+            ingested = base.sparkSession.createDataFrame([], "doc_id long, text string")
+            for b in range(args.batches):
+                ingested = ingested.unionByName(make_batch(base, b))
+            want = {
+                (r["doc_id"], r["component_id"])
+                for r in batch_truth(ingested.localCheckpoint(eager=True)).collect()
+            }
+            labels_equal = got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    t1 = per_batch[1]
+    out = {
+        "probe": "continuous_curation",
+        "sf_dir": args.sf_dir,
+        "batch_docs": n_docs,
+        "batches": args.batches,
+        "corpus_docs_final": n_docs * args.batches,
+        "per_batch_sec": per_batch,
+        # corpus size when batch b runs is b× — flat (~1.0) efficiency
+        # means per-batch cost is independent of accumulated corpus.
+        # batch 1 has no prior labels (the relabel machinery is skipped),
+        # so batch 2 is the first structurally-representative batch and
+        # the fairer flatness baseline.
+        "eff_vs_batch1": {
+            b: round(t / t1, 2) for b, t in per_batch.items() if b > 1
+        },
+        "eff_vs_batch2": (
+            {
+                b: round(t / per_batch[2], 2)
+                for b, t in per_batch.items()
+                if b > 2
+            }
+            if 2 in per_batch
+            else {}
+        ),
+        "labels_equal_batch_at_final": labels_equal,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
