@@ -125,6 +125,13 @@ HEADLINE = [
     # verify — the text column never shuffles)
     "hybrid_rrf_topk",
     "dedup_simhash_clusters",
+    # round-11 batch 16/17: predicate-filtered ANN (in-probe vs
+    # post-filter recall/cost eval), the composed IVF-PQ pipeline (cell
+    # prune → ADC compressed scan → exact rerank), and SemDeDup-style
+    # within-cell semantic dedup (the Σ|cell|² pair space)
+    "similarity_filtered_ann_eval",
+    "similarity_ivfpq_adc",
+    "semantic_dedup_prune",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per
@@ -353,7 +360,8 @@ def bench_assembly(spark, n_replicas: int | None = None) -> dict:
     n_txs = parts[0].count()
 
     def one_pass() -> tuple[float, int]:
-        out = TX.assemble_from_parts(*parts)
+        track = []  # release ALL of assemble_from_parts' persists per pass
+        out = TX.assemble_from_parts(*parts, track=track)
         tables = {
             k: df.persist() for k, df in out.items() if k != "mapping"
         }
@@ -362,9 +370,8 @@ def bench_assembly(spark, n_replicas: int | None = None) -> dict:
             force(df)
         elapsed = time.perf_counter() - start
         rows = sum(df.count() for df in tables.values())
-        for df in tables.values():
+        for df in list(tables.values()) + track:
             df.unpersist()
-        out["mapping"].unpersist()  # assemble_from_parts' exposed persist
         return elapsed, rows
 
     one_pass()  # codegen warmup, same discipline as the extraction half

@@ -712,6 +712,7 @@ def pq_topk(
     sub_dim: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN top-k by asymmetric distance computation (ADC): the query
     stays exact; each candidate's dot product is approximated by summing
@@ -729,13 +730,23 @@ def pq_topk(
 
     This is the memory-compression half of FAISS-style IVF-PQ; compose
     with ivf_assignments for the partition-pruning half (filter to
-    nprobe cells first, ADC-scan the survivors).
+    nprobe cells first, ADC-scan the survivors) — :func:`ivfpq_topk`
+    does exactly that via ``candidates``.
+
+    ``candidates`` (round 11): optional one-column (``id_col``) relation
+    restricting the ADC scan — only these vectors are encoded/scored
+    (codebooks still train on the FULL corpus sample, as an index build
+    would). Per-vector codes are independent, so restricting the scan is
+    value-identical to encoding everything and filtering after.
     """
     cbs = pq_codebooks(
         emb, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)
+    scan = emb if candidates is None else emb.join(
+        candidates.select(id_col).distinct(), id_col, "left_semi"
+    )
     codes = pq_encode_arrow(
-        emb, cbs, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim,
+        scan, cbs, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim,
         id_col=id_col, vec_col=vec_col,
     )
     qsubs = [
@@ -1039,3 +1050,146 @@ def pq_encode_arrow(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank: int = 50,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 0,
+    n_sub: int = 16,
+    n_codes: int = 32,
+    sub_dim: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Composed FAISS-style IVF-PQ ANN top-k, relational form (round 11):
+    the partition-pruning half (IVF cell probe) feeding the
+    memory-compression half (PQ ADC scan + exact rerank) in one plan.
+
+    Stage 1 (IVF): assign every vector its max-cosine coarse cell
+    (broadcast centroids, map-side argmax); the query probes its
+    ``nprobe`` best cells, and ONLY their members become candidates —
+    at scale this is partition-directory pruning (cell_id is the
+    layout's partition key, see :func:`ivfpq_write_index` for the
+    materialized twin of this plan).
+
+    Stage 2 (PQ/ADC): candidates are scored from their ``n_sub`` small
+    int codes against a broadcast (sub_id, code) → partial-dot table —
+    the scan reads 16 bytes per vector, never the floats — then the ADC
+    top-``rerank`` window is re-ranked with TRUE cosine (vectors fetched
+    for ``rerank`` rows only) and ``k`` returned.
+
+    Cost at 100 TB: nprobe/n_cells of the corpus scanned, at 16x code
+    compression, with exactly ``rerank`` full vectors touched. Both
+    dials (nprobe, rerank) trade recall for cost; the oracle-checked
+    catalog entry (``similarity_ivfpq_adc``) uses the seeded 0-Lloyd
+    centroids/codebooks so DuckDB reproduces every float bit-for-bit.
+
+    No reference counterpart (the reference has no vector surface —
+    SURVEY.md §2D); LLM-training-data layer.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    cents = centroids.select("cell_id", "centroid")
+    assigned = ivf_assignments(
+        emb, id_col=id_col, vec_col=vec_col, centroids=cents
+    ).select(id_col, "cell_id")
+    q_vec = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    probes = (
+        q_vec.join(F.broadcast(cents))
+        .select(
+            "cell_id", cosine(F.col("q_vec"), F.col("centroid")).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").select(id_col)
+    return pq_topk(
+        emb,
+        query_vec_id,
+        k=k,
+        rerank=rerank,
+        n_sub=n_sub,
+        n_codes=n_codes,
+        sub_dim=sub_dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidates=cand,
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    n_cells: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (round 11): cluster the
+    corpus by embedding (coarse k-means cells, the IVF machinery), then
+    WITHIN each cell mark near-duplicates by pairwise cosine — a doc is
+    dropped iff some LOWER-id doc in its cell has cosine ≥ ``threshold``
+    with it (deterministic keep-first; the published heuristic keeps one
+    representative per ε-ball, and any fixed tie-break is as principled
+    as another — lowest-id is the one two engines can agree on
+    bit-for-bit). Cross-cell near-dups are invisible by design: that is
+    SemDeDup's recall/cost trade — the pair space shrinks from O(n²) to
+    Σ|cell|², and clustering granularity (n_cells ∝ corpus size, fixed
+    target cell cardinality) caps the per-cell quadratic term. Skewed
+    cells at 100 TB: raise n_cells (finer cells lose only duplicates
+    whose members straddle a boundary) or band within the hot cell —
+    the same hub trick operators/dedup.py uses for LSH buckets.
+
+    Returns one row per vector: (vec_id, cell_id, cos_to_centroid,
+    is_dropped) — the full curation decision relation, aggregable to
+    per-cell stats (catalog entry) or semi-joinable as a keep-filter.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _argmax_cell(
+        emb.select(id_col, vec_col), centroids.select("cell_id", "centroid"),
+        id_col, vec_col,
+    ).select(id_col, vec_col, "cell_id", "cos_to_centroid")
+    a = assigned.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_e_a"),
+    )
+    b = assigned.select(
+        F.col("cell_id"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_e_b"),
+    )
+    # within-cell pairs only: the join key IS the cell, so the shuffle
+    # moves each vector once and the quadratic term is per-cell
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine(F.col("_e_a"), F.col("_e_b")) >= F.lit(threshold))
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            "cos_to_centroid",
+            F.coalesce(F.col("_dropped"), F.lit(False)).alias("is_dropped"),
+        )
+    )

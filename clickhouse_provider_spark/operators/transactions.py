@@ -469,17 +469,27 @@ def assemble_from_parts(
     outcomes: DataFrame,
     data_units: DataFrame,
     block_info: DataFrame,
+    track: list | None = None,
 ) -> dict[str, DataFrame]:
     """Assembly over pre-extracted relations — the incremental/streaming
     entry point (streaming/ unions carried-over state into each part).
     ``block_info``: (block_height, block_hash, block_timestamp) for every
     block a tx may span (streaming reads it from the blocks table).
 
-    Shared intermediates (mapping, completeness, the mapped-complete unit
-    relation) are persisted MEMORY_AND_DISK: every returned table is a
-    separate action over them. Long-running streams rely on LRU eviction
-    of superseded batches' blocks."""
+    Shared intermediates (the receipt→tx mapping, the consumed-data
+    relation, the complete-tx seed slice) are persisted MEMORY_AND_DISK:
+    every returned table is a separate action over them.
+
+    Cache lifecycle (ADVICE r10, same contract as
+    ``dedup.jaccard_pairs``): pass ``track`` (a list) to receive every
+    persisted intermediate and unpersist after the consuming actions —
+    long-running callers (streaming/pipeline.py's per-micro-batch body,
+    the bench loop) MUST, or the CacheManager accumulates three cached
+    plans per batch for the life of the session. One-shot batch callers
+    may omit ``track``; their caches die with the session."""
     mapping = receipt_to_tx(seeds, outcomes).persist()
+    if track is not None:
+        track.append(mapping)
 
     mapped = outcomes.join(mapping, "receipt_id", "left")
 
@@ -495,6 +505,8 @@ def assemble_from_parts(
     consumed_data = consume.join(
         data_units.select("data_id", "receipt_id", "receipt"), "data_id", "left"
     ).persist()
+    if track is not None:
+        track.append(consumed_data)
 
     # completeness: every mapped receipt has an outcome; every consumed
     # data_id has a data receipt
@@ -524,6 +536,8 @@ def assemble_from_parts(
     complete_txs = seeds.join(
         completeness.filter("complete").select("tx_hash"), "tx_hash", "left_semi"
     ).persist()
+    if track is not None:
+        track.append(complete_txs)
     incomplete = seeds.join(
         completeness.filter("complete").select("tx_hash"), "tx_hash", "left_anti"
     ).select("tx_hash", "tx_block_height", "signer_id")

@@ -124,8 +124,15 @@ class TransactionsStream:
             "block_height", "block_hash", "block_timestamp"
         )
 
-        out = TX.assemble_from_parts(seeds, outcomes, data_units, block_info)
+        # track= (ADVICE r10): assemble_from_parts persists three shared
+        # intermediates per call; a long-running stream must release them
+        # per batch or the CacheManager grows without bound.
+        track: list[DataFrame] = []
+        out = TX.assemble_from_parts(
+            seeds, outcomes, data_units, block_info, track=track
+        )
         incomplete_keys = out["incomplete"].select("tx_hash").cache()
+        track.append(incomplete_keys)
         incomplete_keys.count()
 
         for name in ("transactions", "account_txs", "block_txs", "receipt_txs"):
@@ -163,7 +170,8 @@ class TransactionsStream:
             {"seeds": state_seeds, "outcomes": state_outcomes, "data": state_data},
             batch_id,
         )
-        incomplete_keys.unpersist()
+        for df in track:  # publish was the last consuming action
+            df.unpersist()
 
 
 def _union(state: DataFrame | None, new: DataFrame) -> DataFrame:

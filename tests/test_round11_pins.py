@@ -170,3 +170,129 @@ def test_cc_stats_are_per_call(spark):
     assert s1["iterations"] <= 2
     assert s2["iterations"] >= s1["iterations"]
     assert not hasattr(dedup.connected_components, "last_iterations")
+
+
+def test_assemble_from_parts_track_releases_caches(spark):
+    """ADVICE r10, streaming-pipeline class: assemble_from_parts persists
+    three shared intermediates per call; with ``track`` the caller
+    (streaming/pipeline.py per micro-batch, bench_assembly per pass) can
+    release every one — no CacheManager entry survives."""
+    from clickhouse_provider_spark.operators import transactions as TX
+    from clickhouse_provider_spark.schemas import BLOCK_SCHEMA
+
+    blocks = spark.read.schema(BLOCK_SCHEMA).json("fixtures/blocks.jsonl")
+    track = []
+    out = TX.assemble_from_parts(
+        TX.tx_seeds(blocks),
+        TX.outcome_units(blocks),
+        TX.data_receipt_units(blocks),
+        TX.block_rows(blocks).select(
+            "block_height", "block_hash", "block_timestamp"
+        ),
+        track=track,
+    )
+    assert out["transactions"].count() > 0  # materialize the caches
+    assert len(track) == 3
+    assert all(
+        df.storageLevel.useMemory or df.storageLevel.useDisk for df in track
+    )
+    for df in track:
+        df.unpersist(blocking=True)
+    for df in track:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+
+
+def test_ivfpq_topk_full_probe_equals_pq_topk(spark):
+    """Composition pin: with nprobe = n_cells (every cell probed) the
+    IVF half prunes nothing, so ivfpq_topk must equal the plain PQ/ADC
+    scan — wiring, not recall, is what this pins."""
+    from clickhouse_provider_spark.operators import similarity
+    from clickhouse_provider_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    full = similarity.ivfpq_topk(
+        emb, query_vec_id=0, k=10, rerank=50, n_cells=4, nprobe=4, iters=0
+    ).collect()
+    plain = similarity.pq_topk(emb, query_vec_id=0, k=10, rerank=50).collect()
+    assert [(r["vec_id"], r["approx_dot"], r["cos_sim"]) for r in full] == [
+        (r["vec_id"], r["approx_dot"], r["cos_sim"]) for r in plain
+    ]
+
+
+def test_ivfpq_topk_candidates_stay_in_probed_cells(spark):
+    """With nprobe < n_cells every returned id must belong to one of the
+    query's nprobe best cells (the pruning half actually prunes)."""
+    from clickhouse_provider_spark.operators import similarity
+    from clickhouse_provider_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    cents = similarity.ivf_train_centroids(emb, 4, iters=0)
+    assigned = {
+        r["vec_id"]: r["cell_id"]
+        for r in similarity.ivf_assignments(emb, centroids=cents)
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ranked = sorted(
+        cents.collect(),
+        key=lambda r: (
+            -sum(float(a) * float(b) for a, b in zip(q, r["centroid"])),
+            r["cell_id"],
+        ),
+    )
+    probed = {r["cell_id"] for r in ranked[:2]}
+    got = similarity.ivfpq_topk(
+        emb, query_vec_id=0, k=10, rerank=50, n_cells=4, nprobe=2,
+        iters=0, centroids=cents,
+    ).collect()
+    assert got, "probe must return rows"
+    assert all(assigned[r["vec_id"]] in probed for r in got)
+
+
+def test_semantic_dedup_keep_first_invariants(spark):
+    """SemDeDup pin against a brute-force recompute: a doc is dropped
+    iff SOME lower-id cell-mate is >= tau-similar; the lowest id of
+    every cell is always kept; kept/dropped partition the corpus."""
+    from clickhouse_provider_spark.operators import similarity
+    from clickhouse_provider_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    tau = 0.3
+    out = similarity.semantic_dedup(emb, threshold=tau, n_cells=4, iters=0)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one decision per vector
+
+    cents = similarity.ivf_train_centroids(emb, 4, iters=0)
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    cell = {
+        r["vec_id"]: r["cell_id"]
+        for r in similarity.ivf_assignments(emb, centroids=cents)
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else None
+
+    want_dropped = set()
+    ids = sorted(vecs)
+    for j in ids:
+        for i in ids:
+            if i >= j or cell[i] != cell[j]:
+                continue
+            c = cos(vecs[i], vecs[j])
+            if c is not None and c >= tau:
+                want_dropped.add(j)
+                break
+    got_dropped = {r["vec_id"] for r in rows if r["is_dropped"]}
+    assert got_dropped == want_dropped
+    assert want_dropped, "fixture must exercise the drop path"
+    for cid in set(cell.values()):
+        members = [i for i in ids if cell[i] == cid]
+        assert min(members) not in got_dropped

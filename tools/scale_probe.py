@@ -95,6 +95,17 @@ PROBE_QUERIES = [
     # k-row retrieval fusion (must be flat: both inputs are top-10s)
     "dedup_simhash_clusters",
     "hybrid_rrf_topk",
+    # round-11: filtered ANN (probe-side semi-join must keep cost
+    # ∝ matching vectors, not corpus) and composed IVF-PQ (prune must
+    # hold the ADC scan to nprobe/n_cells of the corpus).
+    # semantic_dedup_prune is deliberately NOT probed, same class as
+    # knn_label_accuracy: its catalog entry fixes n_cells=8, so k-fold
+    # replication grows every cell k× and the within-cell pair space k²
+    # BY CONSTRUCTION — production scales n_cells with the corpus to
+    # hold |cell| (and thus the per-cell quadratic term) constant, which
+    # a fixed-entry replay cannot express.
+    "similarity_filtered_ann_eval",
+    "similarity_ivfpq_adc",
 ]
 
 
