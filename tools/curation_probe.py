@@ -45,13 +45,29 @@ from clickhouse_provider_spark.streaming import curation
 DOC_SPAN = 10_000_000_000
 
 
-def make_batch(base, b: int):
-    """Batch ``b``: the base documents with disjoint doc_ids and
-    per-batch perturbed text (exact replicas would quadratically densify
-    every LSH bucket — a different workload than corpus growth)."""
+def make_batch(base, b: int, workload: str = "neardup"):
+    """Batch ``b``: the base documents with disjoint doc_ids, in one of
+    two text regimes that separate the loop's two cost drivers:
+
+    - ``neardup`` (default): per-batch tail-perturbed text. Each doc
+      stays a TRUE near-dup of its b-1 prior replicas (one token of ~
+      hundreds differs), so per-batch candidate volume and touched-
+      component size grow O(b) BY CONSTRUCTION — this measures the loop
+      under ever-denser duplicate structure, not pure corpus growth.
+      (Exact replicas would further densify every LSH bucket
+      quadratically; the tail token avoids only that.)
+    - ``disjoint``: every word is prefixed with a batch salt, so word
+      3-gram shingles never collide across batches — zero cross-batch
+      candidates, intra-batch dup structure preserved. Per-batch
+      candidate/touched volume is CONSTANT, isolating the pure
+      corpus-growth term (index scan + label-table size)."""
+    if workload == "disjoint":
+        text = F.regexp_replace("text", r"(\S+)", f"b{b}$1")
+    else:
+        text = F.concat("text", F.lit(f" replica-{b}"))
     return base.select(
         (F.col("doc_id") + F.lit(b * DOC_SPAN)).alias("doc_id"),
-        F.concat("text", F.lit(f" replica-{b}")).alias("text"),
+        text.alias("text"),
     )
 
 
@@ -72,6 +88,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-final-pin", action="store_true")
+    ap.add_argument("--workload", choices=("neardup", "disjoint"),
+                    default="neardup")
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation_probe")
@@ -86,7 +104,7 @@ def main() -> None:
     try:
         warm_state = curation.CurationState(os.path.join(warm_root, "s"))
         for b in range(2):
-            wb = make_batch(base, b).localCheckpoint(eager=True)
+            wb = make_batch(base, b, args.workload).localCheckpoint(eager=True)
             curation.curate_batch(warm_state, wb, batch_id=b)
     finally:
         shutil.rmtree(warm_root, ignore_errors=True)
@@ -96,7 +114,8 @@ def main() -> None:
     try:
         state = curation.CurationState(os.path.join(root, "state"))
         for b in range(args.batches):
-            batch = make_batch(base, b).localCheckpoint(eager=True)
+            batch = make_batch(base, b, args.workload).localCheckpoint(
+                eager=True)
             start = time.perf_counter()
             curation.curate_batch(state, batch, batch_id=b)
             per_batch[b + 1] = round(time.perf_counter() - start, 3)
@@ -108,7 +127,7 @@ def main() -> None:
             }
             ingested = base.sparkSession.createDataFrame([], "doc_id long, text string")
             for b in range(args.batches):
-                ingested = ingested.unionByName(make_batch(base, b))
+                ingested = ingested.unionByName(make_batch(base, b, args.workload))
             want = {
                 (r["doc_id"], r["component_id"])
                 for r in batch_truth(ingested.localCheckpoint(eager=True)).collect()
@@ -120,6 +139,7 @@ def main() -> None:
     t1 = per_batch[1]
     out = {
         "probe": "continuous_curation",
+        "workload": args.workload,
         "sf_dir": args.sf_dir,
         "batch_docs": n_docs,
         "batches": args.batches,
