@@ -132,6 +132,9 @@ HEADLINE = [
     "similarity_filtered_ann_eval",
     "similarity_ivfpq_adc",
     "semantic_dedup_prune",
+    # round-11 batch 17b: training-sequence packing (global running
+    # offset via the two-level bucketed prefix sum — no global window)
+    "sequence_packing_bins",
 ]
 
 #: samples per query (round-robin passes); median reported. One sample per

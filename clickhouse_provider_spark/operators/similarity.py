@@ -1160,26 +1160,44 @@ def semantic_dedup(
         centroids = ivf_train_centroids(
             emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    assigned = _argmax_cell(
-        emb.select(id_col, vec_col), centroids.select("cell_id", "centroid"),
-        id_col, vec_col,
-    ).select(id_col, vec_col, "cell_id", "cos_to_centroid")
-    a = assigned.select(
+    # checkpoint: three consumers below (both self-join sides + the final
+    # decision join) would otherwise re-run the argmax window each
+    assigned = (
+        _argmax_cell(
+            emb.select(id_col, vec_col),
+            centroids.select("cell_id", "centroid"),
+            id_col, vec_col,
+        )
+        .select(id_col, vec_col, "cell_id", "cos_to_centroid")
+        .localCheckpoint(eager=True)
+    )
+    # per-row norm materialized BEFORE the pair join: each pair then
+    # evaluates only the dot product (one 64-element fold, not three) —
+    # same ops in the same order as cosine(), so values are bit-identical
+    sided = assigned.select(
+        "cell_id", id_col, vec_col, norm(F.col(vec_col)).alias("_n")
+    )
+    a = sided.select(
         F.col("cell_id"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_e_a"),
+        F.col("_n").alias("_n_a"),
     )
-    b = assigned.select(
+    b = sided.select(
         F.col("cell_id"),
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_e_b"),
+        F.col("_n").alias("_n_b"),
     )
     # within-cell pairs only: the join key IS the cell, so the shuffle
     # moves each vector once and the quadratic term is per-cell
+    pair_cos = dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
+        F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
+    )
     dropped = (
         a.join(b, "cell_id")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(cosine(F.col("_e_a"), F.col("_e_b")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select(F.col("_id_b").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))

@@ -402,3 +402,69 @@ def lang_id_sql_scores(langs: dict[str, tuple[str, ...]] = LANG_MARKERS) -> str:
             f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ({in_list}))) AS score_{lang}"
         )
     return ", ".join(parts)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-sequence packing (round 11): assign documents, in id
+    order, to contiguous fixed-token-budget bins — the "concatenate the
+    corpus and cut every ``budget`` tokens" layout LLM training runs use
+    to build packed sequences. A document belongs to the bin where its
+    FIRST token lands (``bin_id = start_offset div budget``); a document
+    whose last token crosses the next boundary is flagged a straddler
+    (the share of straddlers is the packing-quality signal: high
+    straddle ratio at a given budget means many docs get split across
+    training sequences).
+
+    Determinism: pure integer arithmetic on exact token counts
+    (regexp_count of '\\S+', the same TOKEN_RE every token-stats entry
+    uses) over the total doc_id order — both engines agree bit-for-bit.
+
+    Scale: the global running offset is the two-level bucketed prefix
+    sum (operators/ranking.bucketed_cumsum), NOT an unpartitioned
+    window — the doc_id range is split into ≤4096 equal-width buckets
+    (width from one bounded metadata agg), so the offsets relation the
+    middle stage windows over is ≤4096 rows BY CONSTRUCTION at any
+    corpus size, and every other stage is parallel across buckets.
+
+    Returns one row per document: (doc_id, n_tokens, start_offset,
+    bin_id, is_straddler).
+    """
+    d = docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # bounded metadata: two scalars fix the bucket width so the bucket
+    # count is ≤4096 regardless of the doc_id span (the bucketed_cumsum
+    # broadcast contract)
+    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    width = max(1, (int(hi) - int(lo) + 1 + 4095) // 4096)
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+
+    c = bucketed_cumsum(
+        d,
+        id_col,
+        "n_tokens",
+        bucket=F.floor((F.col(id_col) - F.lit(int(lo))) / F.lit(width)),
+        out_col="cum",
+    )
+    start = (F.col("cum") - F.col("n_tokens")).alias("start_offset")
+    return c.select(
+        F.col(id_col),
+        "n_tokens",
+        start,
+        F.expr(f"(cum - n_tokens) div {int(budget)}").alias("bin_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr(f"(cum - 1) div {int(budget)}")
+                != F.expr(f"(cum - n_tokens) div {int(budget)}")
+            )
+        ).alias("is_straddler"),
+    )

@@ -209,3 +209,61 @@ def q_semantic_dedup_prune(spark, t):
         F.min("cos_to_centroid").alias("min_cos_to_centroid"),
         F.max("cos_to_centroid").alias("max_cos_to_centroid"),
     )
+
+
+@register(
+    "sequence_packing_bins",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM d
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             (cum - n_tokens) // 512 AS bin_id,
+             (n_tokens > 0 AND (cum - 1) // 512 <> (cum - n_tokens) // 512)
+               AS is_straddler
+      FROM c
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN is_straddler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddlers,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM p
+    GROUP BY bin_id
+    """,
+    doc="Training-sequence packing audit (text.pack_sequences): concat "
+    "the corpus in doc_id order and cut every 512 tokens; each doc "
+    "belongs to the bin where its first token lands, and docs whose "
+    "last token crosses the boundary are straddlers (the split-document "
+    "rate of the packed training layout — the dial a packing budget is "
+    "tuned against). Exact integer arithmetic on regexp token counts; "
+    "the global running offset is the two-level bucketed prefix sum "
+    "(operators/ranking.bucketed_cumsum, <=4096 range buckets by "
+    "construction from one metadata agg) — no unpartitioned window at "
+    "any corpus size. Output: per-bin doc/token/straddler counts and "
+    "id range. No reference counterpart; LLM-training-data layer.",
+    tags=("llm", "text"),
+)
+def q_sequence_packing_bins(spark, t):
+    from clickhouse_provider_spark.operators import text
+
+    p = text.pack_sequences(t["documents"], budget=512)
+    return p.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum(F.col("is_straddler").cast("long")).alias("n_straddlers"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

