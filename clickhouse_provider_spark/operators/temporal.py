@@ -267,19 +267,37 @@ def funnel_levels(
     window_us``. One shuffle on the key; N-1 window columns over the same
     sorted partition (a single Window exec, no extra exchanges).
 
-    ``strict_increase=True`` is ClickHouse's ``strict_increase`` mode:
-    adjacent chain events must have STRICTLY increasing timestamps (the
-    default mode lets same-``ts`` rows chain). The carry then reads the
-    previous stage's best start over a ``RANGE … 1 PRECEDING`` frame on
-    ``ts`` — rows with equal ``ts`` are excluded from the prefix, and the
-    composed-maxima argument is unchanged (a max over strictly-earlier
-    rows is still monotone in row order).
+    ``strict_increase=True`` is the OPTIMAL-CHAIN strict-increase
+    variant: adjacent chain events must have STRICTLY increasing
+    timestamps (the default mode lets same-``ts`` rows chain). The carry
+    then reads the previous stage's best start over a ``RANGE … 1
+    PRECEDING`` frame on ``ts`` — rows with equal ``ts`` are excluded
+    from the prefix, and the composed-maxima argument is unchanged (a
+    max over strictly-earlier rows is still monotone in row order).
+    Property-tested against a brute-force enumeration of strictly
+    increasing chains (tests/test_funnel_property.py,
+    ``test_funnel_strict_increase_matches_brute_force``).
+
+    .. warning:: this is NOT ClickHouse's ``strict_increase`` mode.
+       ClickHouse's greedy single-slot scan refreshes slot 0 on EVERY
+       stage-1 event, so on timestamp-backtracking streams it can
+       forget a viable earlier chain start this recurrence keeps.
+       Counterexample (found by Hypothesis, round 11): events
+       ``s@0, s@22, s@19, c@22`` — this recurrence answers 2 (chain
+       s@19 → c@22 is strictly increasing), ClickHouse answers 1 (the
+       later ``s@22`` overwrote slot 0; ``c@22`` fails ``22 > 22``).
+       Default mode has no such divergence (greedy slot overwrite ≡
+       optimal chain there — the equality is property-tested); under
+       strict_increase it is a false theorem, pinned as a documented
+       divergence in ``test_funnel_strict_increase_scan_vs_recurrence_
+       divergence_pinned``. For ClickHouse-faithful strict_increase use
+       :func:`funnel_levels_scan` with ``strict_increase=True``.
 
     The remaining ClickHouse modes — ``strict_order`` (scan dies at the
     first non-matching event after the chain starts) and
     ``strict_deduplication`` (scan dies when an already-matched condition
-    repeats) — are ORDER-DEPENDENT EARLY-EXIT semantics, not expressible
-    as the optimal-chain window recurrence; they live in
+    repeats) — are likewise ORDER-DEPENDENT EARLY-EXIT semantics, not
+    expressible as the optimal-chain window recurrence; they live in
     :func:`funnel_levels_scan`, a faithful port of ClickHouse's
     single-slot scan.
 

@@ -567,12 +567,17 @@ def q_window_funnel_exact(spark, t):
     "window_funnel_strict_increase",
     # Same window-recurrence oracle as window_funnel_exact, with the
     # carry read over a RANGE ... 1 PRECEDING frame on ts_us: rows with
-    # equal timestamps are excluded from the previous-stage prefix, which
-    # IS ClickHouse's strict_increase mode (adjacent chain events need
-    # strictly increasing timestamps). q_k = per-row best k-chain start
-    # over strictly earlier ts; s_k = running max of completions for the
-    # level check (extending an earlier completion by the current row
-    # preserves strict increase).
+    # equal timestamps are excluded from the previous-stage prefix —
+    # the OPTIMAL-CHAIN strict-increase semantics (adjacent chain events
+    # need strictly increasing timestamps; the answer is the maximal
+    # reachable level over ALL chains). Deliberately NOT ClickHouse's
+    # greedy slot scan, which can answer LOWER on timestamp-backtracking
+    # streams (s@0,s@22,s@19,c@22: optimal 2, ClickHouse 1 — the later
+    # s@22 overwrites slot 0); the ClickHouse-faithful machine is the
+    # sibling entry window_funnel_strict_increase_scan. q_k = per-row
+    # best k-chain start over strictly earlier ts; s_k = running max of
+    # completions for the level check (extending an earlier completion
+    # by the current row preserves strict increase).
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events
@@ -614,12 +619,17 @@ def q_window_funnel_exact(spark, t):
            CAST(CASE WHEN r3 = 1 THEN 3 WHEN r2 = 1 THEN 2 ELSE 1 END AS INT) AS level
     FROM r WHERE r1 = 1 OR r2 = 1 OR r3 = 1
     """,
-    doc="windowFunnel in ClickHouse's strict_increase mode: same exact "
-    "composed-maxima recurrence as window_funnel_exact, but the "
-    "previous-stage carry reads a strictly-earlier-ts RANGE frame, so "
-    "same-timestamp events cannot chain. Still one shuffle on user_id; "
-    "the strict carry adds one range-frame window column per stage over "
-    "the same sorted partition. (The other ClickHouse modes — "
+    doc="OPTIMAL-CHAIN strict-increase funnel: same composed-maxima "
+    "recurrence as window_funnel_exact, but the previous-stage carry "
+    "reads a strictly-earlier-ts RANGE frame, so same-timestamp events "
+    "cannot chain; the level is the maximal one reachable by ANY "
+    "strictly increasing chain (brute-force property-tested). NOT "
+    "ClickHouse's strict_increase, whose greedy slot scan forgets viable "
+    "chain starts on backtracking timestamps and can answer lower "
+    "(divergence pinned in tests/test_funnel_property.py); the faithful "
+    "machine is window_funnel_strict_increase_scan. Still one shuffle on "
+    "user_id; the strict carry adds one range-frame window column per "
+    "stage over the same sorted partition. (The other ClickHouse modes — "
     "strict_order / strict_deduplication — are order-dependent early-exit "
     "scans: see window_funnel_strict_order / window_funnel_strict_dedup, "
     "operators/temporal.funnel_levels_scan.)",
@@ -830,4 +840,97 @@ def q_window_funnel_strict_dedup(spark, t):
         ],
         window_us=7 * DAY_US,
         strict_deduplication=True,
+    )
+
+
+@register(
+    "window_funnel_strict_increase_scan",
+    # ClickHouse-FAITHFUL strict_increase: recursive-CTE replay of the
+    # default-mode slot scan (no early exit except completion) with the
+    # strict-increase gate — an advance from slot k-1 additionally needs
+    # ts strictly greater than slot k-1's LAST event time, so the state
+    # carries (chain_first, last_ts) per lead slot: (f1,l1),(f2,l2).
+    # Stage-1 events ALWAYS overwrite slot 0 — which is exactly what
+    # makes this machine diverge from the optimal-chain recurrence of
+    # window_funnel_strict_increase on backtracking timestamps
+    # (s@0,s@22,s@19,c@22: this answers 1, the recurrence 2; divergence
+    # pinned in tests/test_funnel_property.py). Non-matching events are
+    # never stored in non-strict_order modes, so e filters stage > 0.
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, ts_us, stage,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 3 ELSE 0 END AS stage
+        FROM events
+      ) WHERE stage > 0
+    ), scan AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS f1, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS f2, CAST(NULL AS BIGINT) AS l2,
+             FALSE AS stopped, 0 AS lvl
+      FROM (SELECT DISTINCT user_id FROM e)
+      UNION ALL
+      SELECT user_id, rn, f1n, l1n, f2n, l2n,
+             completed,
+             CASE WHEN completed THEN 3
+                  WHEN f2n IS NOT NULL THEN 2
+                  WHEN f1n IS NOT NULL THEN 1 ELSE 0 END
+      FROM (
+        SELECT user_id, rn, completed,
+               CASE WHEN stage = 1 THEN ts_us ELSE f1 END AS f1n,
+               CASE WHEN stage = 1 THEN ts_us ELSE l1 END AS l1n,
+               CASE WHEN adv2 THEN f1 ELSE f2 END AS f2n,
+               CASE WHEN adv2 THEN ts_us ELSE l2 END AS l2n
+        FROM (
+          SELECT s.user_id, e.rn, e.stage, e.ts_us,
+                 s.f1, s.l1, s.f2, s.l2,
+                 (e.stage = 2 AND s.f1 IS NOT NULL
+                   AND e.ts_us - s.f1 <= {7 * DAY_US}
+                   AND e.ts_us > s.l1) AS adv2,
+                 (e.stage = 3 AND s.f2 IS NOT NULL
+                   AND e.ts_us - s.f2 <= {7 * DAY_US}
+                   AND e.ts_us > s.l2) AS completed
+          FROM scan s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          WHERE NOT s.stopped
+        )
+      )
+    )
+    SELECT user_id, CAST(lvl AS INT) AS level
+    FROM (SELECT user_id, arg_max(lvl, rn) AS lvl FROM scan GROUP BY user_id)
+    WHERE lvl >= 1
+    """,
+    doc="windowFunnel in ClickHouse's ACTUAL strict_increase mode "
+    "(signup→click→purchase, 7-day window): the greedy single-slot scan "
+    "where every stage-1 event refreshes slot 0 and an advance needs ts "
+    "strictly greater than the predecessor slot's last event time — the "
+    "faithful counterpart to window_funnel_strict_increase's optimal-"
+    "chain recurrence, which can answer HIGHER on backtracking "
+    "timestamps. operators/temporal.funnel_levels_scan(strict_increase="
+    "True): one shuffle on user_id, Arrow-batched linear scan per key, "
+    "constant state; differentially tested against a plain-python port "
+    "of ClickHouse getEventLevel (tests/test_funnel_property.py); "
+    "oracle = the same machine as a recursive CTE carrying "
+    "(chain_first, last_ts) per lead slot.",
+    tags=("analytics", "behavioral"),
+)
+def q_window_funnel_strict_increase_scan(spark, t):
+    e = _events_us(t).select("user_id", "event_id", "ts_us", "event_type")
+    from clickhouse_provider_spark.operators.temporal import funnel_levels_scan
+
+    return funnel_levels_scan(
+        e,
+        key="user_id",
+        ts="ts_us",
+        order_col="event_id",
+        stage_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_us=7 * DAY_US,
+        strict_increase=True,
     )

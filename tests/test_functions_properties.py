@@ -6,6 +6,8 @@ import base64
 
 import pytest
 from hypothesis import given, settings
+
+from tests.prop_settings import prop_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -26,7 +28,7 @@ def evaluate(spark):
 BYTES = st.binary(min_size=0, max_size=64)
 
 
-@settings(max_examples=1, deadline=None)
+@settings(max_examples=prop_examples(1), deadline=None)
 @given(st.lists(BYTES, min_size=1, max_size=300))
 def test_utf8_or_base64_matches_reference_model(evaluate, values):
     got = evaluate(values)

@@ -8,6 +8,8 @@ evidence the maxima recurrence implements the declared semantics."""
 from itertools import combinations
 
 from hypothesis import given, settings
+
+from tests.prop_settings import prop_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -48,7 +50,7 @@ user_events = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(st.lists(user_events, min_size=1, max_size=12))
 def test_funnel_levels_match_brute_force(spark, users):
     rows = []
@@ -102,7 +104,7 @@ def brute_force_timed(events, gaps) -> tuple[bool, int | None]:
     return best_end is not None, best_end
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(st.lists(user_events, min_size=1, max_size=12))
 def test_timed_chain_match_matches_brute_force(spark, users):
     from clickhouse_provider_spark.operators.sequence import timed_chain_match
@@ -158,7 +160,7 @@ def brute_force_level_strict(events: list[tuple[int, int, str]]) -> int:
     return best
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=prop_examples(6), deadline=None)
 @given(st.lists(user_events, min_size=1, max_size=12))
 def test_funnel_strict_increase_matches_brute_force(spark, users):
     rows = []
@@ -276,7 +278,7 @@ def _scan_levels(spark, rows, **mode):
     }
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=prop_examples(4), deadline=None)
 @given(st.lists(user_events, min_size=1, max_size=12))
 def test_funnel_scan_modes_match_reference(spark, users):
     rows = []
@@ -291,10 +293,13 @@ def test_funnel_scan_modes_match_reference(spark, users):
     if not rows:
         return
     for mode in (
+        dict(),
+        dict(strict_increase=True),
         dict(strict_order=True),
         dict(strict_deduplication=True),
         dict(strict_order=True, strict_increase=True),
         dict(strict_order=True, strict_deduplication=True),
+        dict(strict_deduplication=True, strict_increase=True),
     ):
         ref_mode = dict(
             strict_order=mode.get("strict_order", False),
@@ -309,14 +314,24 @@ def test_funnel_scan_modes_match_reference(spark, users):
         assert _scan_levels(spark, rows, **mode) == expected, mode
 
 
-@settings(max_examples=4, deadline=None)
+@settings(max_examples=prop_examples(4), deadline=None)
 @given(st.lists(user_events, min_size=1, max_size=12))
 def test_funnel_scan_default_equals_window_recurrence(spark, users):
     """ClickHouse's slot scan without strict flags computes the same
     levels as the optimal-chain window recurrence of funnel_levels — two
     completely different algorithms (sequential single-slot overwrite vs
     composed window maxima), so agreement over random streams is strong
-    evidence for both."""
+    evidence for both.
+
+    DEFAULT MODE ONLY: under strict_increase the equivalence is a FALSE
+    THEOREM — the greedy scan refreshes slot 0 on every stage-1 event
+    and can forget a viable earlier chain start on timestamp-backtracking
+    streams, answering LOWER than the optimal chain (Hypothesis
+    counterexample, round 11). The divergence is pinned below in
+    test_funnel_strict_increase_scan_vs_recurrence_divergence_pinned;
+    each implementation is independently verified against its own
+    semantics (brute force for the recurrence, the plain-python
+    ClickHouse port for the scan)."""
     rows = []
     eid = 0
     for uid, evs in enumerate(users):
@@ -333,16 +348,51 @@ def test_funnel_scan_default_equals_window_recurrence(spark, users):
         stage_conds=[F.col("event_type") == s for s in STAGES],
         window_us=WINDOW,
     )
-    for strict in (False, True):
-        via_window = {
-            r["user_id"]: r["level"]
-            for r in funnel_levels(df, **kw, strict_increase=strict).collect()
-        }
-        via_scan = {
-            r["user_id"]: r["level"]
-            for r in funnel_levels_scan(df, **kw, strict_increase=strict).collect()
-        }
-        assert via_scan == via_window, f"strict_increase={strict}"
+    via_window = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels(df, **kw).collect()
+    }
+    via_scan = {
+        r["user_id"]: r["level"]
+        for r in funnel_levels_scan(df, **kw).collect()
+    }
+    assert via_scan == via_window
+
+
+def test_funnel_strict_increase_scan_vs_recurrence_divergence_pinned(spark):
+    """DOCUMENTED DIVERGENCE (round-11 Hypothesis find, kept as a pinned
+    regression so it can never un-find itself): under strict_increase,
+    ClickHouse's greedy slot scan and the optimal-chain recurrence are
+    DIFFERENT semantics.
+
+    Stream (ts order): s@0 x5, s@19, s@22, c@22.
+      - optimal chain: s@19 -> c@22 is strictly increasing and within the
+        window -> level 2 (funnel_levels, entry
+        window_funnel_strict_increase).
+      - ClickHouse scan: every later s overwrites slot 0, ending at
+        (22, 22); c@22 fails ts > 22 -> level 1 (funnel_levels_scan,
+        entry window_funnel_strict_increase_scan).
+    Both answers are asserted exactly, and both implementations must
+    agree with their independent references (brute force / python port).
+    """
+    evs = [(0, "s"), (0, "s"), (0, "s"), (0, "s"), (22, "s"), (19, "s"),
+           (0, "s"), (22, "c")]
+    rows = [(7, eid, ts, et) for eid, (ts, et) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, event_type string"
+    )
+    kw = dict(
+        key="user_id", ts="ts_us", order_col="event_id",
+        stage_conds=[F.col("event_type") == s for s in STAGES],
+        window_us=WINDOW,
+    )
+    recurrence = funnel_levels(df, **kw, strict_increase=True).collect()
+    scan = funnel_levels_scan(df, **kw, strict_increase=True).collect()
+    assert recurrence[0]["level"] == 2
+    assert scan[0]["level"] == 1
+    tagged = [(ts, eid, et) for eid, (ts, et) in enumerate(evs)]
+    assert brute_force_level_strict(tagged) == 2
+    assert reference_scan_level(tagged, strict_increase=True) == 1
 
 
 def test_funnel_strict_order_clickhouse_cases(spark):
