@@ -442,8 +442,19 @@ def pack_sequences(
     )
     # bounded metadata: two scalars fix the bucket width so the bucket
     # count is ≤4096 regardless of the doc_id span (the bucketed_cumsum
-    # broadcast contract)
+    # broadcast contract). This one eager action is unavoidable plan
+    # input (the bucket expression needs the span); on an EMPTY relation
+    # min/max are NULL — short-circuit to the empty result instead of
+    # crashing on int(None) (ADVICE r11)
     lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None or hi is None:
+        return d.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("long").alias("start_offset"),
+            F.lit(None).cast("long").alias("bin_id"),
+            F.lit(None).cast("boolean").alias("is_straddler"),
+        ).limit(0)
     width = max(1, (int(hi) - int(lo) + 1 + 4095) // 4096)
     from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
 

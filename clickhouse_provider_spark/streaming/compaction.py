@@ -1,0 +1,179 @@
+"""Generation compaction for batch-keyed state directories (VERDICT r11
+task 5).
+
+The continuous-curation loops persist their disk-resident state as
+idempotent batch-keyed subdirectories — ``<root>/batch_id=N/...`` — one
+per micro-batch (streaming/curation.py band index + ``_texts`` sidecar,
+streaming/semantic_curation.py cell index, operators/dedup_index.py
+appends). That layout is what makes foreachBatch replay idempotent, but
+it grows one directory per micro-batch forever: the 64-batch probe
+(SCALE_PROBE_r11_curation.json) already showed a gentle linear
+listing/scan term, and a year-long stream would accumulate ~10^5 dirs.
+
+:func:`compact_batch_dirs` folds every ``batch_id=N`` directory with
+``N <= upto`` into ONE generation directory ``batch_id=<upto>`` —
+rewriting the same rows as fewer, larger, better-sorted files. Readers
+are unaffected: consumers use ``batch_id`` only in order comparisons
+against the CURRENT batch id (``< b`` / ``<= b`` for history, ``== b``
+for the new side), and compaction only touches ids strictly older than
+any id that can still be replayed (the caller passes
+``upto = current - keep_last`` with ``keep_last >= 1``; foreachBatch can
+only replay the latest uncommitted id), so collapsing old ids onto
+``upto`` preserves every comparison.
+
+Crash safety (same discipline as curation._swap_labels — at no instant
+is any row unrecoverable):
+
+1. write the compacted rows to ``_compact_tmp_<upto>`` (Spark overwrite
+   → idempotent; ``_SUCCESS`` marks completion; a leading underscore
+   keeps Spark's reader from listing it as data)
+2. write a manifest ``_compact_manifest_<upto>.json`` naming the source
+   dirs (tmp-file + ``os.rename`` → atomic)
+3. delete the source ``batch_id=N`` dirs
+4. rename tmp → ``batch_id=<upto>``
+5. delete the manifest
+
+Crash before 2: sources intact, orphan tmp swept next run. Crash in 3-4:
+the manifest names exactly what remains to delete and the ``_SUCCESS``
+marker proves the tmp holds every row — :func:`recover_compaction`
+(called on entry) finishes the protocol. Crash after 4: recovery just
+removes the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BATCH_RE = re.compile(r"^batch_id=(-?\d+)$")
+_MANIFEST_RE = re.compile(r"^_compact_manifest_(-?\d+)\.json$")
+
+
+def list_batch_ids(path: str) -> list[int]:
+    """Sorted batch ids present as ``batch_id=N`` subdirs (os-level — no
+    Spark job, this is the cheap listing the loops do per compaction
+    check)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _BATCH_RE.match(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _tmp_dir(path: str, upto: int) -> str:
+    return os.path.join(path, f"_compact_tmp_{upto}")
+
+
+def _manifest(path: str, upto: int) -> str:
+    return os.path.join(path, f"_compact_manifest_{upto}.json")
+
+
+def _finish(path: str, upto: int, sources: list[str]) -> None:
+    """Steps 3-5: delete sources, promote tmp, drop manifest. Re-entrant:
+    every step tolerates having already happened."""
+    tmp = _tmp_dir(path, upto)
+    target = os.path.join(path, f"batch_id={upto}")
+    for name in sources:
+        src = os.path.join(path, name)
+        if os.path.isdir(src):
+            shutil.rmtree(src)
+    if os.path.isdir(tmp):
+        os.rename(tmp, target)
+    mf = _manifest(path, upto)
+    if os.path.exists(mf):
+        os.remove(mf)
+
+
+def recover_compaction(path: str) -> None:
+    """Finish (or discard) any compaction a crash interrupted. Safe to
+    call unconditionally on loop entry; does nothing on a clean state."""
+    if not os.path.isdir(path):
+        return
+    names = os.listdir(path)
+    manifests = [m for n in names if (m := _MANIFEST_RE.match(n))]
+    for m in manifests:
+        upto = int(m.group(1))
+        tmp = _tmp_dir(path, upto)
+        if os.path.isdir(tmp) and not os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            # manifest written but tmp incomplete: cannot happen in the
+            # protocol order (manifest follows _SUCCESS) — treat as
+            # corrupt tmp, keep sources, drop both
+            shutil.rmtree(tmp)
+            os.remove(_manifest(path, upto))
+            continue
+        with open(_manifest(path, upto)) as f:
+            sources = json.load(f)["sources"]
+        _finish(path, upto, sources)
+    for n in os.listdir(path):
+        # orphan tmp with no manifest: crashed before step 2 — the
+        # sources are all intact, discard the tmp (complete or not)
+        if n.startswith("_compact_tmp_") and os.path.isdir(
+            os.path.join(path, n)
+        ) and not os.path.exists(_manifest(path, int(n.rsplit("_", 1)[1]))):
+            shutil.rmtree(os.path.join(path, n))
+
+
+def compact_batch_dirs(
+    spark: SparkSession,
+    path: str,
+    upto: int,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    n_files: int = 1,
+    min_dirs: int = 2,
+) -> int:
+    """Fold every ``batch_id=N`` dir with ``N <= upto`` into one
+    ``batch_id=<upto>`` generation dir. Returns the number of source
+    dirs folded (0 = nothing to do).
+
+    ``partition_by`` preserves an inner hive level (the LSH index keeps
+    ``band_id=*``); ``sort_within`` re-sorts rows within output files so
+    row-group min/max stats stay tight (``band_hash`` / ``cell_id``);
+    ``n_files`` controls output file count per partition (compacted
+    generations should be few large files — that is the point).
+
+    The caller must guarantee no ``batch_id <= upto`` can be replayed or
+    concurrently written (pass ``upto = current_batch - keep_last``,
+    ``keep_last >= 1``, from within the single-writer foreachBatch loop).
+    """
+    recover_compaction(path)
+    ids = [b for b in list_batch_ids(path) if b <= upto]
+    if len(ids) < min_dirs:
+        return 0
+    from pyspark.sql import functions as F
+
+    df: DataFrame = spark.read.parquet(path).filter(
+        F.col("batch_id") <= int(upto)
+    ).drop("batch_id")
+    tmp = _tmp_dir(path, upto)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    # hive-partitioned indexes rewrite through a hash shuffle on the
+    # inner key (each task writes whole partition dirs — one file per
+    # dir); flat state coalesces to n_files large files
+    writer = (
+        df.repartition(*partition_by) if partition_by else df.coalesce(n_files)
+    )
+    if sort_within:
+        writer = writer.sortWithinPartitions(*sort_within)
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    sources = [f"batch_id={b}" for b in ids]
+    mf_tmp = _manifest(path, upto) + ".tmp"
+    with open(mf_tmp, "w") as f:
+        json.dump({"upto": upto, "sources": sources}, f)
+    os.rename(mf_tmp, _manifest(path, upto))
+    _finish(path, upto, sources)
+    return len(ids)

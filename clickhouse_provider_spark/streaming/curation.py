@@ -45,15 +45,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_provider_spark.operators import dedup, dedup_index
+from clickhouse_provider_spark.streaming import compaction
 
 
 class CurationState:
-    """Paths + parameters for one continuous-curation pipeline."""
+    """Paths + parameters for one continuous-curation pipeline.
 
-    def __init__(self, root: str, threshold: float = 0.1):
+    ``compact_every`` > 0 folds the batch-keyed index + text-sidecar
+    subdirs into one generation directory every that-many batches
+    (streaming/compaction.py — VERDICT r11 task 5: without it a
+    long-running stream accumulates one directory per micro-batch
+    forever and the per-batch listing/scan term grows linearly);
+    ``keep_last`` batches are always left unfolded so a replayed
+    micro-batch (foreachBatch is at-least-once) can still overwrite its
+    own directory."""
+
+    def __init__(
+        self,
+        root: str,
+        threshold: float = 0.1,
+        compact_every: int = 16,
+        keep_last: int = 2,
+    ):
         self.index_path = os.path.join(root, "lsh_index")
         self.labels_path = os.path.join(root, "labels")
         self.threshold = threshold
+        self.compact_every = compact_every
+        self.keep_last = keep_last
 
     def labels(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.labels_path):
@@ -117,6 +135,10 @@ def curate_batch(
     """
     spark = batch.sparkSession
     track: list[DataFrame] = []
+    # finish any compaction a crash interrupted BEFORE reading the index
+    # (mid-protocol, rows live only in the completed _compact_tmp dir)
+    compaction.recover_compaction(state.index_path)
+    compaction.recover_compaction(os.path.join(state.index_path, "_texts"))
     batch = batch.select("doc_id", "text").persist()
     track.append(batch)
     dedup_index.lsh_index_append(batch, state.index_path, batch_id=batch_id)
@@ -167,6 +189,25 @@ def curate_batch(
     tmp = state.labels_path + f"_b{batch_id}"
     labels.write.mode("overwrite").parquet(tmp)
     _swap_labels(state.labels_path, tmp)
+    if state.compact_every and batch_id > 0 and batch_id % state.compact_every == 0:
+        # fold old batch dirs into one generation (crash-safe protocol in
+        # streaming/compaction.py); keep_last newest stay replayable.
+        # Readers are unaffected: candidate probes compare batch_id
+        # against the CURRENT id only, and upto < current - keep_last.
+        upto = int(batch_id) - state.keep_last
+        compaction.compact_batch_dirs(
+            spark,
+            state.index_path,
+            upto,
+            partition_by=["band_id"],
+            sort_within=["band_hash"],
+        )
+        compaction.compact_batch_dirs(
+            spark,
+            os.path.join(state.index_path, "_texts"),
+            upto,
+            sort_within=["doc_id"],
+        )
     for df in track:
         df.unpersist()
     return track
@@ -180,11 +221,18 @@ def run_curation(
     threshold: float = 0.1,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    compact_every: int = 16,
+    keep_last: int = 2,
 ):
     """Drive the curation loop over a parquet drop-directory of document
     files: readStream → foreachBatch(curate_batch). Returns the started
     StreamingQuery (availableNow drains everything then stops)."""
-    state = CurationState(state_root, threshold=threshold)
+    state = CurationState(
+        state_root,
+        threshold=threshold,
+        compact_every=compact_every,
+        keep_last=keep_last,
+    )
     src = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", max_files_per_trigger)

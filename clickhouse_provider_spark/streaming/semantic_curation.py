@@ -28,7 +28,12 @@ of touched cells), the incremental slice of batch SemDeDup's
 sum(|cell|^2) pair space. As with the batch operator, per-cell
 cardinality is the knob: production scales n_cells with the corpus to
 hold |cell| fixed; with frozen centroids that means re-clustering at
-generation boundaries (a new state root), not inside the loop.
+generation boundaries (a new state root) — mechanized by
+:func:`rollover_generation` (re-cluster the accumulated index into
+n_cells' > n_cells, carry every decision over, restart the stream
+against the new root). Batch-keyed index subdirs are periodically
+folded into one generation directory (``compact_every`` —
+streaming/compaction.py), bounding the per-batch listing/scan term.
 
 Reference parity note: the reference has no vector surface
 (SURVEY.md S2D); this module is part of the training-data-pipeline
@@ -43,37 +48,98 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_provider_spark.operators import similarity
+from clickhouse_provider_spark.streaming import compaction
 
 
 class SemanticCurationState:
-    """Paths + parameters for one continuous semantic-curation pipeline."""
+    """Paths + parameters for one continuous semantic-curation pipeline.
 
-    def __init__(self, root: str, threshold: float = 0.35, n_cells: int = 8):
+    ``id_col``/``vec_col`` name the embedding relation's columns and fix
+    the state's on-disk schemas (ADVICE r11: reads pass these schemas
+    EXPLICITLY, so a crash that leaves a data-file-less directory — dir
+    created, no parquet committed — can never wedge recovery on 'Unable
+    to infer schema'). ``compact_every``/``keep_last``: fold batch-keyed
+    cell-index subdirs into one generation dir every that-many batches
+    (streaming/compaction.py), always leaving ``keep_last`` replayable.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        threshold: float = 0.35,
+        n_cells: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        vec_sql_type: str = "array<float>",
+        compact_every: int = 16,
+        keep_last: int = 2,
+    ):
         self.centroids_path = os.path.join(root, "centroids")
         self.index_path = os.path.join(root, "cell_index")
         self.decisions_path = os.path.join(root, "decisions")
         self.threshold = threshold
         self.n_cells = n_cells
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.vec_sql_type = vec_sql_type
+        self.compact_every = compact_every
+        self.keep_last = keep_last
+
+    @property
+    def centroids_schema(self) -> str:
+        return "cell_id int, centroid array<double>"
+
+    @property
+    def index_schema(self) -> str:
+        return (
+            f"{self.id_col} long, {self.vec_col} {self.vec_sql_type}, "
+            "cell_id int, batch_id int"
+        )
+
+    @property
+    def decisions_schema(self) -> str:
+        return (
+            f"{self.id_col} long, cell_id int, cos_to_centroid double, "
+            "is_dropped boolean, batch_id int"
+        )
 
     def centroids(self, spark: SparkSession) -> DataFrame | None:
+        """None means 'not yet frozen' — including the crash window where
+        the directory exists but no data file committed (explicit schema
+        + count, so the probe never throws on a half-write)."""
         if not os.path.exists(self.centroids_path):
             return None
-        return spark.read.parquet(self.centroids_path)
+        df = spark.read.schema(self.centroids_schema).parquet(
+            self.centroids_path
+        )
+        if not df.take(1):
+            return None
+        return df
+
+    def index(self, spark: SparkSession) -> DataFrame | None:
+        """The accumulated (id, vec, cell_id, batch_id) history, explicit
+        schema (an empty/partial first write reads as 0 rows, not an
+        inference error)."""
+        if not os.path.exists(self.index_path):
+            return None
+        return spark.read.schema(self.index_schema).parquet(self.index_path)
 
     def decisions(self, spark: SparkSession) -> DataFrame | None:
         """Every decided vector: (vec_id, cell_id, cos_to_centroid,
         is_dropped). batch_id rides along as the partition column."""
         if not os.path.exists(self.decisions_path):
             return None
-        return spark.read.parquet(self.decisions_path)
+        return spark.read.schema(self.decisions_schema).parquet(
+            self.decisions_path
+        )
 
 
 def curate_embeddings_batch(
     state: SemanticCurationState,
     batch: DataFrame,
     batch_id: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    id_col: str | None = None,
+    vec_col: str | None = None,
 ) -> list[DataFrame]:
     """One micro-batch of the continuous semantic-curation loop
     (foreachBatch body). ``batch`` carries (vec_id, embedding) with ids
@@ -95,7 +161,11 @@ def curate_embeddings_batch(
     check self-joins only the batch. Every persist this batch registers
     is released before return (ADVICE r10 cache-lifecycle contract)."""
     spark = batch.sparkSession
+    id_col = id_col or state.id_col
+    vec_col = vec_col or state.vec_col
     track: list[DataFrame] = []
+    # finish any compaction a crash interrupted BEFORE reading the index
+    compaction.recover_compaction(state.index_path)
     batch = batch.select(id_col, vec_col).persist()
     track.append(batch)
     if not batch.take(1):
@@ -115,7 +185,7 @@ def curate_embeddings_batch(
         ).select("cell_id", "centroid").write.mode("overwrite").parquet(
             state.centroids_path
         )
-        cents = spark.read.parquet(state.centroids_path)
+        cents = state.centroids(spark)
 
     assigned = (
         similarity._argmax_cell(
@@ -151,12 +221,15 @@ def curate_embeddings_batch(
         .filter(pair_cos >= F.lit(state.threshold))
         .select(F.col("_id_b").alias(id_col))
     )
-    if os.path.exists(state.index_path):
-        # prior batches' members of the touched cells. The contract makes
-        # every prior id lower than every batch id; the _id_a < _id_b
-        # guard stays as a correctness backstop for out-of-order ids.
+    prior_index = state.index(spark)
+    if prior_index is not None:
+        # prior batches' members of the touched cells (explicit-schema
+        # read: a crashed half-write can never wedge replay — ADVICE
+        # r11). The contract makes every prior id lower than every batch
+        # id; the _id_a < _id_b guard stays as a correctness backstop
+        # for out-of-order ids.
         prior = (
-            spark.read.parquet(state.index_path)
+            prior_index
             .filter(F.col("batch_id") < int(batch_id))
             .select(
                 "cell_id",
@@ -200,6 +273,21 @@ def curate_embeddings_batch(
         .write.mode("overwrite")
         .parquet(os.path.join(state.index_path, f"batch_id={int(batch_id)}"))
     )
+    if (
+        state.compact_every
+        and batch_id > 0
+        and batch_id % state.compact_every == 0
+    ):
+        # fold old batch dirs into one generation (crash-safe protocol in
+        # streaming/compaction.py). Readers compare batch_id only against
+        # the CURRENT id, and upto < current - keep_last, so collapsing
+        # old ids onto upto preserves every comparison.
+        compaction.compact_batch_dirs(
+            spark,
+            state.index_path,
+            int(batch_id) - state.keep_last,
+            sort_within=["cell_id"],
+        )
     for df in track:
         df.unpersist()
     return track
@@ -214,16 +302,31 @@ def run_semantic_curation(
     n_cells: int = 8,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_sql_type: str = "array<float>",
+    compact_every: int = 16,
+    keep_last: int = 2,
 ):
     """Drive the semantic-curation loop over a parquet drop-directory of
     embedding files: readStream -> foreachBatch(curate_embeddings_batch).
-    Returns the started StreamingQuery (availableNow drains everything
-    then stops)."""
+    ``id_col``/``vec_col``/``vec_sql_type`` parameterize both the source
+    schema and the state's on-disk schemas (ADVICE r11: previously the
+    source schema was hardcoded, making curate_embeddings_batch's
+    column parameters unreachable from the stream driver). Returns the
+    started StreamingQuery (availableNow drains everything then stops)."""
     state = SemanticCurationState(
-        state_root, threshold=threshold, n_cells=n_cells
+        state_root,
+        threshold=threshold,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        vec_sql_type=vec_sql_type,
+        compact_every=compact_every,
+        keep_last=keep_last,
     )
     src = (
-        spark.readStream.schema("vec_id long, embedding array<float>")
+        spark.readStream.schema(f"{id_col} long, {vec_col} {vec_sql_type}")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
@@ -233,3 +336,103 @@ def run_semantic_curation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollover_generation(
+    spark: SparkSession,
+    state: SemanticCurationState,
+    new_root: str,
+    n_cells_new: int,
+    iters: int = 3,
+    seed: str = "ivf-gen",
+) -> SemanticCurationState:
+    """Generation rollover (VERDICT r11 task 4 — mechanizing the one
+    documented scale cliff): re-cluster the ACCUMULATED corpus into a
+    finer cell structure under a NEW state root, carrying every decision
+    over, so the stream can continue against centroids sized for the
+    corpus it now has instead of the first batch's frozen guess.
+
+    Why it exists: the loop freezes centroids at batch 1 so decisions
+    stay stable, but per-batch cost is O(new x members of touched
+    cells) — with a fixed n_cells, cell populations grow linearly with
+    the corpus and the prior-member compare degrades toward a full-corpus
+    pair scan. Production holds |cell| constant by growing n_cells at
+    generation boundaries; this operator IS that boundary.
+
+    What it does (one batch job, all DataFrame ops):
+
+    1. train n_cells_new spherical-kmeans centroids over ALL accumulated
+       index vectors (``iters`` Lloyd rounds — a real re-cluster, not the
+       first batch's 0-round seed sample);
+    2. re-assign every indexed vector to its new cell and write the
+       whole history as ONE compacted generation dir ``batch_id=-1``
+       (below any streaming batch id, so the new stream's
+       ``batch_id < current`` prior-filter always includes it);
+    3. carry the decision table over VERBATIM into ``batch_id=-1``
+       (keep-first only ever compares a vector against LOWER ids, and a
+       re-cluster does not change the ids below a decided vector — so a
+       decision, once made, survives any number of rollovers; its
+       ``cell_id``/``cos_to_centroid`` keep describing the generation it
+       was decided under).
+
+    The new root is written non-destructively: the OLD root stays the
+    authoritative state until the caller switches the stream driver to
+    ``new_root`` with a FRESH checkpoint (batch ids restart at 0 —
+    that is why history lands at -1). Re-running a crashed rollover is
+    idempotent: every write is a deterministic overwrite of new_root.
+
+    Post-rollover semantics (pinned by tests/test_streaming_semantic.py
+    ::test_rollover_*): carried decisions are bit-identical to the
+    pre-rollover table; a vector ingested AFTER the rollover is dropped
+    iff some lower-id vector (any generation) lands in the same NEW cell
+    with cosine >= tau — i.e. the stream keeps computing exact SemDeDup,
+    just over the new cell structure.
+
+    Returns the new generation's :class:`SemanticCurationState`.
+    """
+    index = state.index(spark)
+    if index is None or not index.take(1):
+        raise ValueError("rollover requires a non-empty accumulated index")
+    new_state = SemanticCurationState(
+        new_root,
+        threshold=state.threshold,
+        n_cells=n_cells_new,
+        id_col=state.id_col,
+        vec_col=state.vec_col,
+        vec_sql_type=state.vec_sql_type,
+        compact_every=state.compact_every,
+        keep_last=state.keep_last,
+    )
+    vecs = index.select(state.id_col, state.vec_col)
+    similarity.ivf_train_centroids(
+        vecs,
+        n_cells_new,
+        iters=iters,
+        seed=seed,
+        id_col=state.id_col,
+        vec_col=state.vec_col,
+    ).select("cell_id", "centroid").write.mode("overwrite").parquet(
+        new_state.centroids_path
+    )
+    cents = new_state.centroids(spark)
+    (
+        similarity._argmax_cell(
+            vecs, cents.select("cell_id", "centroid"),
+            state.id_col, state.vec_col,
+        )
+        .select(state.id_col, state.vec_col, "cell_id")
+        .coalesce(1)
+        .sortWithinPartitions("cell_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(new_state.index_path, "batch_id=-1"))
+    )
+    decisions = state.decisions(spark)
+    if decisions is not None:
+        (
+            decisions.drop("batch_id")
+            .coalesce(1)
+            .sortWithinPartitions(state.id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(new_state.decisions_path, "batch_id=-1"))
+        )
+    return new_state
