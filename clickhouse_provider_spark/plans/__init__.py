@@ -32,15 +32,15 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 11: dedup_simhash_clusters' verify stage was restructured
-#: (VERDICT r10 task 4 — sim_b now rides the band row and the hub
-#: signatures broadcast, so verification has no shuffle join); the output
-#: relation is provably unchanged but the logical plan is new, so the r10
-#: green is re-attested officially. The curation storage-layer changes
-#: have no oracle entry; nothing else moved.
-PRIORITY_REPAIRED = (
-    "dedup_simhash_clusters",
-)
+#: Round 12: empty — dedup_simhash_clusters' restructured plan got its
+#: fresh official green in r11. The windowFunnel strict_increase
+#: resolution (VERDICT r11 task 1) changed DOCUMENTATION only: the
+#: window_funnel_strict_increase plan and oracle are untouched (both
+#: r11-green), and the ClickHouse-faithful machine lands as the NEW
+#: entry window_funnel_strict_increase_scan (auto-front-of-window via
+#: absence from LAST_GREEN_ROUND). The curation compaction/rollover work
+#: is storage-layer with no oracle entries.
+PRIORITY_REPAIRED = ()
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
 #: Empty after round 5 (everything else has been green at least once);
@@ -190,6 +190,38 @@ LAST_GREEN_ROUND = {
         "sliding_event_counts", "string_brand_stats",
         "token_budget_selection", "tumbling_event_counts",
         "user_sessions", "window_funnel", "window_funnel_exact",
+    )},
+    # round 11 official window: all 50 rows green (CORRECTNESS_r11.json) —
+    # folded in per the per-round refresh (VERDICT r11 task 7). Overrides
+    # earlier tiers for the re-attested names; the four round-11-new
+    # entries (semantic_dedup_prune, sequence_packing_bins,
+    # similarity_filtered_ann_eval, similarity_ivfpq_adc) and the
+    # re-attested dedup_simhash_clusters get their row here.
+    **{n: 11 for n in (
+        "approx_topk_heavy_hitters", "array_lambda_ops",
+        "bitwise_aggregates", "conditional_aggregates",
+        "cross_join_dims", "dedup_simhash_clusters",
+        "delta_sum_increases", "dict_get_enrich",
+        "embedding_quantize_int8", "gap_fill_interpolate",
+        "group_array_caps", "histogram_adaptive",
+        "late_shipment_buckets", "lttb_downsample", "min_max_map_props",
+        "multimodal_feature_stats", "null_handling",
+        "q10_returned_revenue", "q11_important_parts",
+        "q12_priority_lines", "q13_customer_distribution",
+        "q14_promo_share", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_disjunctive", "q21_waiting_suppliers",
+        "q22_global_sales_opportunity", "q2_min_price_part",
+        "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
+        "q8_market_share", "q9_product_profit",
+        "quantile_state_merge_rollup", "regex_classify",
+        "semantic_dedup_prune", "seq_next_node",
+        "seq_next_node_backward", "seq_next_node_last_match",
+        "sequence_packing_bins", "similarity_filtered_ann_eval",
+        "similarity_ivfpq_adc", "sum_map_props", "theta_set_algebra",
+        "topk_weighted", "uniq_state_merge_rollup",
+        "window_funnel_strict_dedup", "window_funnel_strict_increase",
+        "window_funnel_strict_order",
     )},
 }
 
