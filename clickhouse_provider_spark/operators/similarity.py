@@ -1136,6 +1136,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    skew_salt: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (round 11): cluster the
     corpus by embedding (coarse k-means cells, the IVF machinery), then
@@ -1147,10 +1148,23 @@ def semantic_dedup(
     bit-for-bit). Cross-cell near-dups are invisible by design: that is
     SemDeDup's recall/cost trade — the pair space shrinks from O(n²) to
     Σ|cell|², and clustering granularity (n_cells ∝ corpus size, fixed
-    target cell cardinality) caps the per-cell quadratic term. Skewed
-    cells at 100 TB: raise n_cells (finer cells lose only duplicates
-    whose members straddle a boundary) or band within the hot cell —
-    the same hub trick operators/dedup.py uses for LSH buckets.
+    target cell cardinality) caps the per-cell quadratic term.
+
+    Skewed cells (round 12, VERDICT r11 task 6): with a hot cell, the
+    within-cell join puts the whole |hot|² pair space on ONE task —
+    wall-clock becomes the straggler even though total work is the same.
+    ``skew_salt = S`` splits it exactly: the b-side is hashed into S
+    blocks, the a-side is replicated to every block, and the join key
+    becomes (cell_id, block) — every (a, b) pair still meets exactly
+    once (b has exactly one block), so the output is IDENTICAL (pinned
+    by tests), but the hot cell's pairs spread across S tasks at the
+    cost of an S× bigger a-side shuffle. Note the LSH hub trick
+    (operators/dedup.simhash_hub_pairs — compare members only against a
+    bucket hub) does NOT transfer here: band-equality is transitive
+    within a bucket, cosine-above-tau is not, so star comparisons would
+    miss drops. Salting preserves exactness; raising n_cells remains the
+    volume knob (finer cells lose only duplicates straddling a
+    boundary).
 
     Returns one row per vector: (vec_id, cell_id, cos_to_centroid,
     is_dropped) — the full curation decision relation, aggregable to
@@ -1194,8 +1208,20 @@ def semantic_dedup(
     pair_cos = dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
         F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
     )
+    if skew_salt > 1:
+        # exact triangle-salt: b keeps its one hash block, a replicates
+        # to all S blocks — the hot cell's pair space spreads over S
+        # tasks, every pair still met exactly once
+        s = int(skew_salt)
+        a = a.withColumn(
+            "_blk", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+        )
+        b = b.withColumn("_blk", F.pmod(F.xxhash64(F.col("_id_b")), F.lit(s)))
+        join_keys = ["cell_id", "_blk"]
+    else:
+        join_keys = ["cell_id"]
     dropped = (
-        a.join(b, "cell_id")
+        a.join(b, join_keys)
         .filter(F.col("_id_a") < F.col("_id_b"))
         .filter(pair_cos >= F.lit(threshold))
         .select(F.col("_id_b").alias(id_col))

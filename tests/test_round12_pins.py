@@ -311,3 +311,39 @@ def test_rollover_requires_nonempty_index(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="non-empty"):
         sc.rollover_generation(spark, state, "/tmp/nowhere", n_cells_new=8)
+
+
+# ------------------------------------------------------------- skew salt
+
+
+def test_semantic_dedup_skew_salt_is_exact(spark, emb):
+    """VERDICT r11 task 6: the triangle-salted within-cell join is an
+    EXACT rewrite — on a corpus with one deliberately hot cell (half the
+    vectors are near-identical), salted and unsalted semantic_dedup
+    produce identical decision relations. (The LSH hub/star trick would
+    NOT be exact here: cosine>=tau is not transitive.)"""
+    # hot half: vec 0's embedding everywhere (ids keep their identity)
+    hot = emb.filter(F.col("vec_id") < 250)
+    donor = hot.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("_d")
+    )
+    hot = hot.crossJoin(F.broadcast(donor)).select(
+        "vec_id", F.col("_d").alias("embedding")
+    )
+    skewed = hot.unionByName(emb.filter(F.col("vec_id") >= 250))
+    cents = similarity.ivf_train_centroids(skewed, 8, iters=0)
+    plain = _decision_set(
+        similarity.semantic_dedup(skewed, threshold=TAU, centroids=cents)
+    )
+    salted = _decision_set(
+        similarity.semantic_dedup(
+            skewed, threshold=TAU, centroids=cents, skew_salt=8
+        )
+    )
+    assert salted == plain
+    # the fixture really is skewed: one cell holds >= half the corpus
+    top = (
+        similarity._argmax_cell(skewed, cents, "vec_id", "embedding")
+        .groupBy("cell_id").count().agg(F.max("count")).first()[0]
+    )
+    assert top >= 250

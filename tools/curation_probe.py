@@ -90,6 +90,9 @@ def main() -> None:
     ap.add_argument("--skip-final-pin", action="store_true")
     ap.add_argument("--workload", choices=("neardup", "disjoint"),
                     default="neardup")
+    ap.add_argument("--compact-every", type=int, default=16,
+                    help="generation-compaction cadence (0 = off; r12 "
+                    "A/B knob for the linear listing/scan term)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation_probe")
@@ -102,7 +105,9 @@ def main() -> None:
     # measure the plan, not first-compilation of every stage in it
     warm_root = tempfile.mkdtemp(prefix="curation_probe_warm_")
     try:
-        warm_state = curation.CurationState(os.path.join(warm_root, "s"))
+        warm_state = curation.CurationState(
+            os.path.join(warm_root, "s"), compact_every=args.compact_every
+        )
         for b in range(2):
             wb = make_batch(base, b, args.workload).localCheckpoint(eager=True)
             curation.curate_batch(warm_state, wb, batch_id=b)
@@ -112,7 +117,9 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="curation_probe_")
     per_batch: dict[int, float] = {}
     try:
-        state = curation.CurationState(os.path.join(root, "state"))
+        state = curation.CurationState(
+            os.path.join(root, "state"), compact_every=args.compact_every
+        )
         for b in range(args.batches):
             batch = make_batch(base, b, args.workload).localCheckpoint(
                 eager=True)
@@ -140,6 +147,7 @@ def main() -> None:
     out = {
         "probe": "continuous_curation",
         "workload": args.workload,
+        "compact_every": args.compact_every,
         "sf_dir": args.sf_dir,
         "batch_docs": n_docs,
         "batches": args.batches,

@@ -62,13 +62,14 @@ def make_batch(base, b: int):
     )
 
 
-def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool) -> dict:
+def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool, compact_every: int = 16) -> dict:
     # warmup on a throwaway root: batch-1 latency must measure the plan,
     # not first-compilation
     warm_root = tempfile.mkdtemp(prefix="sem_probe_warm_")
     try:
         warm = sc.SemanticCurationState(
-            os.path.join(warm_root, "s"), threshold=TAU, n_cells=n_cells
+            os.path.join(warm_root, "s"), threshold=TAU, n_cells=n_cells,
+            compact_every=compact_every,
         )
         for b in range(2):
             wb = make_batch(base, b).localCheckpoint(eager=True)
@@ -80,7 +81,8 @@ def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool) -> dict:
     per_batch: dict[int, float] = {}
     try:
         state = sc.SemanticCurationState(
-            os.path.join(root, "state"), threshold=TAU, n_cells=n_cells
+            os.path.join(root, "state"), threshold=TAU, n_cells=n_cells,
+            compact_every=compact_every,
         )
         for b in range(n_batches):
             batch = make_batch(base, b).localCheckpoint(eager=True)
@@ -114,6 +116,7 @@ def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool) -> dict:
     t2 = per_batch.get(2)
     return {
         "n_cells": n_cells,
+        "compact_every": compact_every,
         "per_batch_sec": per_batch,
         "eff_vs_batch2": (
             {b: round(t / t2, 2) for b, t in per_batch.items() if b > 2}
@@ -124,6 +127,94 @@ def run_regime(spark, base, n_batches: int, n_cells: int, pin: bool) -> dict:
     }
 
 
+def run_rollover_regime(
+    spark,
+    base,
+    n_batches: int,
+    n_cells: int,
+    rollover_at: int,
+    n_cells_new: int,
+    pin: bool,
+) -> dict:
+    """The generation-rollover probe (VERDICT r11 task 4 'Done'
+    criterion): run the FIXED-granularity regime until ``rollover_at``
+    batches (per-batch cost ramps ~linearly by model), then
+    rollover_generation to ``n_cells_new`` and continue on the new root —
+    per-batch cost should RESET to the sized-granularity level. Also
+    re-pins the rollover invariants at probe scale: carried decisions are
+    bit-identical and the final table equals old-prefix + batch SemDeDup
+    (new centroids) over post-rollover ids."""
+    root = tempfile.mkdtemp(prefix="sem_probe_roll_")
+    per_batch: dict[int, float] = {}
+    try:
+        state = sc.SemanticCurationState(
+            os.path.join(root, "gen1"), threshold=TAU, n_cells=n_cells
+        )
+        for b in range(rollover_at):
+            batch = make_batch(base, b).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            sc.curate_embeddings_batch(state, batch, batch_id=b)
+            per_batch[b + 1] = round(time.perf_counter() - start, 3)
+        pre = {
+            (r["vec_id"], r["cell_id"], r["cos_to_centroid"], r["is_dropped"])
+            for r in state.decisions(spark).collect()
+        }
+        start = time.perf_counter()
+        gen2 = sc.rollover_generation(
+            spark, state, os.path.join(root, "gen2"),
+            n_cells_new=n_cells_new, iters=1,
+        )
+        rollover_sec = round(time.perf_counter() - start, 3)
+        carried_equal = {
+            (r["vec_id"], r["cell_id"], r["cos_to_centroid"], r["is_dropped"])
+            for r in gen2.decisions(spark).collect()
+        } == pre
+        for b in range(rollover_at, n_batches):
+            batch = make_batch(base, b).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            # fresh checkpoint semantics: post-rollover stream ids restart
+            sc.curate_embeddings_batch(gen2, batch, batch_id=b - rollover_at)
+            per_batch[b + 1] = round(time.perf_counter() - start, 3)
+        post_equal = None
+        if pin:
+            boundary = rollover_at * VEC_SPAN - 1  # ids are batch-shifted
+            ingested = spark.createDataFrame(
+                [], "vec_id long, embedding array<float>"
+            )
+            for b in range(n_batches):
+                ingested = ingested.unionByName(make_batch(base, b))
+            ingested = ingested.localCheckpoint(eager=True)
+            cents = gen2.centroids(spark)
+            want_post = {
+                (r["vec_id"], r["cell_id"], r["is_dropped"])
+                for r in similarity.semantic_dedup(
+                    ingested, threshold=TAU, centroids=cents
+                ).filter(F.col("vec_id") > boundary).collect()
+            }
+            got_post = {
+                (r["vec_id"], r["cell_id"], r["is_dropped"])
+                for r in gen2.decisions(spark)
+                .filter(F.col("vec_id") > boundary)
+                .collect()
+            }
+            post_equal = got_post == want_post
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    pre_window = [per_batch[b] for b in range(max(2, rollover_at - 2), rollover_at + 1) if b in per_batch]
+    post_window = [per_batch[b] for b in range(rollover_at + 1, min(rollover_at + 4, n_batches + 1)) if b in per_batch]
+    return {
+        "n_cells": n_cells,
+        "rollover_at": rollover_at,
+        "n_cells_new": n_cells_new,
+        "rollover_sec": rollover_sec,
+        "per_batch_sec": per_batch,
+        "pre_rollover_mean_sec": round(sum(pre_window) / len(pre_window), 3),
+        "post_rollover_mean_sec": round(sum(post_window) / len(post_window), 3),
+        "carried_decisions_equal": carried_equal,
+        "post_rollover_decisions_equal_batch": post_equal,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=32)
@@ -131,6 +222,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--skip-final-pin", action="store_true")
+    ap.add_argument("--rollover-at", type=int, default=0,
+                    help="run the rollover regime: fixed n-cells[0] until "
+                    "this batch, then rollover_generation to --n-cells-new")
+    ap.add_argument("--n-cells-new", type=int, default=256)
+    ap.add_argument("--compact-every", type=int, default=16)
     args = ap.parse_args()
 
     spark = get_spark(app_name="semantic_probe")
@@ -138,18 +234,32 @@ def main() -> None:
         "vec_id", "embedding"
     )
     n_vecs = base.count()
+    if args.rollover_at:
+        regimes = [
+            run_rollover_regime(
+                spark, base, args.batches, args.n_cells[0],
+                args.rollover_at, args.n_cells_new,
+                pin=not args.skip_final_pin,
+            )
+        ]
+        probe = "semantic_curation_generation_rollover"
+    else:
+        regimes = [
+            run_regime(
+                spark, base, args.batches, nc,
+                pin=not args.skip_final_pin,
+                compact_every=args.compact_every,
+            )
+            for nc in args.n_cells
+        ]
+        probe = "continuous_semantic_curation"
     out = {
-        "probe": "continuous_semantic_curation",
+        "probe": probe,
         "sf_dir": args.sf_dir,
         "batch_vecs": n_vecs,
         "batches": args.batches,
         "corpus_vecs_final": n_vecs * args.batches,
-        "regimes": [
-            run_regime(
-                spark, base, args.batches, nc, pin=not args.skip_final_pin
-            )
-            for nc in args.n_cells
-        ],
+        "regimes": regimes,
     }
     print(json.dumps(out))
 
