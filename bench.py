@@ -71,6 +71,10 @@ HEADLINE = [
     # Python path), backward sequenceNextNode, weighted SpaceSaving,
     # LTTB + adaptive histogram (time-series rendering pair)
     "window_funnel_strict_dedup",
+    # round-12: the ClickHouse-faithful greedy strict_increase machine
+    # (VERDICT r11 task 1 resolution — sibling of the optimal-chain
+    # window_funnel_strict_increase above)
+    "window_funnel_strict_increase_scan",
     "seq_next_node_backward",
     "topk_weighted",
     "lttb_downsample",

@@ -19,7 +19,11 @@ pinned by test (tests/test_dedup_index.py).
 This is the dedup twin of ``similarity.ivf_write_index`` /
 ``ivfpq_write_index`` (ANN side) and ``rollup.py`` (aggregate side):
 every expensive derived artifact in the engine has an incremental
-maintenance path. Round 10 closes the loop end-to-end: persisted
+maintenance path. The batch-keyed subdirs this module appends grow one
+directory per ingest batch; long-running streams fold old ones into a
+single generation directory via
+``streaming.compaction.compact_batch_dirs`` (round 12 — wired into the
+curation loops, usable standalone on any ``batch_id=N`` layout). Round 10 closes the loop end-to-end: persisted
 COMPONENT LABELS are also maintained incrementally
 (:func:`components_apply_edges` — localized relabel of only the
 components a new batch's verified edges touch), so continuous ingestion

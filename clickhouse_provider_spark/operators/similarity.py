@@ -297,26 +297,108 @@ def ivf_train_centroids(
 def _argmax_cell(
     emb: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Each vector → its max-cosine centroid: broadcast the (tiny)
-    centroid relation, per-vector argmax via row_number — map-side up to
-    the per-vector window, ties broken by cell_id for determinism.
+    """Each vector → its max-cosine centroid, strictly MAP-SIDE: the
+    (bounded, driver-collectable — same contract as the PQ codebooks)
+    centroid relation becomes a numpy constant and each Arrow batch
+    computes all N x n_cells cosines as dense vectorized arithmetic
+    (mapInPandas), picking per row the first maximum = lowest cell_id on
+    ties. Zero shuffles, zero sorts, zero per-pair join machinery.
+
+    Round 12, two steps: the original plan row_numbered the exploded
+    (vector x centroid) join — an N x n_cells shuffle+sort per
+    assignment call, which the rollover probe caught red-handed
+    (per-batch cost ROSE after re-clustering 8 -> 256 cells, the
+    opposite of the operator's purpose). A pure-DataFrame fold over a
+    broadcast centroid array removed the shuffle but ran ~2-4x SLOWER
+    end-to-end: ``aggregate``/``zip_with`` higher-order functions are
+    interpreted per element (measured ~21 us per 64-dim cosine — the
+    microbench lives in bisect/ARGMAX_r12.md). Like
+    :func:`pq_encode_arrow`, this is the deliberate "Python where
+    builtins genuinely lose" exception: dense per-row linear algebra
+    against a small constant is exactly the Arrow-batch + numpy shape.
+
+    IEEE op order is kept IDENTICAL to the relational form and the SQL
+    oracles: every dot/norm is the left-to-right fold over dimensions
+    (explicit per-dimension accumulation — never np.dot/einsum, whose
+    summation order is unspecified), cosine = dot / (norm_v * norm_c)
+    with the same NULL-on-zero-norm rule (a zero vector matches the old
+    DESC-NULLS-LAST window order: lowest cell_id, NULL cosine). Values
+    are therefore bit-identical and every downstream decision/oracle
+    relation is unchanged — only the physical plan moved; the executing
+    entries are re-attested via PRIORITY_REPAIRED (plans/__init__.py).
+
     Payload columns of ``emb`` (metadata tags like ``lang`` or ``label``)
     ride along, so an index written from a tagged relation can serve
     predicate-filtered probes (round 11)."""
-    from pyspark.sql.window import Window as W
+    import numpy as np
 
-    w = W.partitionBy(id_col).orderBy(F.col("cos_to_centroid").desc(), F.col("cell_id"))
-    return (
-        emb.join(F.broadcast(centroids))
-        .select(
-            emb["*"],
-            F.col("cell_id"),
-            cosine(F.col(vec_col), F.col("centroid")).alias("cos_to_centroid"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    from pyspark.sql import types as T
+
+    rows = centroids.select("cell_id", "centroid").collect()
+    in_schema = emb.schema
+    out_schema = T.StructType(
+        list(in_schema.fields)
+        + [
+            T.StructField(
+                "cell_id", centroids.schema["cell_id"].dataType, True
+            ),
+            T.StructField("cos_to_centroid", T.DoubleType(), True),
+        ]
     )
+    if not rows:
+        # empty centroid relation: the old join form produced no rows
+        return emb.sparkSession.createDataFrame([], out_schema)
+    rows = sorted(rows, key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in rows])
+    C = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )  # (k, d)
+    k, d = C.shape
+    # norm_c: left-to-right self-dot fold, identical to norm(centroid)
+    c2 = np.zeros(k, dtype=np.float64)
+    for j in range(d):
+        c2 += C[:, j] * C[:, j]
+    cn = np.sqrt(c2)
+    cols = [f.name for f in in_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (n, d)
+            v2 = np.zeros(n, dtype=np.float64)
+            dots = np.zeros((n, k), dtype=np.float64)
+            for j in range(d):
+                v2 += V[:, j] * V[:, j]
+                dots += V[:, j, None] * C[None, :, j]
+            vn = np.sqrt(v2)
+            denom = vn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / denom
+            cos_masked = np.where(denom == 0.0, -np.inf, cos)
+            # first max == lowest cell_id on ties (cell_ids ascend)
+            best = np.argmax(cos_masked, axis=1)
+            best_cos = cos_masked[np.arange(n), best]
+            out = pdf[cols].copy()
+            out["cell_id"] = cell_ids[best]
+            # nullable Float64 (not numpy float64): a zero-norm row must
+            # surface as SQL NULL through Arrow, never NaN — NULL is what
+            # the relational form produced and what DESC NULLS LAST /
+            # the oracles expect
+            null_mask = best_cos == -np.inf
+            vals = pd.array(
+                np.where(null_mask, 0.0, best_cos), dtype="Float64"
+            )
+            vals[null_mask] = pd.NA
+            out["cos_to_centroid"] = vals
+            yield out
+
+    return emb.mapInPandas(batches, out_schema)
 
 
 def ivf_assignments(

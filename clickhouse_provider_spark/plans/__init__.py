@@ -32,15 +32,24 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 12: empty — dedup_simhash_clusters' restructured plan got its
-#: fresh official green in r11. The windowFunnel strict_increase
-#: resolution (VERDICT r11 task 1) changed DOCUMENTATION only: the
-#: window_funnel_strict_increase plan and oracle are untouched (both
-#: r11-green), and the ClickHouse-faithful machine lands as the NEW
-#: entry window_funnel_strict_increase_scan (auto-front-of-window via
-#: absence from LAST_GREEN_ROUND). The curation compaction/rollover work
-#: is storage-layer with no oracle entries.
-PRIORITY_REPAIRED = ()
+#: Round 12: operators/similarity._argmax_cell was rebuilt map-side
+#: (fold over a broadcast centroid array instead of a row_number window
+#: over the exploded vector x centroid join — the rollover probe caught
+#: the old plan shuffling N x n_cells rows per assignment). Values are
+#: bit-identical (same cosine per pair, same tie-break; driver_sim
+#: 183/183 at the new code), but these four entries EXECUTE the new
+#: assignment at build time, so their r11 greens are re-attested.
+#: (The windowFunnel strict_increase resolution was docs-only for the
+#: existing entry; the ClickHouse-faithful machine lands as the NEW
+#: entry window_funnel_strict_increase_scan, auto-front-of-window. The
+#: curation compaction/rollover work is storage-layer, no oracle
+#: entries.)
+PRIORITY_REPAIRED = (
+    "semantic_dedup_prune",
+    "similarity_filtered_ann_eval",
+    "similarity_ivf_topk",
+    "similarity_ivfpq_adc",
+)
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.
 #: Empty after round 5 (everything else has been green at least once);

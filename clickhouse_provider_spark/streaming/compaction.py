@@ -139,7 +139,11 @@ def compact_batch_dirs(
     ``band_id=*``); ``sort_within`` re-sorts rows within output files so
     row-group min/max stats stay tight (``band_hash`` / ``cell_id``);
     ``n_files`` controls output file count per partition (compacted
-    generations should be few large files — that is the point).
+    generations should be few large files — that is the point). The
+    default of 1 suits micro-batch-sized state; at 100 TB pass
+    ``n_files ≈ generation_bytes / 1 GiB`` so the rewrite parallelizes
+    and files stay row-group friendly — hive-partitioned indexes already
+    parallelize through the inner-key repartition.
 
     The caller must guarantee no ``batch_id <= upto`` can be replayed or
     concurrently written (pass ``upto = current_batch - keep_last``,

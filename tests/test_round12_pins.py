@@ -347,3 +347,49 @@ def test_semantic_dedup_skew_salt_is_exact(spark, emb):
         .groupBy("cell_id").count().agg(F.max("count")).first()[0]
     )
     assert top >= 250
+
+
+# ------------------------------------------------- map-side cell argmax
+
+
+def test_argmax_cell_assignment_is_map_side(spark, emb):
+    """Round-12 plan pin: centroid assignment must not shuffle or sort
+    the vector relation. The old implementation row_numbered the exploded
+    (vector x centroid) join — an N x n_cells exchange per assignment
+    call, which the rollover probe caught (per-batch cost ROSE after
+    re-clustering to finer cells). The rewrite folds over one broadcast
+    centroid-array row: the only Exchange in the plan is the bounded
+    n_cells-row centroid aggregation."""
+    cents = similarity.ivf_train_centroids(
+        emb, 8, iters=0
+    ).localCheckpoint(eager=True)
+    plan = (
+        similarity._argmax_cell(emb, cents, "vec_id", "embedding")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    # assignment values are the old semantics: argmax cosine, ties to the
+    # lowest cell_id — cross-checked against an independent pandas argmax
+    import numpy as np
+
+    got = {
+        r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+        for r in similarity._argmax_cell(
+            emb, cents, "vec_id", "embedding"
+        ).collect()
+    }
+    C = {r["cell_id"]: np.array(r["centroid"]) for r in cents.collect()}
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        best = None
+        for cid in sorted(C):
+            c = C[cid]
+            cos = float(v @ c / (nv * np.linalg.norm(c))) if nv else None
+            if cos is not None and (best is None or cos > best[1]):
+                best = (cid, cos)
+        want_cid = best[0] if best else min(C)
+        assert got[r["vec_id"]][0] == want_cid
+        if best is not None:
+            assert abs(got[r["vec_id"]][1] - best[1]) < 1e-9
