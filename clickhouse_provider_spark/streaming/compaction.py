@@ -10,9 +10,14 @@ it grows one directory per micro-batch forever: the 64-batch probe
 (SCALE_PROBE_r11_curation.json) already showed a gentle linear
 listing/scan term, and a year-long stream would accumulate ~10^5 dirs.
 
-:func:`compact_batch_dirs` folds every ``batch_id=N`` directory with
-``N <= upto`` into ONE generation directory ``batch_id=<upto>`` —
-rewriting the same rows as fewer, larger, better-sorted files. Readers
+:func:`compact_batch_dirs` folds the ``batch_id=N`` micro-batch
+directories with ``N <= upto`` into ONE generation directory
+``batch_id=<max folded>`` (marked ``_GEN``) — rewriting the same rows
+as fewer, larger, better-sorted files. Folds are WINDOW-scoped by
+default: a fold reads only the micro-batch dirs accrued since the last
+fold, never prior generations, so per-fold I/O is O(window) — the
+first full-history cut measurably hurt (see compact_batch_dirs
+docstring). Readers
 are unaffected: consumers use ``batch_id`` only in order comparisons
 against the CURRENT batch id (``< b`` / ``<= b`` for history, ``== b``
 for the new side), and compaction only touches ids strictly older than
@@ -53,16 +58,21 @@ _BATCH_RE = re.compile(r"^batch_id=(-?\d+)$")
 _MANIFEST_RE = re.compile(r"^_compact_manifest_(-?\d+)\.json$")
 
 
-def list_batch_ids(path: str) -> list[int]:
+def list_batch_ids(path: str, skip_generations: bool = False) -> list[int]:
     """Sorted batch ids present as ``batch_id=N`` subdirs (os-level — no
     Spark job, this is the cheap listing the loops do per compaction
-    check)."""
+    check). ``skip_generations`` excludes dirs carrying the ``_GEN``
+    marker (already-compacted generations)."""
     if not os.path.isdir(path):
         return []
     out = []
     for name in os.listdir(path):
         m = _BATCH_RE.match(name)
         if m and os.path.isdir(os.path.join(path, name)):
+            if skip_generations and os.path.exists(
+                os.path.join(path, name, "_GEN")
+            ):
+                continue
             out.append(int(m.group(1)))
     return sorted(out)
 
@@ -130,10 +140,24 @@ def compact_batch_dirs(
     sort_within: list[str] | None = None,
     n_files: int = 1,
     min_dirs: int = 2,
+    window_only: bool = True,
 ) -> int:
-    """Fold every ``batch_id=N`` dir with ``N <= upto`` into one
-    ``batch_id=<upto>`` generation dir. Returns the number of source
-    dirs folded (0 = nothing to do).
+    """Fold ``batch_id=N`` dirs with ``N <= upto`` into one
+    ``batch_id=<max folded>`` generation dir (marked with a ``_GEN``
+    sentinel file Spark ignores). Returns the number of source dirs
+    folded (0 = nothing to do).
+
+    ``window_only=True`` (the default, and the r12 A/B-driven fix) folds
+    only NON-generation dirs — i.e. each fold rewrites just the tail
+    window of micro-batch dirs accrued since the previous fold, O(window)
+    I/O per fold, and prior generations are never re-read. The first cut
+    of this module re-folded the ENTIRE history every time (O(corpus)
+    rewrite per fold); the 64-batch A/B showed that churn costing more
+    than the mild listing term it removes (bisect/COMPACTION_AB_r12.md).
+    Dir count then grows as batches/compact_every — 10^5 micro-batches
+    at the default cadence is ~6k generation dirs; if that ever
+    dominates, a rare second-tier major fold is the same call with
+    ``window_only=False``.
 
     ``partition_by`` preserves an inner hive level (the LSH index keeps
     ``band_id=*``); ``sort_within`` re-sorts rows within output files so
@@ -150,15 +174,24 @@ def compact_batch_dirs(
     ``keep_last >= 1``, from within the single-writer foreachBatch loop).
     """
     recover_compaction(path)
-    ids = [b for b in list_batch_ids(path) if b <= upto]
+    ids = [
+        b
+        for b in list_batch_ids(path, skip_generations=window_only)
+        if b <= upto
+    ]
     if len(ids) < min_dirs:
         return 0
-    from pyspark.sql import functions as F
-
-    df: DataFrame = spark.read.parquet(path).filter(
-        F.col("batch_id") <= int(upto)
-    ).drop("batch_id")
-    tmp = _tmp_dir(path, upto)
+    hi = max(ids)
+    # read ONLY the window dirs (never the root): prior generations are
+    # not re-read, so per-fold I/O is O(window), not O(corpus). basePath
+    # keeps partition discovery rooted (the sources are partition dirs,
+    # possibly with an inner hive level of their own)
+    df: DataFrame = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"batch_id={b}") for b in ids]
+    )
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    tmp = _tmp_dir(path, hi)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     # hive-partitioned indexes rewrite through a hash shuffle on the
@@ -174,10 +207,14 @@ def compact_batch_dirs(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    # generation marker: window folds skip this dir forever after
+    # (written before the manifest, so a recovered fold keeps it)
+    with open(os.path.join(tmp, "_GEN"), "w") as f:
+        f.write("")
     sources = [f"batch_id={b}" for b in ids]
-    mf_tmp = _manifest(path, upto) + ".tmp"
+    mf_tmp = _manifest(path, hi) + ".tmp"
     with open(mf_tmp, "w") as f:
-        json.dump({"upto": upto, "sources": sources}, f)
-    os.rename(mf_tmp, _manifest(path, upto))
-    _finish(path, upto, sources)
+        json.dump({"upto": hi, "sources": sources}, f)
+    os.rename(mf_tmp, _manifest(path, hi))
+    _finish(path, hi, sources)
     return len(ids)

@@ -426,6 +426,10 @@ def rollover_generation(
         .write.mode("overwrite")
         .parquet(os.path.join(new_state.index_path, "batch_id=-1"))
     )
+    # the migrated history IS a generation: window folds must never
+    # re-read it (streaming/compaction.py _GEN contract)
+    with open(os.path.join(new_state.index_path, "batch_id=-1", "_GEN"), "w") as f:
+        f.write("")
     decisions = state.decisions(spark)
     if decisions is not None:
         (

@@ -226,12 +226,15 @@ def test_text_curation_with_compaction_equals_batch(spark, docs, tmp_path_factor
         for r in _text_batch_truth(docs).collect()
     }
     assert got == want
-    # dirs actually folded: 6 batches but only the last fold watermark +
-    # newer remain (watermark at batch 4 folded ids <= 3)
-    assert compaction.list_batch_ids(state.index_path) == [3, 4, 5]
+    # dirs actually folded, WINDOW-scoped: fold at b=2 made gen 1 from
+    # [0,1]; fold at b=4 made gen 3 from [2,3] (gen 1 never re-read)
+    assert compaction.list_batch_ids(state.index_path) == [1, 3, 4, 5]
+    assert compaction.list_batch_ids(
+        state.index_path, skip_generations=True
+    ) == [4, 5]
     assert compaction.list_batch_ids(
         os.path.join(state.index_path, "_texts")
-    ) == [3, 4, 5]
+    ) == [1, 3, 4, 5]
 
 
 def test_semantic_curation_with_compaction_equals_batch(
@@ -252,7 +255,7 @@ def test_semantic_curation_with_compaction_equals_batch(
         similarity.semantic_dedup(emb, threshold=TAU, centroids=cents)
     )
     assert _decision_set(state.decisions(spark)) == want
-    assert compaction.list_batch_ids(state.index_path) == [3, 4, 5]
+    assert compaction.list_batch_ids(state.index_path) == [1, 3, 4, 5]
 
 
 # -------------------------------------------------------------- rollover
