@@ -161,6 +161,13 @@ def test_compact_batch_dirs_preserves_rows(spark, tmp_path):
     assert df.filter(F.col("batch_id") == 4).count() == 10
     # idempotent: re-running folds nothing further (single gen + keep)
     assert compaction.compact_batch_dirs(spark, root, upto=3) == 0
+    # second-tier MAJOR fold (window_only=False): generations fold too
+    assert (
+        compaction.compact_batch_dirs(spark, root, upto=4, window_only=False)
+        == 2
+    )
+    assert compaction.list_batch_ids(root) == [4]
+    assert spark.read.parquet(root).count() == 50
 
 
 def test_compaction_crash_recovery_mid_protocol(spark, tmp_path):
