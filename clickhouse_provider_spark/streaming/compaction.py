@@ -38,11 +38,14 @@ is any row unrecoverable):
 4. rename tmp → ``batch_id=<upto>``
 5. delete the manifest
 
-Crash before 2: sources intact, orphan tmp swept next run. Crash in 3-4:
-the manifest names exactly what remains to delete and the ``_SUCCESS``
-marker proves the tmp holds every row — :func:`recover_compaction`
-(called on entry) finishes the protocol. Crash after 4: recovery just
-removes the manifest.
+Crash before 2: sources intact, orphan tmp swept next run (including a
+stale ``.json.tmp`` manifest half-write). Crash in 3-4: the manifest
+names exactly what remains to delete and the ``_SUCCESS`` marker proves
+the tmp holds every row — :func:`recover_compaction` (called on entry)
+finishes the protocol. Crash after 4: the tmp dir is gone, which proves
+the rename happened, so recovery deletes any leftover sources EXCEPT
+``batch_id=<upto>`` (that name is now the promoted generation — see
+:func:`_finish`) and removes the manifest.
 """
 
 from __future__ import annotations
@@ -87,10 +90,26 @@ def _manifest(path: str, upto: int) -> str:
 
 def _finish(path: str, upto: int, sources: list[str]) -> None:
     """Steps 3-5: delete sources, promote tmp, drop manifest. Re-entrant:
-    every step tolerates having already happened."""
+    every step tolerates having already happened.
+
+    CRITICAL (ADVICE r12, high): ``sources`` includes ``batch_id=<upto>``
+    — the same NAME the tmp dir is promoted to in step 4. On a re-entry
+    after a crash-post-rename, that path is no longer the source
+    micro-batch dir but the freshly promoted generation holding every
+    folded row; deleting it would be permanent data loss (tmp is gone, so
+    the rename can't replay, and the manifest removal would erase the
+    evidence). The tmp dir discriminates the two states exactly: the
+    manifest is only ever written AFTER tmp+``_SUCCESS`` exist, and
+    nothing but step 4's rename removes a complete tmp — so manifest
+    present + tmp absent ⇔ the rename already happened ⇔ the target is
+    the promoted generation. Skip its deletion in that state."""
     tmp = _tmp_dir(path, upto)
     target = os.path.join(path, f"batch_id={upto}")
+    target_name = f"batch_id={upto}"
+    renamed = not os.path.isdir(tmp)
     for name in sources:
+        if renamed and name == target_name:
+            continue  # promoted generation, not the source (see above)
         src = os.path.join(path, name)
         if os.path.isdir(src):
             shutil.rmtree(src)
@@ -130,6 +149,15 @@ def recover_compaction(path: str) -> None:
             os.path.join(path, n)
         ) and not os.path.exists(_manifest(path, int(n.rsplit("_", 1)[1]))):
             shutil.rmtree(os.path.join(path, n))
+        # orphan manifest half-write (crash between writing the .tmp and
+        # its atomic rename): the final manifest never existed, so the
+        # sources are fully intact — plain deletion is safe (ADVICE r12)
+        if (
+            n.startswith("_compact_manifest_")
+            and n.endswith(".json.tmp")
+            and os.path.isfile(os.path.join(path, n))
+        ):
+            os.remove(os.path.join(path, n))
 
 
 def compact_batch_dirs(

@@ -345,6 +345,7 @@ def rollover_generation(
     n_cells_new: int,
     iters: int = 3,
     seed: str = "ivf-gen",
+    n_files: int = 1,
 ) -> SemanticCurationState:
     """Generation rollover (VERDICT r11 task 4 — mechanizing the one
     documented scale cliff): re-cluster the ACCUMULATED corpus into a
@@ -388,6 +389,15 @@ def rollover_generation(
     with cosine >= tau — i.e. the stream keeps computing exact SemDeDup,
     just over the new cell structure.
 
+    ``n_files`` (ADVICE r12): the generation rewrite passes the ENTIRE
+    accumulated corpus through the writer — at exactly the scale point
+    rollover exists for, a ``coalesce(1)`` would funnel it into one task.
+    Pass ``n_files ≈ corpus_bytes / 1 GiB`` at scale; the writes go
+    through ``repartitionByRange(n_files, key)`` +
+    ``sortWithinPartitions`` so the rewrite parallelizes while files stay
+    cell-clustered with tight row-group min/max stats (same guidance as
+    streaming/compaction.py). The default of 1 suits test-sized corpora.
+
     Returns the new generation's :class:`SemanticCurationState`.
     """
     index = state.index(spark)
@@ -421,7 +431,7 @@ def rollover_generation(
             state.id_col, state.vec_col,
         )
         .select(state.id_col, state.vec_col, "cell_id")
-        .coalesce(1)
+        .repartitionByRange(n_files, "cell_id", state.id_col)
         .sortWithinPartitions("cell_id")
         .write.mode("overwrite")
         .parquet(os.path.join(new_state.index_path, "batch_id=-1"))
@@ -434,7 +444,7 @@ def rollover_generation(
     if decisions is not None:
         (
             decisions.drop("batch_id")
-            .coalesce(1)
+            .repartitionByRange(n_files, state.id_col)
             .sortWithinPartitions(state.id_col)
             .write.mode("overwrite")
             .parquet(os.path.join(new_state.decisions_path, "batch_id=-1"))

@@ -1,0 +1,173 @@
+"""Round-13 pins for the ADVICE r12 fixes: the compaction
+crash-after-rename data-loss window (high), degenerate-embedding handling
+in the map-side cell argmax (medium), the broadcast centroid matrix
+(VERDICT r12 task 5), manifest half-write sweep and parallelized rollover
+rewrite (low)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_provider_spark.operators import similarity
+from clickhouse_provider_spark.streaming import compaction
+
+
+def _write_batches(spark, root, n=4, rows_per=10):
+    for b in range(n):
+        spark.range(b * rows_per, (b + 1) * rows_per).select(
+            F.col("id").alias("doc_id")
+        ).write.parquet(os.path.join(root, f"batch_id={b}"))
+
+
+# ------------------------------------------------ compaction crash windows
+
+
+def test_compaction_crash_after_rename_keeps_promoted_generation(
+    spark, tmp_path
+):
+    """ADVICE r12 (high): the manifest's source list contains
+    ``batch_id=<upto>`` — the same NAME the tmp dir is promoted to in
+    step 4. A crash between the rename and the manifest delete used to
+    make recovery rmtree the freshly PROMOTED generation (tmp gone → the
+    rename can't replay → every folded row permanently lost). Recovery
+    must recognize 'manifest present + tmp absent' as the post-rename
+    state and never delete the target."""
+    root = str(tmp_path / "state")
+    _write_batches(spark, root)
+    # run a real fold to completion (steps 1-5)
+    assert compaction.compact_batch_dirs(spark, root, upto=2) == 3
+    gen = os.path.join(root, "batch_id=2")
+    assert os.path.exists(os.path.join(gen, "_GEN"))
+    # simulate the crash window: step 4 done, step 5 (manifest delete)
+    # not — recreate the manifest exactly as step 2 wrote it
+    with open(os.path.join(root, "_compact_manifest_2.json"), "w") as f:
+        json.dump(
+            {"upto": 2, "sources": [f"batch_id={b}" for b in range(3)]}, f
+        )
+    compaction.recover_compaction(root)
+    # the promoted generation survives, the manifest is gone, no row lost
+    assert os.path.isdir(gen)
+    assert not os.path.exists(os.path.join(root, "_compact_manifest_2.json"))
+    assert compaction.list_batch_ids(root) == [2, 3]
+    df = spark.read.parquet(root)
+    assert df.count() == 40
+    assert sorted(
+        r["doc_id"] for r in df.filter(F.col("batch_id") == 2).collect()
+    ) == list(range(30))
+    # and a fresh fold over the recovered state still works end-to-end
+    assert compaction.compact_batch_dirs(spark, root, upto=3) == 0  # 1 dir
+
+
+def test_compaction_recovery_is_idempotent_after_rename_crash(
+    spark, tmp_path
+):
+    """recover_compaction may itself crash and re-run: calling it twice
+    on the post-rename state must be a no-op the second time."""
+    root = str(tmp_path / "state")
+    _write_batches(spark, root)
+    compaction.compact_batch_dirs(spark, root, upto=2)
+    for _ in range(2):
+        with open(os.path.join(root, "_compact_manifest_2.json"), "w") as f:
+            json.dump(
+                {"upto": 2, "sources": [f"batch_id={b}" for b in range(3)]},
+                f,
+            )
+        compaction.recover_compaction(root)
+        compaction.recover_compaction(root)
+        assert spark.read.parquet(root).count() == 40
+
+
+def test_compaction_manifest_tmp_orphan_swept(spark, tmp_path):
+    """ADVICE r12 (low): a crash between writing
+    ``_compact_manifest_<n>.json.tmp`` and its atomic rename used to
+    leave the .tmp file forever (the recovery regex only matches the
+    final name). The sweep removes it; sources are intact at that point
+    so nothing else moves."""
+    root = str(tmp_path / "state")
+    _write_batches(spark, root, n=2)
+    orphan = os.path.join(root, "_compact_manifest_1.json.tmp")
+    with open(orphan, "w") as f:
+        json.dump({"upto": 1, "sources": ["batch_id=0", "batch_id=1"]}, f)
+    compaction.recover_compaction(root)
+    assert not os.path.exists(orphan)
+    assert compaction.list_batch_ids(root) == [0, 1]
+    assert spark.read.parquet(root).count() == 20
+
+
+# ------------------------------------------- argmax degenerate embeddings
+
+
+@pytest.fixture()
+def cents2(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id int, centroid array<double>",
+    )
+
+
+def test_argmax_cell_null_embedding_graceful(spark, cents2):
+    """ADVICE r12 (medium): a NULL embedding must degrade exactly like
+    the old relational plan — the row is emitted with the lowest cell_id
+    and a NULL cosine (the DESC-NULLS-LAST window result) — not crash the
+    whole job inside np.stack."""
+    emb = spark.createDataFrame(
+        [(1, [0.0, 3.0]), (2, None), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+        for r in similarity._argmax_cell(
+            emb, cents2, "vec_id", "embedding"
+        ).collect()
+    }
+    assert got[1] == (1, 1.0)
+    assert got[3] == (0, 1.0)
+    assert got[2] == (0, None)  # lowest cell_id, NULL cosine
+    # same rule as a zero-norm vector (the already-pinned degenerate)
+    z = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    (row,) = similarity._argmax_cell(z, cents2, "vec_id", "embedding").collect()
+    assert (row["cell_id"], row["cos_to_centroid"]) == (0, None)
+
+
+def test_argmax_cell_ragged_vector_raises_clearly(spark, cents2):
+    """A wrong-LENGTH vector is a schema violation, not a degradation:
+    fail with the dimensions named, not np.stack's opaque shape error."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="centroids are 2-dimensional"):
+        similarity._argmax_cell(emb, cents2, "vec_id", "embedding").collect()
+
+
+def test_argmax_cell_centroids_are_broadcast(spark, monkeypatch, cents2):
+    """VERDICT r12 task 5: the centroid matrix ships as an explicit
+    sparkContext.broadcast (once per executor, ContextCleaner-reclaimed),
+    never a task-closure constant — at production n_cells ~1e4-1e5 x
+    d=768 the closure would be a 60-600 MB per-task payload."""
+    import numpy as np
+
+    calls = []
+    orig = spark.sparkContext.broadcast
+
+    def spy(value):
+        calls.append(value)
+        return orig(value)
+
+    monkeypatch.setattr(spark.sparkContext, "broadcast", spy)
+    emb = spark.createDataFrame(
+        [(1, [0.0, 3.0]), (2, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity._argmax_cell(emb, cents2, "vec_id", "embedding")
+    assert len(calls) == 1
+    cell_ids, C, cn = calls[0]
+    assert list(cell_ids) == [0, 1] and C.shape == (2, 2)
+    assert np.allclose(cn, [1.0, 1.0])
+    # the broadcast plan computes the same assignments
+    got = {r["vec_id"]: r["cell_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 0}
