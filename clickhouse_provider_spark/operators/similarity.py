@@ -1232,6 +1232,21 @@ def ivfpq_topk(
     )
 
 
+#: Auto-salt budget: within-cell pair evaluations one shuffle task may
+#: own before the cell is split. Calibrated from SCALE_PROBE_r12_skew:
+#: a 9,328-member hot cell (~87M pairs) on one task ran 262 s; salt 32
+#: (~2.7M pairs/task) ran 33 s and sat in the flat region of the curve,
+#: while salt 8 (~11M/task) still straggled at 86 s. 3M pairs/task keeps
+#: the derived salt in that flat region (87M → salt 29) and leaves
+#: healthy cells unsalted (a cell at the ~2,000-member design target is
+#: ~4-5M pairs → salt 2 — a negligible 2x a-side replication).
+AUTO_SALT_TARGET_PAIRS = 3_000_000
+#: Cap on the derived salt: the a-side shuffle grows S-fold, so an
+#: absurdly hot cell should spill into "re-cluster finer" territory
+#: (rollover) rather than unbounded replication.
+AUTO_SALT_MAX = 64
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.6,
@@ -1240,7 +1255,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
-    skew_salt: int = 0,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (round 11): cluster the
     corpus by embedding (coarse k-means cells, the IVF machinery), then
@@ -1262,7 +1277,17 @@ def semantic_dedup(
     becomes (cell_id, block) — every (a, b) pair still meets exactly
     once (b has exactly one block), so the output is IDENTICAL (pinned
     by tests), but the hot cell's pairs spread across S tasks at the
-    cost of an S× bigger a-side shuffle. Note the LSH hub trick
+    cost of an S× bigger a-side shuffle.
+
+    The salt is AUTO-derived by default (round 13, VERDICT r12 task 1 —
+    the measured 262→33 s win shipped as a manual knob nobody turns):
+    ``skew_salt=None`` reads the hottest cell's population off the
+    already-checkpointed assignment (one bounded agg — n_cells rows) and
+    sets ``S = clamp(ceil(hottest² / AUTO_SALT_TARGET_PAIRS), 1,
+    AUTO_SALT_MAX)``, so a skewed corpus spreads its straggler with no
+    operator knob while a healthy corpus keeps S ≤ 2. Pass ``0``/``1``
+    to force the unsalted plan, or an explicit S ≥ 2 to pin one.
+    Note the LSH hub trick
     (operators/dedup.simhash_hub_pairs — compare members only against a
     bucket hub) does NOT transfer here: band-equality is transitive
     within a bucket, cosine-above-tau is not, so star comparisons would
@@ -1312,6 +1337,19 @@ def semantic_dedup(
     pair_cos = dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
         F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
     )
+    if skew_salt is None:
+        # auto-engage (VERDICT r12 task 1): the hottest cell's quadratic
+        # pair space, divided by the per-task budget, IS the number of
+        # blocks it must spread over. One n_cells-row agg over the
+        # checkpointed assignment — no extra scan of the corpus.
+        hottest = (
+            assigned.groupBy("cell_id").count().agg(F.max("count")).first()[0]
+            or 0
+        )
+        skew_salt = min(
+            AUTO_SALT_MAX,
+            max(1, -(-(hottest * hottest) // AUTO_SALT_TARGET_PAIRS)),
+        )
     if skew_salt > 1:
         # exact triangle-salt: b keeps its one hash block, a replicates
         # to all S blocks — the hot cell's pair space spreads over S

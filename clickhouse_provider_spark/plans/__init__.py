@@ -32,18 +32,16 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 12: operators/similarity._argmax_cell was rebuilt map-side
-#: (fold over a broadcast centroid array instead of a row_number window
-#: over the exploded vector x centroid join — the rollover probe caught
-#: the old plan shuffling N x n_cells rows per assignment). Values are
-#: bit-identical (same cosine per pair, same tie-break; driver_sim
-#: 183/183 at the new code), but these four entries EXECUTE the new
-#: assignment at build time, so their r11 greens are re-attested.
-#: (The windowFunnel strict_increase resolution was docs-only for the
-#: existing entry; the ClickHouse-faithful machine lands as the NEW
-#: entry window_funnel_strict_increase_scan, auto-front-of-window. The
-#: curation compaction/rollover work is storage-layer, no oracle
-#: entries.)
+#: Round 13: operators/similarity._argmax_cell changed physically again
+#: (ADVICE r12 + VERDICT r12 task 5 — the centroid matrix now ships as an
+#: explicit sparkContext.broadcast instead of a task-closure constant,
+#: and NULL embeddings take a graceful zero-vector path instead of
+#: crashing np.stack). Values are bit-identical on non-degenerate input
+#: (driver_sim 183/183 at the new code, pins in
+#: tests/test_round13_pins.py), but these four entries EXECUTE the new
+#: assignment at build time, so their r12 greens are re-attested.
+#: semantic_dedup_prune additionally carries the round-13 auto-engaged
+#: skew salt (VERDICT r12 task 1).
 PRIORITY_REPAIRED = (
     "semantic_dedup_prune",
     "similarity_filtered_ann_eval",
@@ -231,6 +229,34 @@ LAST_GREEN_ROUND = {
         "topk_weighted", "uniq_state_merge_rollup",
         "window_funnel_strict_dedup", "window_funnel_strict_increase",
         "window_funnel_strict_order",
+    )},
+    # round 12 official window: all 50 rows green (CORRECTNESS_r12.json) —
+    # folded in per the per-round refresh (VERDICT r12 task 3). Overrides
+    # earlier tiers for the re-attested names (incl. the four
+    # argmax-repaired entries); the round-12-new
+    # window_funnel_strict_increase_scan gets its first row here.
+    **{n: 12 for n in (
+        "anova_f", "bitmap_set_ops", "boilerplate_ngrams",
+        "bounding_ratio", "cluster_balanced_selection",
+        "covar_corr_matrix", "daily_counts", "date_time_functions",
+        "entropy_rank_profile", "exp_time_decayed_avg",
+        "geohash_encode", "group_array_sorted", "interval_length_sum",
+        "ipv4_functions", "knn_label_accuracy", "latest_watermark",
+        "max_intersections", "mixture_sampling_temperature",
+        "moving_window_aggs", "neighbor_diffs", "ngram_string_distance",
+        "q3_shipping_priority", "q5_regional_revenue",
+        "quality_logistic_score", "quantile_exact_weighted",
+        "quantile_timing", "replacing_dedup", "retention_aggregate",
+        "rollup_sales", "running_total", "semantic_cluster_kmeans",
+        "semantic_dedup_prune", "session_gaps",
+        "similarity_filtered_ann_eval", "similarity_ivf_topk",
+        "similarity_ivfpq_adc", "similarity_recall_eval",
+        "simple_linear_regression", "skew_kurtosis",
+        "skew_salted_topk_revenue", "sparkbar_render",
+        "spearman_rank_corr", "string_search_multi", "time_range",
+        "top3_per_group", "ttest_student_welch", "uniq_up_to",
+        "url_functions", "user_history",
+        "window_funnel_strict_increase_scan",
     )},
 }
 

@@ -74,9 +74,11 @@ class SemanticCurationState:
         compact_every: int = 16,
         keep_last: int = 2,
     ):
+        self.root = root
         self.centroids_path = os.path.join(root, "centroids")
         self.index_path = os.path.join(root, "cell_index")
         self.decisions_path = os.path.join(root, "decisions")
+        self.monitor_path = os.path.join(root, "monitor")
         self.threshold = threshold
         self.n_cells = n_cells
         self.id_col = id_col
@@ -133,6 +135,24 @@ class SemanticCurationState:
             self.decisions_path
         )
 
+    @property
+    def monitor_schema(self) -> str:
+        return "cell_id int, n_new long, batch_id int"
+
+    def monitor(self, spark: SparkSession) -> DataFrame | None:
+        """Per-batch, per-cell ingest counts (cell_id, n_new, batch_id) —
+        the monitoring relation the rollover trigger reads (VERDICT r12
+        task 2). Summing n_new over batches gives current cell
+        populations; joining a batch's rows against the prior cumulative
+        sum gives that batch's prior-compare volume. Tiny (≤ n_cells rows
+        per batch), batch-keyed like the index, folded on the same
+        compaction cadence."""
+        if not os.path.exists(self.monitor_path):
+            return None
+        return spark.read.schema(self.monitor_schema).parquet(
+            self.monitor_path
+        )
+
 
 def curate_embeddings_batch(
     state: SemanticCurationState,
@@ -166,6 +186,7 @@ def curate_embeddings_batch(
     track: list[DataFrame] = []
     # finish any compaction a crash interrupted BEFORE reading the index
     compaction.recover_compaction(state.index_path)
+    compaction.recover_compaction(state.monitor_path)
     batch = batch.select(id_col, vec_col).persist()
     track.append(batch)
     if not batch.take(1):
@@ -273,6 +294,16 @@ def curate_embeddings_batch(
         .write.mode("overwrite")
         .parquet(os.path.join(state.index_path, f"batch_id={int(batch_id)}"))
     )
+    # monitoring relation (VERDICT r12 task 2): per-cell ingest counts for
+    # this batch — ≤ n_cells rows off the already-persisted assignment,
+    # batch-keyed overwrite so replay is idempotent like every other write
+    (
+        assigned.groupBy("cell_id")
+        .agg(F.count("*").alias("n_new"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(state.monitor_path, f"batch_id={int(batch_id)}"))
+    )
     if (
         state.compact_every
         and batch_id > 0
@@ -285,6 +316,12 @@ def curate_embeddings_batch(
         compaction.compact_batch_dirs(
             spark,
             state.index_path,
+            int(batch_id) - state.keep_last,
+            sort_within=["cell_id"],
+        )
+        compaction.compact_batch_dirs(
+            spark,
+            state.monitor_path,
             int(batch_id) - state.keep_last,
             sort_within=["cell_id"],
         )
@@ -336,6 +373,176 @@ def run_semantic_curation(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: Design cell population: the largest cell whose within-cell pair space
+#: stays inside the calibrated per-task budget of the batch operator
+#: (operators/similarity.AUTO_SALT_TARGET_PAIRS — SCALE_PROBE_r12_skew):
+#: sqrt(3M pairs) ≈ 1,732 members. The trigger and the suggested new
+#: n_cells both derive from this one constant so the whole skew story
+#: (batch auto-salt, streaming rollover) shares a single calibration.
+TARGET_CELL_POP = int(similarity.AUTO_SALT_TARGET_PAIRS ** 0.5)
+
+
+def cell_populations(
+    spark: SparkSession, state: SemanticCurationState
+) -> DataFrame | None:
+    """Current per-cell populations — sum of the monitoring relation's
+    per-batch ingest counts (one agg over a tiny table; never scans the
+    vector index). None until the first batch lands."""
+    mon = state.monitor(spark)
+    if mon is None:
+        return None
+    return mon.groupBy("cell_id").agg(F.sum("n_new").alias("population"))
+
+
+def should_rollover(
+    spark: SparkSession,
+    state: SemanticCurationState,
+    roll_factor: float = 4.0,
+) -> dict:
+    """The rollover trigger policy (VERDICT r12 task 2 — the boundary is
+    mechanized by :func:`rollover_generation`, but at 100 TB the WATCH
+    must be part of the loop, not an operator someone remembers to run).
+
+    Policy: roll when the hottest cell's population reaches
+    ``roll_factor x TARGET_CELL_POP``. Rationale: per-batch compare cost
+    is Σ_c pop(c)·new(c), so the hottest cell dominates wall-clock once
+    its population leaves the design range; the r12 skew probe measured
+    the cliff concretely (a 9,328-member cell = 5.4x target was a 262 s
+    straggler for the batch operator). The default factor 4 (~6.9k)
+    triggers before that measured point. The suggested new cell count
+    re-centers every cell on TARGET_CELL_POP: ``max(2 x n_cells,
+    ceil(total / TARGET_CELL_POP))``.
+
+    Returns a dict — 'roll now' surfaced as data: ``{"roll": bool,
+    "hottest_pop": int, "total": int, "threshold": int,
+    "suggested_n_cells": int}``.
+    """
+    threshold = int(roll_factor * TARGET_CELL_POP)
+    pops = cell_populations(spark, state)
+    if pops is None:
+        return {
+            "roll": False, "hottest_pop": 0, "total": 0,
+            "threshold": threshold, "suggested_n_cells": state.n_cells,
+        }
+    row = pops.agg(
+        F.max("population").alias("h"), F.sum("population").alias("t")
+    ).first()
+    hottest, total = int(row["h"] or 0), int(row["t"] or 0)
+    suggested = max(state.n_cells * 2, -(-total // TARGET_CELL_POP))
+    return {
+        "roll": hottest >= threshold,
+        "hottest_pop": hottest,
+        "total": total,
+        "threshold": threshold,
+        "suggested_n_cells": int(suggested),
+    }
+
+
+def run_semantic_curation_generations(
+    spark: SparkSession,
+    source_dir: str,
+    root_base: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    max_files_per_trigger: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_sql_type: str = "array<float>",
+    compact_every: int = 16,
+    keep_last: int = 2,
+    roll_factor: float = 4.0,
+    rollover_iters: int = 3,
+    rollover_n_files: int = 1,
+    max_rollovers_per_call: int = 4,
+) -> tuple[SemanticCurationState, list[dict]]:
+    """Drain → check → (rollover → resume) — the loop that OWNS the
+    generation boundary (VERDICT r12 task 2's "ideally" path).
+
+    One call drains everything currently in ``source_dir`` (availableNow)
+    into the CURRENT generation root ``<root_base>/gen<k>``, then consults
+    :func:`should_rollover`; if the trigger fires, it rolls the state
+    into ``gen<k+1>`` (suggested n_cells) and drains again so any files
+    ingested mid-check land in the new generation. Call it per ingest
+    wave (or from a scheduler) — repeated calls resume where the last
+    left off.
+
+    The ONE checkpoint spans all generations: a fresh checkpoint would
+    make the file source re-ingest every historical file into the new
+    generation (duplicating decisions against the carried history), while
+    a continued checkpoint resumes from the recorded file offsets — batch
+    ids keep ascending, and the carried history's ``batch_id=-1`` stays
+    below them all, which is exactly why rollover parks it at -1.
+
+    Generation discovery is directory-based (``gen<k>`` with a frozen
+    centroid set = active): crash between rollover and the next drain
+    re-runs rollover idempotently (every rollover write is a
+    deterministic overwrite of the new root).
+
+    Returns ``(active_state, trigger_log)`` where trigger_log carries one
+    :func:`should_rollover` verdict dict per drain (with ``"gen"`` added)
+    — the operational record of WHY each boundary did or didn't fire.
+    """
+    def _state_for(gen: int) -> SemanticCurationState:
+        return SemanticCurationState(
+            os.path.join(root_base, f"gen{gen}"),
+            threshold=threshold,
+            n_cells=_gen_cells[gen],
+            id_col=id_col,
+            vec_col=vec_col,
+            vec_sql_type=vec_sql_type,
+            compact_every=compact_every,
+            keep_last=keep_last,
+        )
+
+    # resume: the active generation is the highest gen<k> dir with a
+    # frozen centroid set (a crashed, half-written rollover target is
+    # re-run below because the trigger re-fires on the same monitor data)
+    _gen_cells: dict[int, int] = {0: n_cells}
+    gen = 0
+    while os.path.isdir(os.path.join(root_base, f"gen{gen + 1}", "centroids")):
+        gen += 1
+        st = SemanticCurationState(os.path.join(root_base, f"gen{gen}"))
+        c = st.centroids(spark)
+        _gen_cells[gen] = c.count() if c is not None else n_cells
+
+    log: list[dict] = []
+    for _ in range(max_rollovers_per_call + 1):
+        state = _state_for(gen)
+        run_semantic_curation(
+            spark,
+            source_dir,
+            state.root,
+            checkpoint,
+            threshold=threshold,
+            n_cells=_gen_cells[gen],
+            max_files_per_trigger=max_files_per_trigger,
+            available_now=True,
+            id_col=id_col,
+            vec_col=vec_col,
+            vec_sql_type=vec_sql_type,
+            compact_every=compact_every,
+            keep_last=keep_last,
+        ).awaitTermination()
+        verdict = should_rollover(spark, state, roll_factor=roll_factor)
+        verdict["gen"] = gen
+        log.append(verdict)
+        if not verdict["roll"]:
+            return state, log
+        new_root = os.path.join(root_base, f"gen{gen + 1}")
+        rollover_generation(
+            spark,
+            state,
+            new_root,
+            n_cells_new=verdict["suggested_n_cells"],
+            iters=rollover_iters,
+            n_files=rollover_n_files,
+        )
+        gen += 1
+        _gen_cells[gen] = verdict["suggested_n_cells"]
+    return _state_for(gen), log
 
 
 def rollover_generation(
@@ -439,6 +646,24 @@ def rollover_generation(
     # the migrated history IS a generation: window folds must never
     # re-read it (streaming/compaction.py _GEN contract)
     with open(os.path.join(new_state.index_path, "batch_id=-1", "_GEN"), "w") as f:
+        f.write("")
+    # seed the new generation's MONITORING relation with the carried
+    # corpus's per-NEW-cell populations (read back off the just-written
+    # index — one cell_id-only column-pruned scan): without this,
+    # should_rollover would see the carried vectors as population zero
+    # and the next boundary would fire arbitrarily late
+    (
+        spark.read.schema(new_state.index_schema)
+        .parquet(new_state.index_path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_new"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(new_state.monitor_path, "batch_id=-1"))
+    )
+    with open(
+        os.path.join(new_state.monitor_path, "batch_id=-1", "_GEN"), "w"
+    ) as f:
         f.write("")
     decisions = state.decisions(spark)
     if decisions is not None:

@@ -171,3 +171,72 @@ def test_argmax_cell_centroids_are_broadcast(spark, monkeypatch, cents2):
     # the broadcast plan computes the same assignments
     got = {r["vec_id"]: r["cell_id"] for r in out.collect()}
     assert got == {1: 1, 2: 0}
+
+
+# ------------------------------------------------- auto-engaged skew salt
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from clickhouse_provider_spark.session import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+
+
+def test_semantic_dedup_auto_salt_formula():
+    """The derived salt is ceil(hottest^2 / budget), clamped to
+    [1, AUTO_SALT_MAX] — spelled out so a budget change is a conscious
+    recalibration against SCALE_PROBE data, not a drive-by."""
+    T = similarity.AUTO_SALT_TARGET_PAIRS
+    assert T == 3_000_000
+    calc = lambda h: min(  # noqa: E731 — mirror of the operator's clamp
+        similarity.AUTO_SALT_MAX, max(1, -(-(h * h) // T))
+    )
+    assert calc(0) == 1
+    assert calc(1_700) == 1  # healthy cell: ~2.9M pairs, below budget
+    assert calc(2_312) == 2  # the r12 probe's uniform hottest cell
+    assert calc(9_328) == 30  # the r12 probe's hot cell: flat region
+    assert calc(1_000_000) == similarity.AUTO_SALT_MAX  # capped
+
+
+def test_semantic_dedup_auto_salt_exact_and_engaged(spark, emb):
+    """VERDICT r12 task 1: with NO manual knob, a skewed corpus gets a
+    salted plan (derived from the hottest cell's population) and the
+    decision relation is identical to the unsalted plan — the r12
+    exactness pin, now exercised through the auto path."""
+    hot = emb.filter(F.col("vec_id") < 250)
+    donor = hot.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("_d")
+    )
+    hot = hot.crossJoin(F.broadcast(donor)).select(
+        "vec_id", F.col("_d").alias("embedding")
+    )
+    skewed = hot.unionByName(emb.filter(F.col("vec_id") >= 250))
+    cents = similarity.ivf_train_centroids(skewed, 8, iters=0)
+
+    def decisions(salt):
+        return {
+            (r["vec_id"], r["cell_id"], r["cos_to_centroid"], r["is_dropped"])
+            for r in similarity.semantic_dedup(
+                skewed, threshold=0.3, centroids=cents, skew_salt=salt
+            ).collect()
+        }
+
+    assert decisions(None) == decisions(0)
+    # the derivation really engages at scale: shrink the budget so this
+    # 500-vector fixture's hot cell (>=250 members -> >=62.5k pairs)
+    # crosses it, and assert the salted join keys appear in the plan
+    import unittest.mock as mock
+
+    with mock.patch.object(similarity, "AUTO_SALT_TARGET_PAIRS", 10_000):
+        auto = similarity.semantic_dedup(
+            skewed, threshold=0.3, centroids=cents
+        )
+        assert decisions(0) == {
+            (r["vec_id"], r["cell_id"], r["cos_to_centroid"], r["is_dropped"])
+            for r in auto.collect()
+        }
+        plan = auto._jdf.queryExecution().optimizedPlan().toString()
+        assert "_blk" in plan  # the salted block key is in the join

@@ -171,3 +171,114 @@ def test_semantic_batch_releases_caches(spark, emb, tmp_path_factory):
             assert not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap), (
                 f"batch {b} left a persisted relation behind: {lvl}"
             )
+
+
+# --------------------------------------------- rollover trigger (round 13)
+
+
+def test_monitor_relation_tracks_cell_populations(spark, emb, tmp_path_factory):
+    """Each micro-batch appends its per-cell ingest counts; summing them
+    reproduces the index's true cell populations without scanning it."""
+    root = str(tmp_path_factory.mktemp("semmon"))
+    state = sc.SemanticCurationState(os.path.join(root, "state"), threshold=TAU)
+    parts = _parts(emb)
+    for b, p in enumerate(parts):
+        sc.curate_embeddings_batch(state, p, batch_id=b)
+    pops = {
+        r["cell_id"]: r["population"]
+        for r in sc.cell_populations(spark, state).collect()
+    }
+    truth = {
+        r["cell_id"]: r["count"]
+        for r in state.index(spark).groupBy("cell_id").count().collect()
+    }
+    assert pops == truth
+    assert sum(pops.values()) == emb.count()
+    # batch-keyed like the index (idempotent replay)
+    assert state.monitor(spark).select("batch_id").distinct().count() == 3
+
+
+def test_should_rollover_policy(spark, emb, tmp_path_factory, monkeypatch):
+    """The trigger is pure data: roll iff the hottest cell's population
+    crosses roll_factor x TARGET_CELL_POP; the suggested n_cells
+    re-centers cells on the design population."""
+    monkeypatch.setattr(sc, "TARGET_CELL_POP", 10)
+    root = str(tmp_path_factory.mktemp("semtrig"))
+    state = sc.SemanticCurationState(os.path.join(root, "state"), threshold=TAU)
+    # empty state: never roll
+    v0 = sc.should_rollover(spark, state)
+    assert v0 == {
+        "roll": False, "hottest_pop": 0, "total": 0,
+        "threshold": 40, "suggested_n_cells": 8,
+    }
+    parts = _parts(emb)
+    sc.curate_embeddings_batch(state, parts[0], batch_id=0)
+    v1 = sc.should_rollover(spark, state)  # hottest 27 < 40 (calibrated)
+    assert v1["roll"] is False and v1["hottest_pop"] < v1["threshold"]
+    sc.curate_embeddings_batch(state, parts[1], batch_id=1)
+    v2 = sc.should_rollover(spark, state)  # hottest 53 >= 40
+    assert v2["roll"] is True and v2["hottest_pop"] >= v2["threshold"]
+    assert v2["total"] == 334
+    assert v2["suggested_n_cells"] == max(16, -(-334 // 10))
+
+
+def test_generations_driver_rolls_at_boundary_and_stays_exact(
+    spark, emb, tmp_path_factory, monkeypatch
+):
+    """VERDICT r12 task 2 'done': the loop ITSELF flags and performs the
+    rollover at the measured boundary — one checkpoint spans generations
+    (no file re-ingestion, ids keep ascending past the carried
+    batch_id=-1), carried decisions are bit-identical, and post-rollover
+    decisions equal batch SemDeDup over the new generation's cells."""
+    monkeypatch.setattr(sc, "TARGET_CELL_POP", 10)  # threshold 40
+    root = str(tmp_path_factory.mktemp("semgen"))
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    base = os.path.join(root, "gens")
+    ckpt = os.path.join(root, "ckpt")
+    parts = _parts(emb)
+    kw = dict(threshold=TAU, n_cells=8, max_files_per_trigger=1)
+
+    # wave 1: hottest 27 < 40 — no boundary
+    _drop(src, 0, parts[0], root)
+    state, log = sc.run_semantic_curation_generations(spark, src, base, ckpt, **kw)
+    assert [v["roll"] for v in log] == [False]
+    assert state.root.endswith("gen0")
+    pre_w1 = _decision_set(state.decisions(spark))
+    assert len(pre_w1) == parts[0].count()
+
+    # wave 2: cumulative hottest 53 >= 40 — the loop rolls to gen1
+    _drop(src, 1, parts[1], root)
+    state, log = sc.run_semantic_curation_generations(spark, src, base, ckpt, **kw)
+    assert [(v["gen"], v["roll"]) for v in log] == [(0, True), (1, False)]
+    assert state.root.endswith("gen1")
+    assert state.n_cells == max(16, -(-334 // 10))
+    boundary = parts[1].agg(F.max("vec_id")).first()[0]
+    # carried decisions bit-identical to the pre-rollover table
+    gen0 = sc.SemanticCurationState(os.path.join(base, "gen0"), threshold=TAU)
+    assert _decision_set(state.decisions(spark)) == _decision_set(
+        gen0.decisions(spark)
+    )
+    # monitor seeded with the carried corpus: populations = full history
+    assert sum(
+        r["population"] for r in sc.cell_populations(spark, state).collect()
+    ) == 334
+
+    # wave 3 drains into gen1 (resume discovers the active generation)
+    _drop(src, 2, parts[2], root)
+    state, log = sc.run_semantic_curation_generations(spark, src, base, ckpt, **kw)
+    assert state.root.endswith("gen1") and [v["roll"] for v in log] == [False]
+    got = _decision_set(state.decisions(spark))
+    assert len(got) == emb.count()
+    # prefix decisions survived both the rollover and the next wave
+    assert _decision_set(gen0.decisions(spark)) <= got
+    # post-rollover truth: batch SemDeDup with the NEW centroids over ALL
+    # vectors, restricted to post-boundary ids (keep-first only looks at
+    # lower ids — old vectors' presence matters, their old labels don't)
+    new_cents = state.centroids(spark)
+    want_post = _decision_set(
+        similarity.semantic_dedup(
+            emb, threshold=TAU, centroids=new_cents
+        ).filter(F.col("vec_id") > boundary)
+    )
+    assert {t for t in got if t[0] > boundary} == want_post

@@ -66,14 +66,19 @@ def build_corpus(base, replicas: int, skewed: bool):
     return out.localCheckpoint(eager=True)
 
 
-def time_dedup(corpus, cents, salt: int, reps: int) -> dict:
+def time_dedup(corpus, cents, salt, reps: int) -> dict:
+    """salt may be an int (manual / 0 = off) or the string 'auto'
+    (round 13: skew_salt=None lets the operator derive S from the
+    hottest cell's population — the no-knob path the probe must show
+    flat)."""
+    salt_arg = None if salt == "auto" else int(salt)
     samples = []
     n = None
     for _ in range(reps):
         start = time.perf_counter()
         n = (
             similarity.semantic_dedup(
-                corpus, threshold=TAU, centroids=cents, skew_salt=salt
+                corpus, threshold=TAU, centroids=cents, skew_salt=salt_arg
             )
             .groupBy("is_dropped")
             .count()
@@ -91,7 +96,7 @@ def time_dedup(corpus, cents, salt: int, reps: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
-    ap.add_argument("--salts", type=int, nargs="+", default=[0, 8, 32])
+    ap.add_argument("--salts", nargs="+", default=[0, "auto"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -118,9 +123,11 @@ def main() -> None:
             .groupBy("cell_id").count().agg(F.max("count")).first()[0]
         )
         key = "skewed" if skewed else "uniform"
+        # uniform runs 0 vs auto too: the auto path must not tax a
+        # healthy corpus (its derived salt should be ~1-2)
         runs = [
             time_dedup(corpus, cents, salt, args.reps)
-            for salt in (args.salts if skewed else [0])
+            for salt in (args.salts if skewed else [0, "auto"])
         ]
         out["variants"][key] = {"hottest_cell": hot, "runs": runs}
         if skewed and len(runs) > 1:
@@ -128,9 +135,10 @@ def main() -> None:
             plain = similarity.semantic_dedup(
                 corpus, threshold=TAU, centroids=cents, skew_salt=0
             ).select("vec_id", "is_dropped")
+            last = args.salts[-1]
             salted = similarity.semantic_dedup(
                 corpus, threshold=TAU, centroids=cents,
-                skew_salt=args.salts[-1],
+                skew_salt=None if last == "auto" else int(last),
             ).select("vec_id", "is_dropped")
             diff = plain.exceptAll(salted).count() + salted.exceptAll(plain).count()
             out["variants"][key]["salted_equals_plain"] = diff == 0
