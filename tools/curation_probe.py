@@ -93,6 +93,12 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=16,
                     help="generation-compaction cadence (0 = off; r12 "
                     "A/B knob for the linear listing/scan term)")
+    ap.add_argument("--major-fold-at-end", action="store_true",
+                    help="VERDICT r12 task 7: after the loop, run one "
+                    "second-tier MAJOR fold (window_only=False) over the "
+                    "accrued generation dirs, record dir counts + fold "
+                    "time, and run the final labels pin AFTER it (the "
+                    "invariant must survive the major fold)")
     args = ap.parse_args()
 
     spark = get_spark(app_name="curation_probe")
@@ -126,6 +132,47 @@ def main() -> None:
             start = time.perf_counter()
             curation.curate_batch(state, batch, batch_id=b)
             per_batch[b + 1] = round(time.perf_counter() - start, 3)
+        major = None
+        if args.major_fold_at_end:
+            from clickhouse_provider_spark.streaming import compaction
+
+            texts = os.path.join(state.index_path, "_texts")
+            before = {
+                "index_dirs": len(compaction.list_batch_ids(state.index_path)),
+                "texts_dirs": len(compaction.list_batch_ids(texts)),
+            }
+            upto = args.batches - 1 - 1  # leave keep_last=1 replayable
+            t0 = time.perf_counter()
+            folded_idx = compaction.compact_batch_dirs(
+                spark, state.index_path, upto,
+                partition_by=["band_id"], sort_within=["band_hash"],
+                window_only=False,
+            )
+            folded_txt = compaction.compact_batch_dirs(
+                spark, texts, upto,
+                sort_within=["doc_id"], window_only=False,
+            )
+            major = {
+                "before": before,
+                "folded": {"index": folded_idx, "texts": folded_txt},
+                "after": {
+                    "index_dirs": len(
+                        compaction.list_batch_ids(state.index_path)
+                    ),
+                    "texts_dirs": len(compaction.list_batch_ids(texts)),
+                },
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+            # one post-fold batch: the labels pin below must exercise
+            # candidate probes READING the folded index (the stored
+            # labels alone wouldn't — the fold doesn't touch them)
+            extra = make_batch(base, args.batches, args.workload)
+            t0 = time.perf_counter()
+            curation.curate_batch(
+                state, extra.localCheckpoint(eager=True),
+                batch_id=args.batches,
+            )
+            major["post_fold_batch_sec"] = round(time.perf_counter() - t0, 3)
         labels_equal = None
         if not args.skip_final_pin:
             got = {
@@ -133,7 +180,8 @@ def main() -> None:
                 for r in state.labels(spark).collect()
             }
             ingested = base.sparkSession.createDataFrame([], "doc_id long, text string")
-            for b in range(args.batches):
+            n_ingested = args.batches + (1 if args.major_fold_at_end else 0)
+            for b in range(n_ingested):
                 ingested = ingested.unionByName(make_batch(base, b, args.workload))
             want = {
                 (r["doc_id"], r["component_id"])
@@ -171,6 +219,7 @@ def main() -> None:
             else {}
         ),
         "labels_equal_batch_at_final": labels_equal,
+        "major_fold": major,
     }
     print(json.dumps(out))
 

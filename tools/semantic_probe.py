@@ -215,6 +215,124 @@ def run_rollover_regime(
     }
 
 
+def run_triggered_regime(
+    spark,
+    base,
+    n_batches: int,
+    n_cells: int,
+    pin: bool,
+    roll_factor: float = 4.0,
+    compact_every: int = 16,
+) -> dict:
+    """VERDICT r12 task 2 'done' probe: the loop ITSELF consults
+    should_rollover after every batch and performs the rollover when the
+    monitoring relation crosses the threshold — no human picks the
+    boundary. Records the full trigger log (hottest/threshold per batch),
+    each fired rollover, per-batch cost, and pins the per-generation
+    decision invariant: within each generation's id segment, decisions
+    equal batch semantic_dedup over ALL ingested vectors under THAT
+    generation's centroids (keep-first only looks at lower ids, so the
+    carried history's presence is all that matters)."""
+    warm_root = tempfile.mkdtemp(prefix="sem_probe_warm_")
+    try:
+        warm = sc.SemanticCurationState(
+            os.path.join(warm_root, "s"), threshold=TAU, n_cells=n_cells,
+            compact_every=compact_every,
+        )
+        for b in range(2):
+            wb = make_batch(base, b).localCheckpoint(eager=True)
+            sc.curate_embeddings_batch(warm, wb, batch_id=b)
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="sem_probe_trig_")
+    per_batch: dict[int, float] = {}
+    trigger_log: list[dict] = []
+    rollovers: list[dict] = []
+    try:
+        state = sc.SemanticCurationState(
+            os.path.join(root, "gen0"), threshold=TAU, n_cells=n_cells,
+            compact_every=compact_every,
+        )
+        # (segment start id, generation state) — gen g decides ids from
+        # its start until the next rollover boundary
+        segments = [(0, state)]
+        for b in range(n_batches):
+            batch = make_batch(base, b).localCheckpoint(eager=True)
+            start = time.perf_counter()
+            # batch ids CONTINUE across generations (the one-checkpoint
+            # contract of run_semantic_curation_generations)
+            sc.curate_embeddings_batch(state, batch, batch_id=b)
+            per_batch[b + 1] = round(time.perf_counter() - start, 3)
+            v = sc.should_rollover(spark, state, roll_factor=roll_factor)
+            v["batch"] = b + 1
+            trigger_log.append(v)
+            if v["roll"]:
+                t0 = time.perf_counter()
+                state = sc.rollover_generation(
+                    spark, state,
+                    os.path.join(root, f"gen{len(segments)}"),
+                    n_cells_new=v["suggested_n_cells"],
+                )
+                rollovers.append({
+                    "after_batch": b + 1,
+                    "n_cells_new": v["suggested_n_cells"],
+                    "sec": round(time.perf_counter() - t0, 3),
+                })
+                segments.append(((b + 1) * VEC_SPAN, state))
+        seg_equal = None
+        if pin:
+            ingested = spark.createDataFrame(
+                [], "vec_id long, embedding array<float>"
+            )
+            for b in range(n_batches):
+                ingested = ingested.unionByName(make_batch(base, b))
+            ingested = ingested.localCheckpoint(eager=True)
+            final_dec = state.decisions(spark)
+            seg_equal = final_dec.count() == ingested.count()
+            for i, (start_id, seg_state) in enumerate(segments):
+                end_id = (
+                    segments[i + 1][0]
+                    if i + 1 < len(segments)
+                    else 1 << 62
+                )
+                want = {
+                    (r["vec_id"], r["is_dropped"])
+                    for r in similarity.semantic_dedup(
+                        ingested, threshold=TAU,
+                        centroids=seg_state.centroids(spark),
+                    )
+                    .filter(
+                        (F.col("vec_id") >= start_id)
+                        & (F.col("vec_id") < end_id)
+                    )
+                    .collect()
+                }
+                got = {
+                    (r["vec_id"], r["is_dropped"])
+                    for r in final_dec.filter(
+                        (F.col("vec_id") >= start_id)
+                        & (F.col("vec_id") < end_id)
+                    ).collect()
+                }
+                seg_equal = seg_equal and got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_cells_initial": n_cells,
+        "roll_factor": roll_factor,
+        "per_batch_sec": per_batch,
+        "trigger_log": [
+            {k: v[k] for k in ("batch", "roll", "hottest_pop", "threshold",
+                               "suggested_n_cells")}
+            for v in trigger_log
+        ],
+        "rollovers": rollovers,
+        "generations": len(segments),
+        "per_generation_decisions_equal_batch": seg_equal,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=32)
@@ -227,6 +345,10 @@ def main() -> None:
                     "this batch, then rollover_generation to --n-cells-new")
     ap.add_argument("--n-cells-new", type=int, default=256)
     ap.add_argument("--compact-every", type=int, default=16)
+    ap.add_argument("--triggered", action="store_true",
+                    help="round-13 regime: the loop itself fires "
+                    "rollovers via should_rollover (no human boundary)")
+    ap.add_argument("--roll-factor", type=float, default=4.0)
     args = ap.parse_args()
 
     spark = get_spark(app_name="semantic_probe")
@@ -234,7 +356,17 @@ def main() -> None:
         "vec_id", "embedding"
     )
     n_vecs = base.count()
-    if args.rollover_at:
+    if args.triggered:
+        regimes = [
+            run_triggered_regime(
+                spark, base, args.batches, args.n_cells[0],
+                pin=not args.skip_final_pin,
+                roll_factor=args.roll_factor,
+                compact_every=args.compact_every,
+            )
+        ]
+        probe = "semantic_curation_triggered_rollover"
+    elif args.rollover_at:
         regimes = [
             run_rollover_regime(
                 spark, base, args.batches, args.n_cells[0],
