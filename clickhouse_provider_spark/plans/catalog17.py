@@ -191,7 +191,10 @@ def q_similarity_ivfpq_adc(spark, t):
     f"any doc whose cosine to a lower-id cell-mate is >= {_SEM_THR} "
     "(deterministic keep-first). Pair space shrinks from O(n^2) to "
     "sum(|cell|^2); the within-cell self-join shuffles each vector once "
-    "on cell_id. Output: per-cell doc/dropped/kept counts (exact "
+    "on cell_id, and a hot cell auto-engages the exact triangle salt "
+    "(round 13: skew_salt derived from the hottest cell's population vs "
+    "a 3M-pairs-per-task budget — decisions identical, straggler split). "
+    "Output: per-cell doc/dropped/kept counts (exact "
     "integers) + min/max cosine-to-centroid (order-independent extremes "
     "of bit-identical floats). Catches paraphrase-level duplicates the "
     "surface family (MinHash/SimHash/ExactSubstr) cannot see; "

@@ -3,8 +3,10 @@ text loop (streaming/curation.py): embedding batches arrive as a stream,
 each micro-batch is assigned to coarse cells against a PERSISTED centroid
 set (frozen at the first batch, so decisions are stable across the
 stream), compared against the prior members of ONLY its touched cells
-(partition-pruned scan of the on-disk cell index, new side broadcast),
-and its keep/drop decisions are appended to a decision table.
+(column-pruned scan of the on-disk cell index against the new side
+broadcast as per-cell numpy matrices — the map-side Arrow kernel
+:func:`_dropped_vs_new`), and its keep/drop decisions are appended to a
+decision table.
 
 The decision layer is strictly simpler than the text loop's label table:
 SemDeDup's keep-first rule (operators/similarity.semantic_dedup — a
@@ -154,6 +156,118 @@ class SemanticCurationState:
         )
 
 
+def _dropped_vs_new(
+    prior: DataFrame,
+    new_rows: list,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """New-batch ids dropped by keep-first against ``prior`` — the
+    streaming loop's pair compare as a strictly MAP-SIDE Arrow kernel
+    (round 13; the _argmax_cell pattern a second time).
+
+    Why: the relational form (broadcast-hash-join the new side against
+    the prior scan, cosine as a zip_with/aggregate fold per pair) is
+    interpreted per element — ~5 µs per 64-dim pair — so per-batch cost
+    is pairs x 5 µs spread over however many SCAN SPLITS the prior side
+    happens to have. The round-13 trigger probe caught the consequence:
+    after the first window fold rewrote 15 batch dirs into one small
+    generation file, the prior scan collapsed to ~1 split and per-batch
+    cost jumped 5.6 s -> 39.7 s (SCALE_PROBE_r13_trigger.json, batches
+    18-23) on IDENTICAL pair volume. This kernel keeps the exact same
+    dataflow shape — new side driver-collected (bounded: it is one
+    ingest micro-batch, the same contract that justified
+    F.broadcast(new_side)), prior side streamed through its scan with
+    ZERO shuffle — but evaluates each Arrow batch's pairs as dense
+    numpy, ~50-100x cheaper per pair, so even a one-split generation
+    file stays in the noise at probe scale and a 128 MB production
+    split costs ~0.5 s instead of ~50 s.
+
+    Bit-identity with the relational form (and the batch operator's
+    oracle): every dot/norm is the left-to-right per-dimension fold in
+    float64 (explicit accumulation loops — never np.dot/einsum), cosine
+    = dot / (norm_a * norm_b) with the NULL-on-zero-norm rule (zero
+    denominator never drops), and the keep-first guard is the same
+    ``id_a < id_b`` predicate. Assumes finite embeddings (the index
+    holds only what this loop ingested). Returns a DataFrame of
+    ``id_col`` values (may contain duplicates across tasks — caller
+    distincts, as the relational form did).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = prior.sparkSession
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False)]
+    )
+    if not new_rows:
+        return spark.createDataFrame([], out_schema)
+    by_cell: dict = {}
+    for r in new_rows:
+        by_cell.setdefault(r["cell_id"], []).append(
+            (r[id_col], r[vec_col])
+        )
+    cells = {}
+    for cell, rows in by_cell.items():
+        ids = np.array([i for i, _ in rows], dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+        k, d = V.shape
+        v2 = np.zeros(k, dtype=np.float64)
+        for j in range(d):
+            v2 += V[:, j] * V[:, j]
+        cells[cell] = (ids, V, np.sqrt(v2))
+    bc = spark.sparkContext.broadcast(cells)
+    tau = float(threshold)
+
+    def batches(it):
+        import pandas as pd
+
+        cells = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            dropped: list = []
+            for cell, grp in pdf.groupby("cell_id", sort=False):
+                hit = cells.get(cell)
+                if hit is None:
+                    continue
+                n_ids, N, n_n = hit
+                P = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in grp[vec_col]
+                    ]
+                )
+                m, d = P.shape
+                p2 = np.zeros(m, dtype=np.float64)
+                dots = np.zeros((m, len(n_ids)), dtype=np.float64)
+                for j in range(d):
+                    p2 += P[:, j] * P[:, j]
+                    dots += P[:, j, None] * N[None, :, j]
+                p_n = np.sqrt(p2)
+                denom = p_n[:, None] * n_n[None, :]
+                p_ids = grp[id_col].to_numpy(dtype=np.int64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                mask = (
+                    (denom != 0.0)
+                    & (cos >= tau)
+                    & (p_ids[:, None] < n_ids[None, :])
+                )
+                if mask.any():
+                    dropped.append(n_ids[mask.any(axis=0)])
+            if dropped:
+                yield pd.DataFrame(
+                    {id_col: np.unique(np.concatenate(dropped))}
+                )
+
+    return prior.select("cell_id", id_col, vec_col).mapInPandas(
+        batches, out_schema
+    )
+
+
 def curate_embeddings_batch(
     state: SemanticCurationState,
     batch: DataFrame,
@@ -174,12 +288,14 @@ def curate_embeddings_batch(
     crashed half-write as history.
 
     Per-batch plan shape: centroid assignment is map-only (broadcast
-    centroids, per-vector argmax); the prior-member join broadcasts the
-    new batch (an ingest batch fits by definition) against the index
-    scan filtered to the batch's touched cells — the historical side is
-    column-pruned, cell-pruned, and never shuffles; the intra-batch pair
-    check self-joins only the batch. Every persist this batch registers
-    is released before return (ADVICE r10 cache-lifecycle contract)."""
+    centroids, per-vector argmax); the pair compare broadcasts the new
+    batch (an ingest batch fits by definition, as per-cell numpy
+    matrices) against the column-pruned index scan via the map-side
+    Arrow kernel :func:`_dropped_vs_new` — the historical side never
+    shuffles, untouched cells cost one dict miss per row, and the
+    intra-batch check rides the same kernel pass (the batch unioned
+    ahead of the history). Every persist this batch registers is
+    released before return (ADVICE r10 cache-lifecycle contract)."""
     spark = batch.sparkSession
     id_col = id_col or state.id_col
     vec_col = vec_col or state.vec_col
@@ -217,56 +333,33 @@ def curate_embeddings_batch(
     )
     track.append(assigned)
 
-    # per-row norms materialized BEFORE the pair joins: each pair then
-    # evaluates only the dot product (same ops in the same order as
-    # cosine(), so decisions are bit-identical to batch semantic_dedup)
-    new_side = assigned.select(
-        "cell_id",
-        F.col(id_col).alias("_id_b"),
-        F.col(vec_col).alias("_e_b"),
-        similarity.norm(F.col(vec_col)).alias("_n_b"),
-    )
-    low_side = assigned.select(
-        "cell_id",
-        F.col(id_col).alias("_id_a"),
-        F.col(vec_col).alias("_e_a"),
-        similarity.norm(F.col(vec_col)).alias("_n_a"),
-    )
-    pair_cos = similarity.dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
-        F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
-    )
-    # intra-batch: lower-id cell-mates within the batch itself
-    dropped = (
-        low_side.join(F.broadcast(new_side), "cell_id")
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(pair_cos >= F.lit(state.threshold))
-        .select(F.col("_id_b").alias(id_col))
-    )
+    # pair compares run through the map-side Arrow kernel (round 13 —
+    # see _dropped_vs_new: the relational broadcast-join form paid ~5 µs
+    # of interpreted HOF per pair, which the first window fold turned
+    # into a 7x per-batch cliff by collapsing the prior scan's splits).
+    # The dataflow shape is unchanged: new side driver-bounded, prior
+    # side scanned in place, zero shuffles; the keep-first guard
+    # (id_a < id_b) stays as the correctness backstop for out-of-order
+    # ids, and every float op keeps the relational fold order.
+    new_rows = assigned.select("cell_id", id_col, vec_col).collect()
+    compare_side = assigned.select("cell_id", id_col, vec_col)
     prior_index = state.index(spark)
     if prior_index is not None:
-        # prior batches' members of the touched cells (explicit-schema
-        # read: a crashed half-write can never wedge replay — ADVICE
-        # r11). The contract makes every prior id lower than every batch
-        # id; the _id_a < _id_b guard stays as a correctness backstop
-        # for out-of-order ids.
-        prior = (
-            prior_index
-            .filter(F.col("batch_id") < int(batch_id))
-            .select(
-                "cell_id",
-                F.col(id_col).alias("_id_a"),
-                F.col(vec_col).alias("_e_a"),
-                similarity.norm(F.col(vec_col)).alias("_n_a"),
+        # prior batches' members (explicit-schema read: a crashed
+        # half-write can never wedge replay — ADVICE r11); one union plan
+        # = one kernel pass over intra-batch + history rows
+        compare_side = compare_side.unionByName(
+            prior_index.filter(F.col("batch_id") < int(batch_id)).select(
+                "cell_id", id_col, vec_col
             )
         )
-        hist = (
-            prior.join(F.broadcast(new_side), "cell_id")
-            .filter(F.col("_id_a") < F.col("_id_b"))
-            .filter(pair_cos >= F.lit(state.threshold))
-            .select(F.col("_id_b").alias(id_col))
+    dropped = (
+        _dropped_vs_new(
+            compare_side, new_rows, id_col, vec_col, state.threshold
         )
-        dropped = dropped.unionByName(hist)
-    dropped = dropped.distinct().withColumn("_dropped", F.lit(True))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
 
     decisions = assigned.join(dropped, id_col, "left").select(
         id_col,

@@ -240,3 +240,64 @@ def test_semantic_dedup_auto_salt_exact_and_engaged(spark, emb):
         }
         plan = auto._jdf.queryExecution().optimizedPlan().toString()
         assert "_blk" in plan  # the salted block key is in the join
+
+
+# ------------------------------------------- map-side pair-compare kernel
+
+
+def test_dropped_vs_new_kernel_semantics_and_plan(spark):
+    """Round-13 kernel pin (_dropped_vs_new): the streaming loop's pair
+    compare must (a) reproduce the relational keep-first rule exactly —
+    including the NULL-on-zero-norm never-drops rule and the id_a < id_b
+    guard — and (b) stay map-side: no Exchange in the kernel's plan (the
+    r13 trigger probe caught the relational form's interpreted-HOF cost
+    turning the first window fold into a 7x per-batch cliff)."""
+    from clickhouse_provider_spark.streaming.semantic_curation import (
+        _dropped_vs_new,
+    )
+
+    # cell 0: prior 1 ~ new 10 (cos 1.0 -> drop), prior zero-vector vs
+    # new 11 (zero norm -> never drops); cell 1: new 12 alone (no prior
+    # in cell -> kept); id guard: prior 13 > new 12 must not drop 12
+    prior = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0]),
+            (0, 2, [0.0, 0.0]),
+            (1, 13, [0.0, 1.0]),
+        ],
+        "cell_id int, vec_id long, embedding array<double>",
+    )
+    new_rows = spark.createDataFrame(
+        [
+            (0, 10, [2.0, 0.0]),
+            (0, 11, [0.0, 0.0]),  # zero norm: NULL cosine, never dropped
+            (1, 12, [0.0, 3.0]),
+        ],
+        "cell_id int, vec_id long, embedding array<double>",
+    ).collect()
+    out = _dropped_vs_new(prior, new_rows, "vec_id", "embedding", 0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted(r["vec_id"] for r in out.collect())
+    # 10 dropped by prior 1 (cos 1.0); 11 zero-norm never drops; 12 has
+    # no lower-id cell-mate (prior 13 > 12 — the id guard)
+    assert got == [10]
+    # with the batch unioned ahead (the curate_embeddings_batch shape),
+    # the result is the same here — the intra-batch 10 -> 11 pair is
+    # blocked by 11's zero norm, pinning NULL-never-drops through the
+    # full union path too
+    both = prior.unionByName(
+        spark.createDataFrame(
+            [(0, 10, [2.0, 0.0]), (0, 11, [0.0, 0.0]), (1, 12, [0.0, 3.0])],
+            "cell_id int, vec_id long, embedding array<double>",
+        )
+    )
+    got2 = sorted(
+        r["vec_id"]
+        for r in _dropped_vs_new(
+            both, new_rows, "vec_id", "embedding", 0.9
+        ).distinct().collect()
+    )
+    assert got2 == [10]
+    # empty new side: no kernel, empty relation
+    assert _dropped_vs_new(prior, [], "vec_id", "embedding", 0.9).count() == 0
