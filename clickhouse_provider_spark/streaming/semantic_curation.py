@@ -590,12 +590,20 @@ def run_semantic_curation_generations(
             keep_last=keep_last,
         )
 
-    # resume: the active generation is the highest gen<k> dir with a
-    # frozen centroid set (a crashed, half-written rollover target is
-    # re-run below because the trigger re-fires on the same monitor data)
+    # resume: the active generation is the highest gen<k> whose rollover
+    # COMPLETED — proven by rollover_generation's LAST artifact, the
+    # monitor seed's _GEN marker (centroids/_SUCCESS alone would accept a
+    # target whose index/decisions/monitor never landed). A half-written
+    # target is simply ignored: the loop stays on gen<k>, the trigger
+    # re-fires on the same monitor data, and the rollover re-runs as a
+    # deterministic overwrite of the same root.
     _gen_cells: dict[int, int] = {0: n_cells}
     gen = 0
-    while os.path.isdir(os.path.join(root_base, f"gen{gen + 1}", "centroids")):
+    while os.path.exists(
+        os.path.join(
+            root_base, f"gen{gen + 1}", "monitor", "batch_id=-1", "_GEN"
+        )
+    ):
         gen += 1
         st = SemanticCurationState(os.path.join(root_base, f"gen{gen}"))
         c = st.centroids(spark)
@@ -740,11 +748,25 @@ def rollover_generation(
     # re-read it (streaming/compaction.py _GEN contract)
     with open(os.path.join(new_state.index_path, "batch_id=-1", "_GEN"), "w") as f:
         f.write("")
+    decisions = state.decisions(spark)
+    if decisions is not None:
+        (
+            decisions.drop("batch_id")
+            .repartitionByRange(n_files, state.id_col)
+            .sortWithinPartitions(state.id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(new_state.decisions_path, "batch_id=-1"))
+        )
     # seed the new generation's MONITORING relation with the carried
     # corpus's per-NEW-cell populations (read back off the just-written
     # index — one cell_id-only column-pruned scan): without this,
     # should_rollover would see the carried vectors as population zero
-    # and the next boundary would fire arbitrarily late
+    # and the next boundary would fire arbitrarily late. Written LAST,
+    # and the _GEN marker last of all: it doubles as the rollover's
+    # COMPLETION marker (run_semantic_curation_generations' resume
+    # discovery keys on it — everything the new generation needs exists
+    # once it does; a crash anywhere earlier leaves the old generation
+    # authoritative and the re-fired trigger re-runs this overwrite).
     (
         spark.read.schema(new_state.index_schema)
         .parquet(new_state.index_path)
@@ -758,13 +780,4 @@ def rollover_generation(
         os.path.join(new_state.monitor_path, "batch_id=-1", "_GEN"), "w"
     ) as f:
         f.write("")
-    decisions = state.decisions(spark)
-    if decisions is not None:
-        (
-            decisions.drop("batch_id")
-            .repartitionByRange(n_files, state.id_col)
-            .sortWithinPartitions(state.id_col)
-            .write.mode("overwrite")
-            .parquet(os.path.join(new_state.decisions_path, "batch_id=-1"))
-        )
     return new_state

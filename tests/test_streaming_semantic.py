@@ -282,3 +282,65 @@ def test_generations_driver_rolls_at_boundary_and_stays_exact(
         ).filter(F.col("vec_id") > boundary)
     )
     assert {t for t in got if t[0] > boundary} == want_post
+
+
+def test_generations_driver_ignores_half_written_rollover(
+    spark, emb, tmp_path_factory, monkeypatch
+):
+    """Crash window: a rollover that died mid-write leaves gen1 partially
+    on disk. The resume discovery keys on rollover's LAST artifact (the
+    monitor seed's _GEN marker), so a half-written target is ignored —
+    the loop stays on gen0, the trigger re-fires on the same monitor
+    data, and the rollover re-runs as a deterministic overwrite."""
+    monkeypatch.setattr(sc, "TARGET_CELL_POP", 10)  # threshold 40
+    root = str(tmp_path_factory.mktemp("semgencrash"))
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    base = os.path.join(root, "gens")
+    ckpt = os.path.join(root, "ckpt")
+    parts = _parts(emb)
+    kw = dict(threshold=TAU, n_cells=8, max_files_per_trigger=1)
+
+    # drain waves 1+2 in one call with rollover SABOTAGED mid-flight:
+    # kill the run right after centroids land (before index/decisions/
+    # monitor) by making the index write fail once
+    _drop(src, 0, parts[0], root)
+    _drop(src, 1, parts[1], root)
+    real_rollover = sc.rollover_generation
+
+    def crashing_rollover(spark_, state, new_root, **kwargs):
+        # replicate the crash: write ONLY the centroid set, then die
+        vecs = state.index(spark_).select(state.id_col, state.vec_col)
+        from clickhouse_provider_spark.operators import similarity as S
+
+        S.ivf_train_centroids(
+            vecs, kwargs["n_cells_new"], iters=kwargs.get("iters", 3),
+            seed="ivf-gen", id_col=state.id_col, vec_col=state.vec_col,
+        ).select("cell_id", "centroid").write.mode("overwrite").parquet(
+            os.path.join(new_root, "centroids")
+        )
+        raise RuntimeError("rollover crashed mid-write")
+
+    monkeypatch.setattr(sc, "rollover_generation", crashing_rollover)
+    with pytest.raises(RuntimeError, match="rollover crashed"):
+        sc.run_semantic_curation_generations(spark, src, base, ckpt, **kw)
+    assert os.path.isdir(os.path.join(base, "gen1", "centroids"))
+    assert not os.path.exists(
+        os.path.join(base, "gen1", "monitor", "batch_id=-1", "_GEN")
+    )
+
+    # restart with the real rollover: discovery must stay on gen0 (the
+    # half-written gen1 is invisible), the trigger re-fires, and the
+    # rollover overwrite completes
+    monkeypatch.setattr(sc, "rollover_generation", real_rollover)
+    state, log = sc.run_semantic_curation_generations(spark, src, base, ckpt, **kw)
+    assert state.root.endswith("gen1")
+    assert [(v["gen"], v["roll"]) for v in log] == [(0, True), (1, False)]
+    # everything the new generation needs is now present and consistent
+    assert os.path.exists(
+        os.path.join(base, "gen1", "monitor", "batch_id=-1", "_GEN")
+    )
+    gen0 = sc.SemanticCurationState(os.path.join(base, "gen0"), threshold=TAU)
+    assert _decision_set(state.decisions(spark)) == _decision_set(
+        gen0.decisions(spark)
+    )
