@@ -48,6 +48,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from clickhouse_provider_spark.operators import similarity
 from clickhouse_provider_spark.streaming import compaction
@@ -487,6 +488,41 @@ def cell_populations(
     if mon is None:
         return None
     return mon.groupBy("cell_id").agg(F.sum("n_new").alias("population"))
+
+
+def batch_compare_volume(
+    spark: SparkSession, state: SemanticCurationState
+) -> DataFrame | None:
+    """Per-batch prior-compare volume — the second face of the
+    monitoring relation (VERDICT r12 task 2): for each batch b, the
+    number of (prior, new) pairs its kernel pass evaluated,
+    ``sum over cells of new_b(c) x pop_{<b}(c)`` where pop is the
+    running per-cell population over earlier batches (the carried
+    ``batch_id=-1`` generation counts as before-everything). All window
+    arithmetic over the tiny monitor table — never touches the vector
+    index. Returns (batch_id, compare_pairs) ordered by batch_id; None
+    until the first batch lands.
+
+    This is the curve an operator watches between rollovers: it grows
+    ~linearly at fixed granularity and resets at a generation boundary
+    (should_rollover's threshold is the policy version of the same
+    signal)."""
+    mon = state.monitor(spark)
+    if mon is None:
+        return None
+    w = (
+        W.partitionBy("cell_id")
+        .orderBy("batch_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        mon.withColumn(
+            "_prior_pop", F.coalesce(F.sum("n_new").over(w), F.lit(0))
+        )
+        .groupBy("batch_id")
+        .agg(F.sum(F.col("n_new") * F.col("_prior_pop")).alias("compare_pairs"))
+        .orderBy("batch_id")
+    )
 
 
 def should_rollover(

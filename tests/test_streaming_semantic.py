@@ -344,3 +344,32 @@ def test_generations_driver_ignores_half_written_rollover(
     assert _decision_set(state.decisions(spark)) == _decision_set(
         gen0.decisions(spark)
     )
+
+
+def test_batch_compare_volume_relation(spark, emb, tmp_path_factory):
+    """The monitor's second face: per-batch prior-compare volume equals
+    the independent recomputation sum_c new_b(c) * pop_<b(c)."""
+    root = str(tmp_path_factory.mktemp("semvol"))
+    state = sc.SemanticCurationState(os.path.join(root, "state"), threshold=TAU)
+    parts = _parts(emb)
+    for b, p in enumerate(parts):
+        sc.curate_embeddings_batch(state, p, batch_id=b)
+    got = {
+        r["batch_id"]: r["compare_pairs"]
+        for r in sc.batch_compare_volume(spark, state).collect()
+    }
+    mon = [
+        (r["batch_id"], r["cell_id"], r["n_new"])
+        for r in state.monitor(spark).collect()
+    ]
+    pops: dict[int, int] = {}
+    want: dict[int, int] = {}
+    for b in sorted({m[0] for m in mon}):
+        vol = 0
+        for _, c, n in [m for m in mon if m[0] == b]:
+            vol += n * pops.get(c, 0)
+        want[b] = vol
+        for _, c, n in [m for m in mon if m[0] == b]:
+            pops[c] = pops.get(c, 0) + n
+    assert got == want
+    assert got[0] == 0 and got[2] > got[1] > 0  # grows at fixed cells
