@@ -258,7 +258,12 @@ def ivf_train_centroids(
     ``iters`` stays O(iters) plan depth, not exponential."""
     from pyspark.sql.window import Window as W
 
-    ranked = emb.select(
+    # a NULL embedding can never be a centroid (round 14 — _argmax_cell
+    # deliberately ADMITS null vectors as data, so the training sample
+    # must exclude them or the seeded draw poisons the centroid matrix);
+    # no-op on null-free corpora: the md5 ranking of the survivors is
+    # unchanged
+    ranked = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(vec_col).alias("centroid"),
         F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))).alias("_r"),
     )
@@ -350,6 +355,22 @@ def _argmax_cell(
         return emb.sparkSession.createDataFrame([], out_schema)
     rows = sorted(rows, key=lambda r: r["cell_id"])
     cell_ids = np.array([r["cell_id"] for r in rows])
+    d0 = None
+    for r in rows:
+        c = r["centroid"]
+        if c is None:
+            raise ValueError(
+                f"centroid for cell {r['cell_id']} is NULL — centroids "
+                "must be dense vectors (ivf_train_centroids excludes "
+                "NULL embeddings from the seed sample)"
+            )
+        if d0 is None:
+            d0 = len(c)
+        elif len(c) != d0:
+            raise ValueError(
+                f"centroid for cell {r['cell_id']} has length {len(c)} "
+                f"but the first centroid is {d0}-dimensional"
+            )
     C = np.stack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
     )  # (k, d)

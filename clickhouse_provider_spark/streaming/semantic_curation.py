@@ -53,6 +53,22 @@ from pyspark.sql.window import Window as W
 from clickhouse_provider_spark.operators import similarity
 from clickhouse_provider_spark.streaming import compaction
 
+#: Driver/broadcast budget for the new-side kernel matrices (VERDICT r13
+#: task 4 — the micro-batch collect's documented ceiling). The collect in
+#: curate_embeddings_batch materializes one ingest micro-batch as per-cell
+#: float64 numpy matrices: bytes ≈ rows × dim × 8 (+ ~100 B/row of Row
+#: overhead, freed after the matrices build). 256 MiB ≈ 400k vectors at
+#: d=64 or 40k at d=768 — far above any sane maxFilesPerTrigger ingest
+#: wave, and well inside both the 48 GiB driver and Spark's broadcast
+#: target. A batch ABOVE the budget does not fail: the kernel runs in
+#: ceil(bytes/budget) chunks of new-side rows against the SAME prior scan
+#: (keep-first consults the full compare side for every chunk, so chunked
+#: decisions are bit-identical — pinned by
+#: tests/test_streaming_semantic.py::test_chunked_kernel_equals_single).
+#: The tradeoff is one extra prior-scan pass per extra chunk, which is
+#: why the budget is generous rather than tight.
+KERNEL_BROADCAST_BUDGET_BYTES = 256 << 20
+
 
 class SemanticCurationState:
     """Paths + parameters for one continuous semantic-curation pipeline.
@@ -194,6 +210,16 @@ def _dropped_vs_new(
     holds only what this loop ingested). Returns a DataFrame of
     ``id_col`` values (may contain duplicates across tasks — caller
     distincts, as the relational form did).
+
+    Degenerate inputs (ADVICE r13, medium — mirrors _argmax_cell): a
+    NULL embedding is EXCLUDED from both kernel sides, which is exactly
+    the batch operator's behavior (norm NULL → cosine NULL → the pair
+    neither drops nor is dropped): _argmax_cell deliberately admits a
+    NULL vector (cell 0, NULL cosine), so the streaming index can carry
+    one, and np.stack over it would otherwise poison every later
+    batch's pair compare with an opaque 0-d error. A wrong-LENGTH
+    vector is a schema violation — fail loudly with the dims named, on
+    either side, rather than np.stack/broadcast's shape error.
     """
     import numpy as np
 
@@ -207,11 +233,20 @@ def _dropped_vs_new(
         return spark.createDataFrame([], out_schema)
     by_cell: dict = {}
     for r in new_rows:
+        if r[vec_col] is None:
+            continue  # NULL never drops and is never dropped — exclude
         by_cell.setdefault(r["cell_id"], []).append(
             (r[id_col], r[vec_col])
         )
     cells = {}
     for cell, rows in by_cell.items():
+        d = len(rows[0][1])
+        for _, v in rows:
+            if len(v) != d:
+                raise ValueError(
+                    f"{vec_col!r} has a length-{len(v)} vector but cell "
+                    f"{cell}'s first vector is {d}-dimensional"
+                )
         ids = np.array([i for i, _ in rows], dtype=np.int64)
         V = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
         k, d = V.shape
@@ -219,6 +254,8 @@ def _dropped_vs_new(
         for j in range(d):
             v2 += V[:, j] * V[:, j]
         cells[cell] = (ids, V, np.sqrt(v2))
+    if not cells:
+        return spark.createDataFrame([], out_schema)
     bc = spark.sparkContext.broadcast(cells)
     tau = float(threshold)
 
@@ -235,12 +272,23 @@ def _dropped_vs_new(
                 if hit is None:
                     continue
                 n_ids, N, n_n = hit
-                P = np.stack(
-                    [
-                        np.asarray(v, dtype=np.float64)
-                        for v in grp[vec_col]
-                    ]
-                )
+                d = N.shape[1]
+                rows = []
+                row_ids = []
+                for rid, v in zip(grp[id_col], grp[vec_col]):
+                    if v is None:
+                        continue  # NULL prior never drops anyone
+                    if len(v) != d:
+                        raise ValueError(
+                            f"{vec_col!r} has a length-{len(v)} vector "
+                            f"but cell {cell}'s new side is "
+                            f"{d}-dimensional"
+                        )
+                    rows.append(np.asarray(v, dtype=np.float64))
+                    row_ids.append(rid)
+                if not rows:
+                    continue
+                P = np.stack(rows)
                 m, d = P.shape
                 p2 = np.zeros(m, dtype=np.float64)
                 dots = np.zeros((m, len(n_ids)), dtype=np.float64)
@@ -249,7 +297,7 @@ def _dropped_vs_new(
                     dots += P[:, j, None] * N[None, :, j]
                 p_n = np.sqrt(p2)
                 denom = p_n[:, None] * n_n[None, :]
-                p_ids = grp[id_col].to_numpy(dtype=np.int64)
+                p_ids = np.array(row_ids, dtype=np.int64)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = dots / denom
                 mask = (
@@ -267,6 +315,26 @@ def _dropped_vs_new(
     return prior.select("cell_id", id_col, vec_col).mapInPandas(
         batches, out_schema
     )
+
+
+def _pruned_prior(
+    prior_index: DataFrame,
+    batch_id: int,
+    touched: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The history side of one batch's pair compare: prior batches only,
+    ROW-PRUNED to the batch's touched cells (VERDICT r13 task 3). Both
+    predicates push to the parquet scan — ``batch_id`` is the partition
+    directory (pruned at listing) and ``cell_id`` hits rowgroup min/max
+    stats (generation files are written cell_id-sorted), so per-batch
+    history I/O is O(touched cells), not O(corpus). Plan pinned by
+    tests/test_round14_pins.py::test_prior_scan_cell_pruned_plan."""
+    return prior_index.filter(
+        (F.col("batch_id") < int(batch_id))
+        & F.col("cell_id").isin([int(c) for c in touched])
+    ).select("cell_id", id_col, vec_col)
 
 
 def curate_embeddings_batch(
@@ -290,13 +358,15 @@ def curate_embeddings_batch(
 
     Per-batch plan shape: centroid assignment is map-only (broadcast
     centroids, per-vector argmax); the pair compare broadcasts the new
-    batch (an ingest batch fits by definition, as per-cell numpy
-    matrices) against the column-pruned index scan via the map-side
-    Arrow kernel :func:`_dropped_vs_new` — the historical side never
-    shuffles, untouched cells cost one dict miss per row, and the
-    intra-batch check rides the same kernel pass (the batch unioned
-    ahead of the history). Every persist this batch registers is
-    released before return (ADVICE r10 cache-lifecycle contract)."""
+    batch (bounded by KERNEL_BROADCAST_BUDGET_BYTES — oversized batches
+    run the kernel in chunks, bit-identically) against the column-pruned
+    index scan via the map-side Arrow kernel :func:`_dropped_vs_new` —
+    the historical side never shuffles AND is row-pruned to the batch's
+    touched cells (pushed cell_id-IN filter over cell_id-sorted files,
+    so history I/O is O(touched cells) per batch), and the intra-batch
+    check rides the same kernel pass (the batch unioned ahead of the
+    history). Every persist this batch registers is released before
+    return (ADVICE r10 cache-lifecycle contract)."""
     spark = batch.sparkSession
     id_col = id_col or state.id_col
     vec_col = vec_col or state.vec_col
@@ -348,19 +418,38 @@ def curate_embeddings_batch(
     if prior_index is not None:
         # prior batches' members (explicit-schema read: a crashed
         # half-write can never wedge replay — ADVICE r11); one union plan
-        # = one kernel pass over intra-batch + history rows
+        # = one kernel pass over intra-batch + history rows. The history
+        # read is ROW-PRUNED to the batch's touched cells (VERDICT r13
+        # task 3): generation files are cell_id-sorted, so the pushed
+        # cell_id-IN filter rowgroup-prunes and per-batch history I/O is
+        # O(touched cells), not O(corpus) — previously untouched cells
+        # cost a full scan plus one kernel dict-miss per row. Exact: the
+        # kernel ignores untouched cells' rows anyway (no new-side
+        # matrix to compare against).
+        touched = sorted({r["cell_id"] for r in new_rows})
         compare_side = compare_side.unionByName(
-            prior_index.filter(F.col("batch_id") < int(batch_id)).select(
-                "cell_id", id_col, vec_col
-            )
+            _pruned_prior(prior_index, batch_id, touched, id_col, vec_col)
         )
-    dropped = (
-        _dropped_vs_new(
-            compare_side, new_rows, id_col, vec_col, state.threshold
-        )
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
+    # new-side kernel passes, chunked iff the micro-batch exceeds the
+    # broadcast budget (VERDICT r13 task 4 — see
+    # KERNEL_BROADCAST_BUDGET_BYTES for the bound and why chunks stay
+    # bit-identical)
+    est_bytes = sum(
+        8 * len(r[vec_col]) for r in new_rows if r[vec_col] is not None
     )
+    n_chunks = max(1, -(-est_bytes // KERNEL_BROADCAST_BUDGET_BYTES))
+    chunk_sz = -(-len(new_rows) // n_chunks)
+    dropped = None
+    for i in range(0, len(new_rows), chunk_sz):
+        part = _dropped_vs_new(
+            compare_side,
+            new_rows[i : i + chunk_sz],
+            id_col,
+            vec_col,
+            state.threshold,
+        )
+        dropped = part if dropped is None else dropped.unionByName(part)
+    dropped = dropped.distinct().withColumn("_dropped", F.lit(True))
 
     decisions = assigned.join(dropped, id_col, "left").select(
         id_col,
@@ -506,10 +595,21 @@ def batch_compare_volume(
     This is the curve an operator watches between rollovers: it grows
     ~linearly at fixed granularity and resets at a generation boundary
     (should_rollover's threshold is the policy version of the same
-    signal)."""
+    signal).
+
+    Compaction-folded history reports MERGED volume (ADVICE r13): a fold
+    collapses several batches' monitor rows onto one ``batch_id=<upto>``,
+    so the per-(cell, batch) counts are pre-aggregated here BEFORE the
+    running window — same-id ties collapse deterministically into one
+    row per (cell, batch) instead of counting each other as 'prior' in
+    nondeterministic row order — and a folded id's ``compare_pairs`` is
+    the whole folded window's volume attributed to that id."""
     mon = state.monitor(spark)
     if mon is None:
         return None
+    mon = mon.groupBy("cell_id", "batch_id").agg(
+        F.sum("n_new").alias("n_new")
+    )
     w = (
         W.partitionBy("cell_id")
         .orderBy("batch_id")
@@ -628,14 +728,22 @@ def run_semantic_curation_generations(
 
     # resume: the active generation is the highest gen<k> whose rollover
     # COMPLETED — proven by rollover_generation's LAST artifact, the
-    # monitor seed's _GEN marker (centroids/_SUCCESS alone would accept a
-    # target whose index/decisions/monitor never landed). A half-written
+    # _ROLLED marker at the generation ROOT (centroids/_SUCCESS alone
+    # would accept a target whose index/decisions/monitor never landed).
+    # The marker deliberately lives OUTSIDE the compactable data dirs
+    # (ADVICE r13: the previous key, monitor/batch_id=-1/_GEN, sat
+    # inside a batch-keyed directory that a second-tier major fold
+    # legitimately folds away — after which resume would silently land
+    # on gen0 and drain new batches against stale centroids). The legacy
+    # marker is still honored for pre-r14 state roots. A half-written
     # target is simply ignored: the loop stays on gen<k>, the trigger
     # re-fires on the same monitor data, and the rollover re-runs as a
     # deterministic overwrite of the same root.
     _gen_cells: dict[int, int] = {0: n_cells}
     gen = 0
     while os.path.exists(
+        os.path.join(root_base, f"gen{gen + 1}", "_ROLLED")
+    ) or os.path.exists(
         os.path.join(
             root_base, f"gen{gen + 1}", "monitor", "batch_id=-1", "_GEN"
         )
@@ -722,9 +830,15 @@ def rollover_generation(
 
     The new root is written non-destructively: the OLD root stays the
     authoritative state until the caller switches the stream driver to
-    ``new_root`` with a FRESH checkpoint (batch ids restart at 0 —
-    that is why history lands at -1). Re-running a crashed rollover is
-    idempotent: every write is a deterministic overwrite of new_root.
+    ``new_root``, CARRYING THE SAME CHECKPOINT across the switch
+    (ADVICE r13 — run_semantic_curation_generations' one-checkpoint
+    contract): a fresh checkpoint would make the file source re-ingest
+    every historical file into the new generation, duplicating decisions
+    against the carried history, while the continued checkpoint resumes
+    from the recorded offsets with batch ids still ascending — the
+    carried history's ``batch_id=-1`` stays below them all, which is why
+    history lands at -1. Re-running a crashed rollover is idempotent:
+    every write is a deterministic overwrite of new_root.
 
     Post-rollover semantics (pinned by tests/test_streaming_semantic.py
     ::test_rollover_*): carried decisions are bit-identical to the
@@ -797,12 +911,7 @@ def rollover_generation(
     # corpus's per-NEW-cell populations (read back off the just-written
     # index — one cell_id-only column-pruned scan): without this,
     # should_rollover would see the carried vectors as population zero
-    # and the next boundary would fire arbitrarily late. Written LAST,
-    # and the _GEN marker last of all: it doubles as the rollover's
-    # COMPLETION marker (run_semantic_curation_generations' resume
-    # discovery keys on it — everything the new generation needs exists
-    # once it does; a crash anywhere earlier leaves the old generation
-    # authoritative and the re-fired trigger re-runs this overwrite).
+    # and the next boundary would fire arbitrarily late.
     (
         spark.read.schema(new_state.index_schema)
         .parquet(new_state.index_path)
@@ -815,5 +924,15 @@ def rollover_generation(
     with open(
         os.path.join(new_state.monitor_path, "batch_id=-1", "_GEN"), "w"
     ) as f:
+        f.write("")
+    # COMPLETION marker, written last of all, at the generation ROOT —
+    # run_semantic_curation_generations' resume discovery keys on it
+    # (everything the new generation needs exists once it does; a crash
+    # anywhere earlier leaves the old generation authoritative and the
+    # re-fired trigger re-runs this overwrite). It must NOT live inside
+    # a batch-keyed data dir (ADVICE r13): those are legitimately folded
+    # by a second-tier major compaction, which would erase an in-data
+    # marker and make resume silently fall back to gen0.
+    with open(os.path.join(new_root, "_ROLLED"), "w") as f:
         f.write("")
     return new_state
