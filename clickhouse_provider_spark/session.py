@@ -52,6 +52,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Push IN filters with up to ~1k values down to parquet instead of
+        # the min/max range rewrite: the curation loops prune their
+        # doc_id/band_hash/cell_id-sorted state scans with bounded IN
+        # lists (round 14 — the operators cap their lists at the same
+        # 1024, falling back to joins/full reads above it), and a range
+        # rewrite over scattered ids prunes nothing.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         # Parquet TIMESTAMP(NANOS) (events.ts) reads as LongType nanoseconds —
         # the engine's canonical timestamp form, mirroring the reference's
         # DateTime64(9,'UTC') ns precision (reference README.md:121) which

@@ -26,8 +26,7 @@ any id that can still be replayed (the caller passes
 only replay the latest uncommitted id), so collapsing old ids onto
 ``upto`` preserves every comparison.
 
-Crash safety (same discipline as curation._swap_labels — at no instant
-is any row unrecoverable):
+Crash safety (at no instant is any row unrecoverable):
 
 1. write the compacted rows to ``_compact_tmp_<upto>`` (Spark overwrite
    → idempotent; ``_SUCCESS`` marks completion; a leading underscore
@@ -160,6 +159,30 @@ def recover_compaction(path: str) -> None:
             os.remove(os.path.join(path, n))
 
 
+#: Target bytes per output file for folds (VERDICT r13 task 2): a fold
+#: that coalesces a multi-hundred-MB window into ONE file collapses every
+#: later reader of that generation to a single scan split — the probe
+#: measured the first post-major-fold batch at 13.5 s vs a ~6 s median,
+#: the same split-collapse mechanism bisect/PAIR_KERNEL_r13.md documents.
+#: Folds therefore size their file count from the SOURCE bytes so a
+#: folded generation keeps enough files for parallel readers; 16 MiB
+#: keeps probe-scale generations multi-split while production-scale
+#: generations (≫ maxPartitionBytes) split fine regardless.
+FOLD_TARGET_FILE_BYTES = 16 << 20
+
+
+def _dir_bytes(paths: list[str]) -> int:
+    total = 0
+    for p in paths:
+        for root, _, files in os.walk(p):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def compact_batch_dirs(
     spark: SparkSession,
     path: str,
@@ -169,6 +192,7 @@ def compact_batch_dirs(
     n_files: int = 1,
     min_dirs: int = 2,
     window_only: bool = True,
+    post_fold=None,
 ) -> int:
     """Fold ``batch_id=N`` dirs with ``N <= upto`` into one
     ``batch_id=<max folded>`` generation dir (marked with a ``_GEN``
@@ -190,12 +214,22 @@ def compact_batch_dirs(
     ``partition_by`` preserves an inner hive level (the LSH index keeps
     ``band_id=*``); ``sort_within`` re-sorts rows within output files so
     row-group min/max stats stay tight (``band_hash`` / ``cell_id``);
-    ``n_files`` controls output file count per partition (compacted
-    generations should be few large files — that is the point). The
-    default of 1 suits micro-batch-sized state; at 100 TB pass
-    ``n_files ≈ generation_bytes / 1 GiB`` so the rewrite parallelizes
-    and files stay row-group friendly — hive-partitioned indexes already
-    parallelize through the inner-key repartition.
+    ``n_files`` floors the output file count. The EFFECTIVE file count
+    is ``max(n_files, source_bytes / FOLD_TARGET_FILE_BYTES)`` (VERDICT
+    r13 task 2): folding a large window into one file collapsed every
+    later reader to a single scan split — the measured 13.5 s
+    post-major-fold batch. Flat state coalesces to that many files;
+    hive-partitioned state range-partitions on (inner key, sort key) so
+    each partition dir splits into multiple sort-clustered files with
+    tight row-group stats.
+
+    ``post_fold`` (round 14), if given, is called with the completed tmp
+    directory BEFORE the promotion manifest is written — the hook for
+    per-directory sidecars that must travel with the generation (the LSH
+    index's Bloom sketch). A crash between the spark write and the hook
+    leaves an unmanifested tmp that recovery discards — the fold simply
+    re-runs; a crash after the manifest promotes a generation WITH its
+    sidecar already inside.
 
     The caller must guarantee no ``batch_id <= upto`` can be replayed or
     concurrently written (pass ``upto = current_batch - keep_last``,
@@ -210,24 +244,29 @@ def compact_batch_dirs(
     if len(ids) < min_dirs:
         return 0
     hi = max(ids)
+    src_dirs = [os.path.join(path, f"batch_id={b}") for b in ids]
     # read ONLY the window dirs (never the root): prior generations are
     # not re-read, so per-fold I/O is O(window), not O(corpus). basePath
     # keeps partition discovery rooted (the sources are partition dirs,
     # possibly with an inner hive level of their own)
-    df: DataFrame = spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, f"batch_id={b}") for b in ids]
-    )
+    df: DataFrame = spark.read.option("basePath", path).parquet(*src_dirs)
     if "batch_id" in df.columns:
         df = df.drop("batch_id")
     tmp = _tmp_dir(path, hi)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    # hive-partitioned indexes rewrite through a hash shuffle on the
-    # inner key (each task writes whole partition dirs — one file per
-    # dir); flat state coalesces to n_files large files
-    writer = (
-        df.repartition(*partition_by) if partition_by else df.coalesce(n_files)
+    n_eff = max(
+        n_files, -(-_dir_bytes(src_dirs) // FOLD_TARGET_FILE_BYTES)
     )
+    if partition_by:
+        # range-partition on (inner key, sort key): whole partition dirs
+        # stay together when n_eff is small; large windows split each
+        # dir into several sort-clustered files
+        writer = df.repartitionByRange(
+            n_eff, *(partition_by + (sort_within or []))
+        )
+    else:
+        writer = df.coalesce(n_eff)
     if sort_within:
         writer = writer.sortWithinPartitions(*sort_within)
     w = writer.write.mode("overwrite")
@@ -239,6 +278,8 @@ def compact_batch_dirs(
     # (written before the manifest, so a recovered fold keeps it)
     with open(os.path.join(tmp, "_GEN"), "w") as f:
         f.write("")
+    if post_fold is not None:
+        post_fold(tmp)
     sources = [f"batch_id={b}" for b in ids]
     mf_tmp = _manifest(path, hi) + ".tmp"
     with open(mf_tmp, "w") as f:

@@ -2,34 +2,37 @@
 pieces (VERDICT r9 #7 end-state): documents arrive as a stream, each
 micro-batch appends its MinHash band rows to the on-disk LSH index
 (O(new docs)), discovers ONLY the candidate pairs the batch introduces
-(broadcast probe against the partition-pruned index), verifies them with
-candidate-first exact Jaccard, and folds the verified edges into the
-persisted component labels with a LOCALIZED relabel
-(operators/dedup_index.components_apply_edges — only touched components
-re-enter the CC fixpoint).
+(Bloom-guided probe of the per-directory index sketches), verifies them
+with candidate-first exact Jaccard, and folds the verified edges into
+the persisted label DELTAS with a LOCALIZED relabel
+(operators/dedup_index.components_delta — only touched components
+re-enter the CC fixpoint, and only their rows are written).
 
 Invariant (pinned by tests/test_streaming_curation.py): after draining
-any prefix of the stream, the labels parquet equals batch
+any prefix of the stream, the resolved labels equal batch
 ``dedup_survivors`` over every document ingested so far — the streaming
 path is the batch path, incrementally.
 
 Why foreachBatch and not a stateful operator: the state here is two
 DISK-RESIDENT relations (the band index, partitioned by band_id; the
-label table), both of which must outlive the query, be readable by the
-serving layer mid-stream, and scale past executor state-store memory.
+label-delta table), both of which must outlive the query, be readable by
+the serving layer mid-stream, and scale past executor state-store memory.
 foreachBatch gives each micro-batch a transactional batch-DataFrame view
 while the heavy state stays in parquet — the same pattern as the
 keyed-assembly router (streaming/keyed_assembly.py stage 1).
 
-Scale: per batch, signature compute touches only new docs; the index
-probe broadcasts the new batch's band rows (an ingest batch fits by
-definition) against the index scan; Jaccard shingles only candidate
-docs; the relabel fixpoint sees only touched components. Nothing in the
-loop SHUFFLES or shingles the full corpus — per-batch shuffle/compute
-is O(batch + candidates + touched components). The two historical
-relations (band index, text sidecar) are read as column-pruned,
-shuffle-free scans on the probe/verify build side; per-batch wall-time
-vs corpus growth is measured in SCALE_PROBE_r11_curation.json.
+Scale (round 14 — VERDICT r13 task 1 closed the last O(corpus) terms):
+per batch, signature compute touches only new docs; the candidate probe
+tests the batch's band keys against each history dir's Bloom sidecar
+and reads only matching dirs/hashes; Jaccard shingles only candidate
+docs and reads only their texts (the batch from memory, historical
+endpoints via a pushed IN over the doc_id-sorted sidecar); the relabel
+fixpoint sees only touched components and writes only a delta. Nothing
+in the loop scans, shuffles, shingles, or rewrites the full corpus —
+per-batch I/O+shuffle+compute is O(batch + candidates + touched
+components); per-batch wall-time vs corpus growth is measured in the
+512-batch depth probes (SCALE_PROBE_r13_compaction.json before,
+SCALE_PROBE_r14_compaction.json after).
 
 Reference parity note: the reference pipeline has no dedup stage (its
 dedup is ReplacingMergeTree key collapse, storage.py:75); this module is
@@ -39,7 +42,6 @@ part of the training-data-pipeline surface the build brief adds on top.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,14 +53,29 @@ from clickhouse_provider_spark.streaming import compaction
 class CurationState:
     """Paths + parameters for one continuous-curation pipeline.
 
-    ``compact_every`` > 0 folds the batch-keyed index + text-sidecar
-    subdirs into one generation directory every that-many batches
-    (streaming/compaction.py — VERDICT r11 task 5: without it a
+    ``compact_every`` > 0 folds the batch-keyed index + text-sidecar +
+    label-delta subdirs into one generation directory every that-many
+    batches (streaming/compaction.py — VERDICT r11 task 5: without it a
     long-running stream accumulates one directory per micro-batch
     forever and the per-batch listing/scan term grows linearly);
     ``keep_last`` batches are always left unfolded so a replayed
     micro-batch (foreachBatch is at-least-once) can still overwrite its
-    own directory."""
+    own directory.
+
+    Labels are a batch-keyed DELTA relation (round 14 — VERDICT r13
+    task 1a: the previous design rebuilt, distinct-shuffled, and
+    rewrote the FULL label table every micro-batch, an O(corpus)
+    per-batch term the 512-batch probe measured). Each batch overwrites
+    only ``labels/batch_id=N`` with (a) a self-label row per new doc and
+    (b) relabel rows for members of components its verified edges
+    touched. A doc's CURRENT label is ``min(component_id)`` over its
+    rows — exact because min-label connected components over a growing
+    edge set is per-doc non-increasing (components only merge; see
+    operators/dedup_index.components_delta for the full argument,
+    including why stale rows are harmless). Crash safety is now pure
+    batch-keyed idempotence — no rename-swap window exists at all (the
+    r10 ``_swap_labels`` two-phase-rename machinery is gone with the
+    rewrite that needed it)."""
 
     def __init__(
         self,
@@ -73,36 +90,33 @@ class CurationState:
         self.compact_every = compact_every
         self.keep_last = keep_last
 
-    def labels(self, spark: SparkSession) -> DataFrame | None:
+    @property
+    def labels_schema(self) -> str:
+        return "doc_id long, component_id long, batch_id int"
+
+    def label_history(self, spark: SparkSession) -> DataFrame | None:
+        """The raw delta relation — every label row any batch wrote,
+        including stale (superseded) rows. Explicit schema, so a crashed
+        data-file-less directory reads as 0 rows, never an inference
+        error (ADVICE r11 discipline)."""
         if not os.path.exists(self.labels_path):
-            old = self.labels_path + "_old"
-            if os.path.exists(old):
-                # crash landed between the two renames of _swap_labels:
-                # the previous generation is intact under _old — promote
-                # it back so no ingested document's label is ever lost
-                # (ADVICE r10: the old rmtree-then-rename swap rebuilt
-                # labels from a single batch after such a crash)
-                os.rename(old, self.labels_path)
-            else:
-                return None
-        return spark.read.parquet(self.labels_path)
+            return None
+        return spark.read.schema(self.labels_schema).parquet(
+            self.labels_path
+        )
 
-
-def _swap_labels(final: str, tmp: str) -> None:
-    """Crash-safe label swap (ADVICE r10): keep the previous generation
-    under ``<final>_old`` until the new one is in place. Crash windows:
-    before the first rename → ``final`` intact; between the renames →
-    ``_old`` intact and :meth:`CurationState.labels` recovers it; after
-    → ``final`` is the new generation and the stale ``_old`` is swept by
-    the next swap. At no instant is every generation deleted."""
-    old = final + "_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)  # stale leftover from a crash after the swap
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(tmp, final)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    def labels(self, spark: SparkSession) -> DataFrame | None:
+        """The RESOLVED label table: one (doc_id, component_id) row per
+        ingested doc — min(component_id) over the doc's delta rows (the
+        latest label, by the non-increasing-labels argument). One
+        corpus-wide aggregation at READ time (partial-aggregatable, no
+        window), paid by serving readers instead of every micro-batch."""
+        hist = self.label_history(spark)
+        if hist is None:
+            return None
+        return hist.groupBy("doc_id").agg(
+            F.min("component_id").alias("component_id")
+        )
 
 
 def curate_batch(
@@ -111,21 +125,25 @@ def curate_batch(
     """One micro-batch of the continuous-curation loop (foreachBatch
     body). ``batch`` must carry (doc_id, text) with doc_ids never seen
     before (the ingest contract). Replaying the SAME batch_id after a
-    failure is safe AT THE STORAGE LAYER (ADVICE r10): the band index and
-    the text sidecar are batch-keyed overwrites (idempotent — no
-    duplicate rows can accumulate, so no corpus-wide read-side dedup is
-    needed), the doc_id spine below the labels is ``.distinct()`` (a
-    replayed batch's ids are already in ``prev``), and re-folding an
-    identical edge set into the labels is a no-op by CC idempotence.
+    failure is safe AT THE STORAGE LAYER: band index, text sidecar, AND
+    label deltas are all batch-keyed overwrites (idempotent — no
+    duplicate rows can accumulate, no corpus-wide read-side dedup), and
+    the localized relabel is deterministic — a replay that reads its own
+    previous delta as history recomputes identical content (the
+    post-batch components are a fixpoint of their own star edges).
 
     Per-batch cost is O(batch + candidates + touched components) in
-    shuffle/compute: signature compute touches only new docs, the
-    candidate probe broadcasts the batch's band rows (partition-pruned
-    to its batch_id directory), Jaccard shingles only candidate docs,
-    and the relabel fixpoint sees only touched components. The index and
-    text-sidecar SCANS the probe/verify joins read are column-pruned and
-    shuffle-free (the historical side never repartitions) — measured
-    flat-enough in SCALE_PROBE_r11_curation.json.
+    I/O, shuffle, AND compute (round 14 — the r13 512-batch probe
+    measured three residual O(corpus) I/O terms, now gone): the
+    candidate probe reads only history dirs whose Bloom sidecar matches
+    the batch's band hashes; Jaccard reads the in-memory batch plus the
+    few historical candidate endpoints (pushed IN over the
+    doc_id-sorted sidecar); and labels are maintained as batch-keyed
+    DELTAS — self rows + touched-component relabels — instead of a full
+    rebuild/rewrite. Driver-side footprints are all bounded by the
+    ingest batch / candidate volume (ids and band keys, longs and short
+    strings — the same boundedness contract as the semantic loop's
+    micro-batch collect).
 
     Returns the per-batch cache handles AFTER releasing them — every
     ``persist()`` this batch registered is unpersisted before return, so
@@ -139,61 +157,83 @@ def curate_batch(
     # (mid-protocol, rows live only in the completed _compact_tmp dir)
     compaction.recover_compaction(state.index_path)
     compaction.recover_compaction(os.path.join(state.index_path, "_texts"))
+    compaction.recover_compaction(state.labels_path)
     batch = batch.select("doc_id", "text").persist()
     track.append(batch)
-    dedup_index.lsh_index_append(batch, state.index_path, batch_id=batch_id)
-    cand = dedup_index.lsh_new_candidates(
-        spark, state.index_path, batch_id=batch_id
+    new_keys = dedup_index.lsh_index_append(
+        batch, state.index_path, batch_id=batch_id
     )
-    prev = state.labels(spark)
+    cand = (
+        dedup_index.lsh_new_candidates(
+            spark, state.index_path, batch_id=batch_id, new_keys=new_keys
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    track.append(cand)
     # Jaccard verification needs the TEXT of both endpoints, so the index
     # keeps a (doc_id, text) sidecar under batch-keyed subdirs (O(batch)
     # appends; idempotent on replay — the batch overwrites only its own
     # directory; the leading underscore keeps Spark's band-partition
-    # reader from listing it). jaccard_pairs restricts shingling to
-    # candidate doc_ids, so reading it back never shingles the corpus.
+    # reader from listing it). The verify corpus is the in-memory batch
+    # plus the HISTORICAL candidate endpoints only (round 14 — VERDICT
+    # r13 task 1b: the full-sidecar scan was an O(corpus) per-batch
+    # term): candidate ids are bounded (driver-collected off the cached
+    # candidate relation), new-side ids never re-read from disk, and the
+    # few historical ids push into the doc_id-sorted sidecar scan as an
+    # IN filter that rowgroup-prunes. When a dup-dense batch touches
+    # more history than the push limit, the sidecar is read in full —
+    # candidate-proportional, which is then the true work.
     texts_path = os.path.join(state.index_path, "_texts")
     batch.write.mode("overwrite").parquet(
         os.path.join(texts_path, f"batch_id={int(batch_id)}")
     )
-    corpus = spark.read.parquet(texts_path).select("doc_id", "text")
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    cand_ids: set = set()
+    for r in cand.collect():
+        cand_ids.add(r["doc_a"])
+        cand_ids.add(r["doc_b"])
+    old_ids = sorted(cand_ids - batch_ids)
+    hist_texts = spark.read.schema(
+        "doc_id long, text string, batch_id int"
+    ).parquet(texts_path).filter(F.col("batch_id") < int(batch_id))
+    corpus = batch.unionByName(
+        dedup_index._filter_ids(hist_texts, "doc_id", old_ids).select(
+            "doc_id", "text"
+        )
+    )
     edges = dedup.jaccard_pairs(
         corpus, pairs=cand, threshold=state.threshold, track=track
     ).select("doc_a", "doc_b")
-    if prev is None:
-        labels = dedup.dedup_survivors(batch, edges).select(
-            "doc_id", F.col("survivor_doc_id").alias("component_id")
-        )
-    else:
-        merged = dedup_index.components_apply_edges(prev, edges, track=track)
-        labels = (
-            prev.select("doc_id")
-            .unionByName(batch.select("doc_id"))
-            # a replayed batch's doc_ids are already in prev: the spine
-            # must be a set, not a bag, or every replayed doc gets two
-            # identical label rows (ADVICE r10 — counts over the label
-            # table would inflate even though the SET was right)
-            .distinct()
-            .join(merged, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("component_id", F.col("doc_id")).alias(
-                    "component_id"
-                ),
-            )
-        )
-    # crash-safe swap: write-new-then-two-phase-rename keeps readers
-    # consistent and never drops the previous generation (the label
-    # table is small — 2 longs/doc; a production deployment uses a table
-    # format with snapshot commits here)
-    tmp = state.labels_path + f"_b{batch_id}"
-    labels.write.mode("overwrite").parquet(tmp)
-    _swap_labels(state.labels_path, tmp)
+    # label DELTA (round 14 — VERDICT r13 task 1a): self rows for the
+    # batch + relabels of touched components, written as a batch-keyed
+    # overwrite. No corpus-wide spine, no full-table rewrite, no
+    # rename-swap window — replay rewrites identical content (the
+    # localized relabel is deterministic and, reading its own previous
+    # output as history, a fixpoint).
+    hist = state.label_history(spark)
+    if hist is not None:
+        hist = hist.filter(F.col("batch_id") < int(batch_id))
+    delta = dedup_index.components_delta(hist, edges, track=track)
+    labels = (
+        batch.select(
+            "doc_id", F.col("doc_id").alias("component_id")
+        ).unionByName(delta)
+    )
+    (
+        labels.coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(state.labels_path, f"batch_id={int(batch_id)}"))
+    )
     if state.compact_every and batch_id > 0 and batch_id % state.compact_every == 0:
         # fold old batch dirs into one generation (crash-safe protocol in
         # streaming/compaction.py); keep_last newest stay replayable.
         # Readers are unaffected: candidate probes compare batch_id
         # against the CURRENT id only, and upto < current - keep_last.
+        # The folded index generation gets a fresh Bloom sidecar (the
+        # per-batch sketches vanish with their dirs) before promotion.
         upto = int(batch_id) - state.keep_last
         compaction.compact_batch_dirs(
             spark,
@@ -201,10 +241,17 @@ def curate_batch(
             upto,
             partition_by=["band_id"],
             sort_within=["band_hash"],
+            post_fold=lambda d: dedup_index.write_band_bloom(spark, d),
         )
         compaction.compact_batch_dirs(
             spark,
             os.path.join(state.index_path, "_texts"),
+            upto,
+            sort_within=["doc_id"],
+        )
+        compaction.compact_batch_dirs(
+            spark,
+            state.labels_path,
             upto,
             sort_within=["doc_id"],
         )

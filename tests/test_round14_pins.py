@@ -342,3 +342,199 @@ def test_rolled_marker_survives_major_monitor_fold(
         for r in sc.cell_populations(spark, state2).collect()
     )
     assert total == 350
+
+
+# ===================== round 14: text-curation O(corpus) term removal
+
+
+def _mini_docs(spark, ids_words):
+    return spark.createDataFrame(
+        [(i, w) for i, w in ids_words], "doc_id long, text string"
+    )
+
+
+def test_bloom_sketch_membership():
+    """No false negatives ever; false positives rare at ~10 bits/key."""
+    import numpy as np
+
+    from clickhouse_provider_spark.operators import dedup_index as di
+
+    keys = [f"0|{i}" for i in range(5000)]
+    m = di._bloom_size(len(keys))
+    bits = np.zeros(m // 8 + 1, dtype=np.uint8)
+    h1, h2 = di._bloom_hashes(keys)
+    di._bloom_set(bits, di._bloom_positions(h1, h2, m))
+    assert di._bloom_test(bits, di._bloom_positions(h1, h2, m)).all()
+    other = [f"1|{i}" for i in range(5000)]
+    o1, o2 = di._bloom_hashes(other)
+    fp = di._bloom_test(bits, di._bloom_positions(o1, o2, m)).mean()
+    assert fp < 0.05
+
+
+def test_probe_skips_unmatching_dirs_entirely(spark, tmp_path):
+    """The sharpest possible pruning pin: delete a history dir's parquet
+    DATA (keep its Bloom sidecar). A probe whose batch shares no band
+    hash with that dir must never construct a read over it — the
+    candidate job succeeds and returns the exact intra-batch pairs. The
+    pre-r14 full-index scan would throw on the missing files."""
+    import glob
+
+    from clickhouse_provider_spark.operators import dedup_index as di
+
+    path = str(tmp_path / "index")
+    b0 = _mini_docs(
+        spark,
+        [(i, " ".join(f"alpha{i}w{j}" for j in range(30))) for i in range(20)],
+    )
+    # batch 1: two identical docs (a guaranteed intra-batch candidate)
+    # in a vocabulary disjoint from batch 0
+    text = " ".join(f"beta{j}" for j in range(30))
+    b1 = _mini_docs(spark, [(100, text), (101, text)])
+    di.lsh_index_append(b0, path, batch_id=0)
+    keys1 = di.lsh_index_append(b1, path, batch_id=1)
+    for f in glob.glob(os.path.join(path, "batch_id=0", "**", "*.parquet"),
+                       recursive=True):
+        os.remove(f)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in di.lsh_new_candidates(
+            spark, path, batch_id=1, new_keys=keys1
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+
+def test_components_delta_with_stale_history_rows(spark):
+    """The delta relabel reads RAW history including superseded rows;
+    stale rows must neither corrupt membership nor labels. History:
+    doc 3 was first labeled 2 (comp {2,3}), then comps {1} and {2,3}
+    merged → all labeled 1 (doc 3's stale (3,2) row remains). A new
+    edge (4,3) must pull the WHOLE live component {1,2,3} and label
+    everyone 1."""
+    from clickhouse_provider_spark.operators import dedup_index as di
+
+    hist = spark.createDataFrame(
+        [(1, 1, 0), (2, 2, 0), (3, 2, 0),  # batch 0: {1}, {2,3}
+         (2, 1, 1), (3, 1, 1)],            # batch 1 delta: merged into 1
+        "doc_id long, component_id long, batch_id int",
+    )
+    edges = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in di.components_delta(hist, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_components_delta_equals_apply_edges(spark, tmp_path):
+    """On a resolved-history baseline the delta path must agree with the
+    r10 full-table path (components_apply_edges) for every touched doc,
+    and leave untouched docs out of the delta (they keep their rows)."""
+    from clickhouse_provider_spark.operators import dedup_index as di
+
+    labels = spark.createDataFrame(
+        [(i, i - (i % 3)) for i in range(30)],
+        "doc_id long, component_id long",
+    )
+    hist = labels.withColumn("batch_id", F.lit(0))
+    edges = spark.createDataFrame(
+        [(0, 3), (12, 27), (40, 41)], "doc_a long, doc_b long"
+    )
+    full = {
+        (r["doc_id"], r["component_id"])
+        for r in di.components_apply_edges(labels, edges).collect()
+    }
+    delta = {
+        (r["doc_id"], r["component_id"])
+        for r in di.components_delta(hist, edges).collect()
+    }
+    assert delta <= full
+    touched_docs = {d for (d, c) in delta}
+    # resolved view after applying the delta == the full-table result
+    resolved = {
+        (d, c) for (d, c) in full if d not in touched_docs
+    } | delta
+    assert resolved == full
+    # the delta really is localized: docs 6..11, 15..26 never appear
+    assert touched_docs == {0, 1, 2, 3, 4, 5, 12, 13, 14, 27, 28, 29, 40, 41}
+
+
+def test_fold_splits_large_windows(spark, tmp_path, monkeypatch):
+    """VERDICT r13 task 2: a fold sizes its output file count from the
+    source bytes so a folded generation never collapses later readers to
+    one scan split. With a tiny target, both the flat and the
+    hive-partitioned fold paths must emit multiple files and preserve
+    every row."""
+    from clickhouse_provider_spark.streaming import compaction
+
+    monkeypatch.setattr(compaction, "FOLD_TARGET_FILE_BYTES", 4096)
+    flat = str(tmp_path / "flat")
+    for b in range(4):
+        spark.range(b * 2000, (b + 1) * 2000).selectExpr(
+            "id as doc_id", "repeat('x', 40) as text"
+        ).coalesce(1).write.parquet(os.path.join(flat, f"batch_id={b}"))
+    assert compaction.compact_batch_dirs(
+        spark, flat, upto=3, sort_within=["doc_id"], min_dirs=2
+    ) == 4
+    import glob
+
+    gen = os.path.join(flat, "batch_id=3")
+    files = glob.glob(os.path.join(gen, "*.parquet"))
+    assert len(files) > 1, "large window folded into a single file"
+    assert spark.read.parquet(flat).count() == 8000
+
+    hive = str(tmp_path / "hive")
+    for b in range(4):
+        spark.range(b * 2000, (b + 1) * 2000).selectExpr(
+            "id as doc_id", "cast(id % 4 as int) as band_id",
+            "repeat(cast(id as string), 8) as band_hash",
+        ).coalesce(1).write.partitionBy("band_id").parquet(
+            os.path.join(hive, f"batch_id={b}")
+        )
+    assert compaction.compact_batch_dirs(
+        spark, hive, upto=3, partition_by=["band_id"],
+        sort_within=["band_hash"], min_dirs=2,
+    ) == 4
+    per_dir = [
+        len(glob.glob(os.path.join(hive, "batch_id=3", f"band_id={i}",
+                                   "*.parquet")))
+        for i in range(4)
+    ]
+    assert sum(per_dir) > 4, "hive fold kept one file per partition dir"
+    assert spark.read.parquet(hive).count() == 8000
+
+
+def test_fold_rebuilds_band_bloom_via_post_fold(spark, tmp_path):
+    """The curation loop's fold passes write_band_bloom as post_fold: the
+    promoted generation must carry a working sketch (probes keep pruning
+    across folds), pinned by probing the folded index."""
+    from clickhouse_provider_spark.operators import dedup_index as di
+    from clickhouse_provider_spark.streaming import compaction
+
+    path = str(tmp_path / "index")
+    text = " ".join(f"gamma{j}" for j in range(30))
+    b0 = _mini_docs(spark, [(1, text), (2, text)])
+    b1 = _mini_docs(
+        spark,
+        [(10, " ".join(f"delta{j}" for j in range(30)))],
+    )
+    di.lsh_index_append(b0, path, batch_id=0)
+    di.lsh_index_append(b1, path, batch_id=1)
+    assert compaction.compact_batch_dirs(
+        spark, path, upto=1, partition_by=["band_id"],
+        sort_within=["band_hash"],
+        post_fold=lambda d: di.write_band_bloom(spark, d),
+    ) == 2
+    gen = os.path.join(path, "batch_id=1")
+    assert os.path.exists(os.path.join(gen, "_BLOOM.npz"))
+    # a third batch duplicating batch 0's text must find the folded pair
+    keys = di.lsh_index_append(
+        _mini_docs(spark, [(20, text)]), path, batch_id=2
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in di.lsh_new_candidates(
+            spark, path, batch_id=2, new_keys=keys
+        ).collect()
+    }
+    assert got == {(1, 20), (2, 20)}

@@ -155,11 +155,12 @@ def test_curate_batch_replay_is_idempotent(spark, docs, tmp_path_factory):
     assert first[1] == ingested.count()  # exactly one label row per doc
 
 
-def test_labels_swap_crash_recovery(spark, docs, tmp_path_factory):
-    """ADVICE r10: a crash between the two renames of the label swap
-    leaves the previous generation under labels_old; the next reader (or
-    replayed batch) must recover it instead of silently rebuilding labels
-    from a single batch."""
+def test_labels_delta_crash_recovery(spark, docs, tmp_path_factory):
+    """Round 14 (labels are batch-keyed deltas — no rename-swap window
+    exists anymore): a crash that leaves the NEXT batch's delta dir
+    data-file-less must neither wedge the reader (explicit schema; the
+    half-write reads as 0 rows) nor corrupt the replayed batch, and the
+    resolved labels stay exact through the replay."""
     root = str(tmp_path_factory.mktemp("curation_crash"))
     state = curation.CurationState(os.path.join(root, "state"))
     parts = [docs.filter(F.col("doc_id") % 3 == r) for r in range(2)]
@@ -167,14 +168,13 @@ def test_labels_swap_crash_recovery(spark, docs, tmp_path_factory):
     before = sorted(
         (r["doc_id"], r["component_id"]) for r in state.labels(spark).collect()
     )
-    # simulate the crash window: final renamed away, replacement not yet in
-    os.rename(state.labels_path, state.labels_path + "_old")
+    # crash window: batch 1 died after mkdir, before any parquet commit
+    os.makedirs(os.path.join(state.labels_path, "batch_id=1"))
     recovered = sorted(
         (r["doc_id"], r["component_id"]) for r in state.labels(spark).collect()
     )
-    assert recovered == before
-    assert os.path.exists(state.labels_path)  # promoted back in place
-    # and the loop continues correctly from the recovered generation
+    assert recovered == before  # the empty dir is invisible, not an error
+    # the replayed batch overwrites its own dir and the loop continues
     curation.curate_batch(state, parts[1], batch_id=1)
     ingested = parts[0].unionByName(parts[1])
     got = sorted(
@@ -183,7 +183,6 @@ def test_labels_swap_crash_recovery(spark, docs, tmp_path_factory):
     assert got == sorted(
         (r["doc_id"], r["component_id"]) for r in _batch_truth(ingested).collect()
     )
-    assert not os.path.exists(state.labels_path + "_old")  # swept by swap
 
 
 def test_curate_batch_releases_caches(spark, docs, tmp_path_factory):
