@@ -405,6 +405,35 @@ def bench_assembly(spark, n_replicas: int | None = None) -> dict:
     }
 
 
+def host_fingerprint() -> dict:
+    """CPU identity + a ~1 s pure-Python spin calibration (see the
+    snapshot comment in main). The spin is deliberately single-threaded
+    interpreter arithmetic: it tracks the same frequency/steal/thermal
+    state that moves single-query wall times, and is independent of the
+    JVM warmup effects documented in bisect/INGEST_VARIANCE_r13.md."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    iters = 0
+    x = 0
+    deadline = time.perf_counter() + 1.0
+    while time.perf_counter() < deadline:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        iters += 10_000
+    return {
+        "cpu_model": model,
+        "cpus": os.cpu_count(),
+        "spin_score": iters,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -463,16 +492,23 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,  # pipeline-half throughput (actions-mode DAG)
         "assembly": assembly,  # tx-assembly half (closure + fan-out)
-        # run provenance (VERDICT r12 task 8): the same CLI is run by two
-        # harnesses — the builder's gate run (committed as
-        # BENCH_full_r{N}.json) and the driver's official per-round re-run
-        # (recorded as BENCH_r{N}.json, the canonical artifact). r12's
-        # gate note quoted 65.5 s where the driver artifact said 61.5 s —
-        # both valid, different hosts/runs; every snapshot now names its
-        # producer so round-over-round comparisons stay like-for-like.
+        # run provenance (VERDICT r12 task 8, default fixed r13→r14): the
+        # same CLI is run by two harnesses — the builder's gate run
+        # (committed as BENCH_full_r{N}.json, which sets the env var) and
+        # the driver's official per-round re-run (BENCH_r{N}.json, the
+        # canonical artifact — which does NOT set it, so the default must
+        # be honest: 'unlabeled', not 'builder-gate').
         "provenance": os.environ.get(
-            "SPARK_GRAFT_BENCH_PROVENANCE", "builder-gate"
+            "SPARK_GRAFT_BENCH_PROVENANCE", "unlabeled"
         ),
+        # host fingerprint (VERDICT r13 task 5): round-over-round bench
+        # deltas have repeatedly been dominated by HOST drift (judge's
+        # controlled A/B measured the same code 1.31x slower across
+        # rounds). Every snapshot carries the cpu model/count and a 1-s
+        # single-core spin calibration so cross-round comparisons can be
+        # normalized from artifacts alone: spin_score is iterations of a
+        # fixed arithmetic loop per second — higher = faster host state.
+        "host": host_fingerprint(),
     }
     if prev:
         out["prev_round"] = prev_name

@@ -32,16 +32,15 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 13: operators/similarity._argmax_cell changed physically again
-#: (ADVICE r12 + VERDICT r12 task 5 — the centroid matrix now ships as an
-#: explicit sparkContext.broadcast instead of a task-closure constant,
-#: and NULL embeddings take a graceful zero-vector path instead of
-#: crashing np.stack). Values are bit-identical on non-degenerate input
-#: (driver_sim 183/183 at the new code, pins in
-#: tests/test_round13_pins.py), but these four entries EXECUTE the new
-#: assignment at build time, so their r12 greens are re-attested.
-#: semantic_dedup_prune additionally carries the round-13 auto-engaged
-#: skew salt (VERDICT r12 task 1).
+#: Round 14: operators/similarity.ivf_train_centroids now EXCLUDES NULL
+#: embeddings from its seed sample (a NULL sampled as a centroid poisoned
+#: the argmax kernel's matrix — found while closing ADVICE r13's
+#: streaming NULL-vector crash). Values are identical on null-free
+#: corpora — the md5 ranking of the survivors is unchanged, and the
+#: testdata has no NULL embeddings (driver_sim 183/183 at the new code;
+#: pins in tests/test_round14_pins.py) — but these four entries EXECUTE
+#: the trainer at build time, so their r13 greens are re-attested under
+#: the changed physical plan.
 PRIORITY_REPAIRED = (
     "semantic_dedup_prune",
     "similarity_filtered_ann_eval",
@@ -257,6 +256,32 @@ LAST_GREEN_ROUND = {
         "top3_per_group", "ttest_student_welch", "uniq_up_to",
         "url_functions", "user_history",
         "window_funnel_strict_increase_scan",
+    )},
+    # round 13 official window: all 50 rows green (CORRECTNESS_r13.json)
+    # — folded in per the per-round refresh (VERDICT r13 task 6).
+    # Overrides earlier tiers for the re-attested names (incl. the four
+    # argmax/salt-repaired entries, which round 14 re-seeds again for the
+    # trainer's NULL-filter plan change — see PRIORITY_REPAIRED).
+    **{n: 13 for n in (
+        "anti_join_not_exists", "association_measures", "bm25_topk",
+        "corpus_curation", "cramers_v", "dedup_embedding_pairs",
+        "dedup_exact", "dedup_lsh_pairs", "dedup_lsh_verified",
+        "dedup_minhash_signatures", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_survivors", "distinct_parts_per_flag",
+        "embedding_norms", "except_nations", "having_big_brands",
+        "intersect_nations", "json_props_stats", "ks_test_2samp",
+        "low_card_in", "mann_whitney_u", "monthly_orders",
+        "multimodal_decode_pixel_stats", "needle_lookup",
+        "per_group_counts", "pivot_priority_status", "point_lookup",
+        "price_qty_corr", "q16_supplier_concentration",
+        "q1_pricing_summary", "q20_dominant_suppliers", "range_page",
+        "range_scan", "semantic_dedup_prune", "semi_join_exists",
+        "similarity_filtered_ann_eval", "similarity_ivf_topk",
+        "similarity_ivfpq_adc", "similarity_topk",
+        "substring_dup_ratio", "text_contamination",
+        "text_fingerprint", "text_lang_id", "text_ngram_repetition",
+        "text_quality", "text_tfidf_top_terms", "text_token_rarity",
+        "text_token_stats", "value_percentiles",
     )},
 }
 

@@ -513,6 +513,24 @@ def curate_embeddings_batch(
     return track
 
 
+class RolloverWatch:
+    """Per-batch trigger surface for a CONTINUOUSLY-running stream
+    (VERDICT r13 task 7): the foreachBatch body consults
+    :func:`should_rollover` after every committed micro-batch (the
+    monitoring relation updates per batch, so the check is one tiny agg)
+    and records the verdict here. ``fired`` flips once the boundary
+    condition holds; the driver (human or
+    :func:`run_semantic_curation_generations_continuous`) reacts by
+    stopping the query, draining, and rolling — the WATCH is
+    deliberately read-only with respect to the stream, because a
+    foreachBatch body cannot safely stop its own query mid-commit."""
+
+    def __init__(self, roll_factor: float = 4.0):
+        self.roll_factor = roll_factor
+        self.fired = False
+        self.log: list[dict] = []
+
+
 def run_semantic_curation(
     spark: SparkSession,
     source_dir: str,
@@ -527,14 +545,19 @@ def run_semantic_curation(
     vec_sql_type: str = "array<float>",
     compact_every: int = 16,
     keep_last: int = 2,
+    watch: RolloverWatch | None = None,
 ):
     """Drive the semantic-curation loop over a parquet drop-directory of
     embedding files: readStream -> foreachBatch(curate_embeddings_batch).
     ``id_col``/``vec_col``/``vec_sql_type`` parameterize both the source
     schema and the state's on-disk schemas (ADVICE r11: previously the
     source schema was hardcoded, making curate_embeddings_batch's
-    column parameters unreachable from the stream driver). Returns the
-    started StreamingQuery (availableNow drains everything then stops)."""
+    column parameters unreachable from the stream driver).
+    ``available_now=False`` runs a CONTINUOUS stream (per-trigger file
+    caps still apply); pass a :class:`RolloverWatch` to get the rollover
+    trigger evaluated on the foreachBatch cadence (VERDICT r13 task 7).
+    Returns the started StreamingQuery (availableNow drains everything
+    then stops)."""
     state = SemanticCurationState(
         state_root,
         threshold=threshold,
@@ -545,14 +568,24 @@ def run_semantic_curation(
         compact_every=compact_every,
         keep_last=keep_last,
     )
+
+    def _body(df: DataFrame, bid: int) -> None:
+        curate_embeddings_batch(state, df, bid)
+        if watch is not None and not watch.fired:
+            v = should_rollover(spark, state, roll_factor=watch.roll_factor)
+            v["batch_id"] = int(bid)
+            watch.log.append(v)
+            if v["roll"]:
+                watch.fired = True
+
     src = (
         spark.readStream.schema(f"{id_col} long, {vec_col} {vec_sql_type}")
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    writer = src.writeStream.foreachBatch(
-        lambda df, bid: curate_embeddings_batch(state, df, bid)
-    ).option("checkpointLocation", checkpoint)
+    writer = src.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -739,19 +772,7 @@ def run_semantic_curation_generations(
     # target is simply ignored: the loop stays on gen<k>, the trigger
     # re-fires on the same monitor data, and the rollover re-runs as a
     # deterministic overwrite of the same root.
-    _gen_cells: dict[int, int] = {0: n_cells}
-    gen = 0
-    while os.path.exists(
-        os.path.join(root_base, f"gen{gen + 1}", "_ROLLED")
-    ) or os.path.exists(
-        os.path.join(
-            root_base, f"gen{gen + 1}", "monitor", "batch_id=-1", "_GEN"
-        )
-    ):
-        gen += 1
-        st = SemanticCurationState(os.path.join(root_base, f"gen{gen}"))
-        c = st.centroids(spark)
-        _gen_cells[gen] = c.count() if c is not None else n_cells
+    gen, _gen_cells = _discover_generation(spark, root_base, n_cells)
 
     log: list[dict] = []
     for _ in range(max_rollovers_per_call + 1):
@@ -788,6 +809,148 @@ def run_semantic_curation_generations(
         gen += 1
         _gen_cells[gen] = verdict["suggested_n_cells"]
     return _state_for(gen), log
+
+
+def _discover_generation(
+    spark: SparkSession, root_base: str, n_cells: int
+) -> tuple[int, dict]:
+    """Resume discovery shared by both generation drivers: highest gen
+    whose rollover COMPLETED (the root-level _ROLLED marker; legacy
+    monitor/_GEN honored for pre-r14 roots), plus the per-gen cell
+    counts."""
+    gen_cells: dict[int, int] = {0: n_cells}
+    gen = 0
+    while os.path.exists(
+        os.path.join(root_base, f"gen{gen + 1}", "_ROLLED")
+    ) or os.path.exists(
+        os.path.join(
+            root_base, f"gen{gen + 1}", "monitor", "batch_id=-1", "_GEN"
+        )
+    ):
+        gen += 1
+        st = SemanticCurationState(os.path.join(root_base, f"gen{gen}"))
+        c = st.centroids(spark)
+        gen_cells[gen] = c.count() if c is not None else n_cells
+    return gen, gen_cells
+
+
+def run_semantic_curation_generations_continuous(
+    spark: SparkSession,
+    source_dir: str,
+    root_base: str,
+    checkpoint: str,
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    max_files_per_trigger: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_sql_type: str = "array<float>",
+    compact_every: int = 16,
+    keep_last: int = 2,
+    roll_factor: float = 4.0,
+    rollover_iters: int = 3,
+    rollover_n_files: int = 1,
+    max_rollovers_per_call: int = 4,
+    idle_timeout: float = 15.0,
+    poll: float = 0.25,
+) -> tuple[SemanticCurationState, list[dict]]:
+    """One CONTINUOUSLY-running stream that rolls itself at the boundary
+    (VERDICT r13 task 7 — the drain-wave driver
+    :func:`run_semantic_curation_generations` consults the trigger only
+    BETWEEN availableNow drains; a stream that never stops needs the
+    check on the foreachBatch cadence). The stream runs with a
+    processing-time trigger; every committed micro-batch evaluates
+    :func:`should_rollover` via :class:`RolloverWatch`. When it fires:
+
+    1. stop the query (a foreachBatch body must not stop itself);
+    2. run one availableNow drain on the SAME root + checkpoint — this
+       closes the stop-interrupt window exactly: an in-flight batch the
+       stop cut mid-write is REPLAYED and committed into the old
+       generation (batch-keyed idempotence), so the rollover never
+       carries uncommitted orphan rows and the resumed stream never
+       re-ingests a carried vector (which would leave conflicting
+       decision rows across generations);
+    3. re-check the trigger on the committed state, roll via
+       :func:`rollover_generation`, and resume the continuous stream
+       against the new root under the ONE shared checkpoint.
+
+    Returns once the source has been idle (no rows ingested) for
+    ``idle_timeout`` seconds with the trigger quiet — the probe/test
+    harness termination condition; a production deployment simply never
+    reaches it. Trigger log entries carry ``batch_id`` + ``gen``."""
+    import time
+
+    gen, _gen_cells = _discover_generation(spark, root_base, n_cells)
+
+    def _params(gen: int) -> dict:
+        return dict(
+            threshold=threshold,
+            n_cells=_gen_cells[gen],
+            max_files_per_trigger=max_files_per_trigger,
+            id_col=id_col,
+            vec_col=vec_col,
+            vec_sql_type=vec_sql_type,
+            compact_every=compact_every,
+            keep_last=keep_last,
+        )
+
+    log: list[dict] = []
+    rolls = 0
+    while True:
+        state = SemanticCurationState(
+            os.path.join(root_base, f"gen{gen}"), **{
+                k: v for k, v in _params(gen).items()
+                if k != "max_files_per_trigger"
+            }
+        )
+        watch = RolloverWatch(roll_factor=roll_factor)
+        q = run_semantic_curation(
+            spark, source_dir, state.root, checkpoint,
+            available_now=False, watch=watch, **_params(gen)
+        )
+        last_data = time.monotonic()
+        last_batch = -1
+        try:
+            while q.isActive:
+                if watch.fired:
+                    break
+                p = q.lastProgress
+                if p is not None:
+                    if (
+                        p["batchId"] != last_batch
+                        and p.get("numInputRows", 0) > 0
+                    ):
+                        last_batch = p["batchId"]
+                        last_data = time.monotonic()
+                if time.monotonic() - last_data > idle_timeout:
+                    break
+                time.sleep(poll)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        # close the stop-interrupt window: replay/commit any in-flight
+        # batch into the CURRENT generation before deciding anything
+        run_semantic_curation(
+            spark, source_dir, state.root, checkpoint,
+            available_now=True, **_params(gen)
+        ).awaitTermination()
+        for v in watch.log:
+            v["gen"] = gen
+        log.extend(watch.log)
+        verdict = should_rollover(spark, state, roll_factor=roll_factor)
+        verdict["gen"] = gen
+        if not verdict["roll"] or rolls >= max_rollovers_per_call:
+            log.append(verdict)
+            return state, log
+        new_root = os.path.join(root_base, f"gen{gen + 1}")
+        rollover_generation(
+            spark, state, new_root,
+            n_cells_new=verdict["suggested_n_cells"],
+            iters=rollover_iters, n_files=rollover_n_files,
+        )
+        gen += 1
+        rolls += 1
+        _gen_cells[gen] = verdict["suggested_n_cells"]
 
 
 def rollover_generation(

@@ -538,3 +538,94 @@ def test_fold_rebuilds_band_bloom_via_post_fold(spark, tmp_path):
         ).collect()
     }
     assert got == {(1, 20), (2, 20)}
+
+
+# ---------------- VERDICT r13 task 7: foreachBatch-cadence trigger
+
+
+def test_continuous_stream_rolls_itself_at_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """A single CONTINUOUSLY-running stream (no drain waves) must flag
+    the boundary on the foreachBatch cadence and the continuous driver
+    must roll it mid-stream: trigger log carries per-batch verdicts, the
+    active generation advances, one checkpoint spans the roll (no
+    re-ingestion), and decisions stay exact per generation."""
+    import glob
+    import shutil
+
+    from clickhouse_provider_spark.session import load_tables
+
+    monkeypatch.setattr(sc, "TARGET_CELL_POP", 10)  # threshold 40
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path)
+    src = os.path.join(root, "incoming")
+    os.makedirs(src)
+    parts = [
+        emb.filter(F.col("vec_id") < 167),
+        emb.filter((F.col("vec_id") >= 167) & (F.col("vec_id") < 334)),
+        emb.filter(F.col("vec_id") >= 334),
+    ]
+    for i, p in enumerate(parts):
+        d = os.path.join(root, f"stage_{i}")
+        p.coalesce(1).write.parquet(d)
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        shutil.move(f, os.path.join(src, f"batch_{i}.parquet"))
+        shutil.rmtree(d)
+
+    state, log = sc.run_semantic_curation_generations_continuous(
+        spark, src, os.path.join(root, "gens"), os.path.join(root, "ckpt"),
+        threshold=TAU, n_cells=8, max_files_per_trigger=1,
+        idle_timeout=8.0,
+    )
+    # the trigger fired ON the batch cadence (a per-batch verdict with a
+    # batch_id, inside a running stream — not a between-drain check)
+    fired = [v for v in log if v.get("roll") and "batch_id" in v]
+    assert fired, f"no per-batch trigger fired: {log}"
+    assert state.root.endswith("gen1") or state.root.endswith("gen2")
+    # every ingested vector decided exactly once per its generation
+    total = 0
+    gen_dirs = sorted(
+        d for d in os.listdir(os.path.join(root, "gens"))
+        if d.startswith("gen")
+    )
+    assert len(gen_dirs) >= 2
+    decided = {}
+    for g in gen_dirs:
+        st = sc.SemanticCurationState(
+            os.path.join(root, "gens", g), threshold=TAU
+        )
+        dec = st.decisions(spark)
+        if dec is None:
+            continue
+        for r in dec.collect():
+            decided.setdefault(r["vec_id"], set()).add(
+                (g, r["is_dropped"])
+            )
+    # the ACTIVE generation carries every vector exactly once (carried +
+    # its own) — no vector was re-ingested across the roll
+    active = sc.SemanticCurationState(state.root, threshold=TAU)
+    rows = active.decisions(spark).groupBy("vec_id").count().collect()
+    assert len(rows) == emb.count()
+    assert all(r["count"] == 1 for r in rows)
+    # post-roll decisions equal batch SemDeDup over the active gen's
+    # centroids for post-boundary ids (keep-first sees all lower ids)
+    boundary = max(
+        v["batch_id"] for v in log if v.get("roll") and "batch_id" in v
+    )
+    cents = active.centroids(spark)
+    post = {
+        (r["vec_id"], r["is_dropped"])
+        for r in active.decisions(spark)
+        .filter(F.col("batch_id") >= 0)
+        .collect()
+    }
+    want_all = {
+        (r["vec_id"], r["is_dropped"])
+        for r in similarity.semantic_dedup(
+            emb, threshold=TAU, centroids=cents
+        ).collect()
+    }
+    assert post <= want_all
