@@ -272,6 +272,83 @@ def q_dedup_survivors(spark, t):
     return dedup.dedup_survivors(docs, pairs)
 
 
+@register(
+    "dedup_delta_labels",
+    oracle=f"""
+    {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE)
+            / (sa.n_shingles + sb.n_shingles - n_common) >= 0.1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(comp.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    """.replace("WITH d AS", "WITH RECURSIVE d AS", 1),
+    doc="INCREMENTAL label maintenance equals batch CC (round 14 — the "
+    "streaming curation loop's label-delta path, surfaced in the oracle "
+    "gate): documents are ingested as two waves (even doc_ids, then "
+    "odd), wave 1's labels become DELTA history, wave 2's edges fold in "
+    "via operators/dedup_index.components_delta (localized relabel of "
+    "only touched components, O(edges + touched members) — never a "
+    "corpus-wide fixpoint or rewrite), and the min(component_id) "
+    "resolution over history ∪ delta must equal one-shot connected "
+    "components over ALL edges (the oracle's recursive CTE). Exactness "
+    "rests on labels being per-doc non-increasing and dead labels never "
+    "reviving — the argument in components_delta's docstring.",
+    tags=("llm", "dedup"),
+)
+def q_dedup_delta_labels(spark, t):
+    from clickhouse_provider_spark.operators import dedup_index
+
+    docs = t["documents"].select("doc_id", "text")
+    all_pairs = dedup.jaccard_pairs(docs, threshold=0.1).select(
+        "doc_a", "doc_b"
+    )
+    even = F.col("doc_id") % 2 == 0
+    b0, b1 = docs.filter(even), docs.filter(~even)
+    edges0 = all_pairs.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    )
+    edges1 = all_pairs.filter(
+        (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
+    )
+    hist0 = dedup.dedup_survivors(b0, edges0).select(
+        "doc_id", F.col("survivor_doc_id").alias("component_id")
+    )
+    delta1 = dedup_index.components_delta(hist0, edges1)
+    resolved = (
+        hist0.unionByName(
+            b1.select("doc_id", F.col("doc_id").alias("component_id"))
+        )
+        .unionByName(delta1)
+        .groupBy("doc_id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+    return resolved
+
+
 # Similarity ------------------------------------------------------------------
 
 
