@@ -466,11 +466,19 @@ def documents_as_ppm_media(docs: DataFrame, width: int = 8, height: int = 4) -> 
     'pixel' data both engines can reconstruct (md5 hex is one byte per
     char). Exists so the REAL decoder is exercised under oracle parity
     without fabricating new input files."""
+    from clickhouse_provider_spark.operators import spread_scan
+
     n = width * height * 3
     reps = -(-n // 32)  # md5 hex is 32 chars
     body = F.substring(
         F.repeat(F.md5(F.col("doc_id").cast("string").cast("binary")), reps), 1, n
     )
+    # spread BEFORE building blobs: only doc_ids cross the exchange (the
+    # guide-§8 rule — move the lightweight proxy, build heavy bytes after),
+    # and the downstream decode kernel parallelizes instead of running the
+    # whole corpus in one Python worker when the doc scan is a single
+    # split (no-op on well-split inputs — see spread_scan)
+    docs = spread_scan(docs.select("doc_id"), "doc_id")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -524,7 +532,16 @@ def documents_as_png_media(
             T.StructField("content", T.BinaryType(), True),
         ]
     )
-    encoded = docs.select("doc_id").mapInPandas(batches, enc_schema)
+    from clickhouse_provider_spark.operators import spread_scan
+
+    # spread the doc_id list BEFORE the encode kernel: ids are the only
+    # bytes that cross the exchange, and both the PNG encode and the
+    # downstream decode kernel then run on every core instead of one
+    # Python worker when the doc scan is a single split (measured 1.6 s
+    # single-task decode at sf0.1; no-op on well-split inputs)
+    encoded = spread_scan(docs.select("doc_id"), "doc_id").mapInPandas(
+        batches, enc_schema
+    )
     return encoded.select(
         "media_id",
         F.lit("image").alias("kind"),

@@ -61,21 +61,29 @@ def value_midranks(
     prefix sum instead — identical half-integer midranks (integer tie
     counts sum exactly in any decomposition).
 
-    ``bucket`` is ONLY meaningful for the ungrouped case (the grouped
-    window already parallelizes across groups); passing both is rejected
-    rather than silently ignoring ``bucket`` (ADVICE r10) — a caller who
-    wants a bucketed grouped rank should call :func:`bucketed_cumsum`
-    with ``group_cols`` directly."""
+    ``bucket`` composes with ``group_cols`` since round 14: a grouped
+    window parallelizes only as far as |groups|, so a LOW-group-count
+    rank over a HIGH-cardinality value column (spearman's price midrank:
+    3 flags × ~600k distinct prices) serialized ~200k-row sorts into 3
+    tasks — the bucketed two-level prefix sum runs the same exact
+    arithmetic across |groups| × |buckets| tasks instead (bucketed_cumsum
+    has supported group_cols all along; this function simply stopped
+    rejecting the combination — the ADVICE-r10 concern was *silently
+    ignoring* ``bucket``, and honoring it is the non-surprising
+    behavior). The broadcast-offsets bound (|groups| × |buckets| must be
+    driver-small) is the caller's obligation, as documented on
+    :func:`bucketed_cumsum`."""
     group_cols = list(group_cols or [])
-    if bucket is not None and group_cols:
-        raise ValueError(
-            "bucket= applies only to the ungrouped midrank; with group_cols "
-            "the per-group window is already distributed — use "
-            "bucketed_cumsum(group_cols=...) for a bucketed grouped cumsum"
-        )
     g = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    if bucket is not None and not group_cols:
-        g = bucketed_cumsum(g, value_col, "_cnt", bucket=bucket, out_col="_cum")
+    if bucket is not None:
+        g = bucketed_cumsum(
+            g,
+            value_col,
+            "_cnt",
+            bucket=bucket,
+            group_cols=group_cols,
+            out_col="_cum",
+        )
         cum = F.col("_cum")
     else:
         w = W.partitionBy(*group_cols).orderBy(value_col) if group_cols else W.orderBy(

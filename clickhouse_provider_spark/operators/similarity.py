@@ -1268,6 +1268,119 @@ AUTO_SALT_TARGET_PAIRS = 3_000_000
 AUTO_SALT_MAX = 64
 
 
+#: Pair-matrix entries one kernel chunk may hold (float64 accumulator ≈
+#: 32 MB at this size); groups bigger than this stream the b-side in
+#: chunks — peak memory stays bounded no matter how hot a (salted) cell.
+PAIR_KERNEL_CHUNK = 4_000_000
+
+
+def _cogroup_dropped(
+    a: DataFrame,
+    b: DataFrame,
+    join_keys: list,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Dropped-id relation of :func:`semantic_dedup`'s within-cell pair
+    compare, as a cogrouped Arrow kernel: for every group (``cell_id``
+    [, ``_blk``]) it receives the a-side (potential droppers) and b-side
+    (candidates) rows and returns the b-ids having some a-partner with
+    ``id_a < id_b`` and cosine ≥ threshold.
+
+    Exactness vs the relational ``zip_with``/``aggregate`` form it
+    replaces (every rule below is the JVM expression's observable
+    behavior, pinned by test):
+
+    - elements upcast float→double per element, dot folded STRICTLY
+      left-to-right (one ``acc += A[:,j]·B[:,j]`` step per dimension),
+      norms the same fold over squares then one sqrt — identical IEEE
+      op sequence, identical doubles;
+    - zero/underflowed ``norm_a * norm_b`` → the JVM's nullif made the
+      cosine NULL → pair never drops; here ``denom != 0`` masks it out;
+    - NULL vectors: ``zip_with(NULL, e)`` → NULL cosine on every pair →
+      the row neither drops nor is dropped; here None rows are excluded
+      from both sides outright — same decisions;
+    - mismatched lengths: the JVM pads the shorter side with NULLs → the
+      fold goes NULL → pair excluded; here vectors are bucketed by
+      length and only equal-length blocks compare — same exclusions.
+      NaN elements propagate to a NaN cosine on both engines, but Spark
+      SQL orders NaN ABOVE all doubles (``NaN >= threshold`` is true on
+      the JVM, false under IEEE), so the kernel or-joins ``isnan`` into
+      the threshold test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = a.schema["_id_a"].dataType.simpleString()
+
+    def _stack(pdf, id_name, vec_name):
+        ids = pdf[id_name].to_numpy()
+        by_len: dict = {}
+        for i, v in enumerate(pdf[vec_name]):
+            if v is None:
+                continue
+            try:
+                arr = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue  # null elements → NULL fold on the JVM: excluded
+            if arr.ndim != 1:
+                continue
+            by_len.setdefault(arr.shape[0], ([], []))
+            by_len[arr.shape[0]][0].append(ids[i])
+            by_len[arr.shape[0]][1].append(arr)
+        return {
+            d: (np.asarray(idl), np.stack(vl))
+            for d, (idl, vl) in by_len.items()
+        }
+
+    def _norms(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(m.shape[1]):
+            acc += m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out: list = []
+        if len(left) and len(right):
+            A = _stack(left, "_id_a", "_e_a")
+            B = _stack(right, "_id_b", "_e_b")
+            for d, (ib, bm) in B.items():
+                if d not in A:
+                    continue
+                ia, am = A[d]
+                na, nb = _norms(am), _norms(bm)
+                step = max(1, PAIR_KERNEL_CHUNK // max(1, len(ia)))
+                hit = np.zeros(len(ib), dtype=bool)
+                for s in range(0, len(ib), max(1, step)):
+                    bc, ibc = bm[s : s + step], ib[s : s + step]
+                    acc = np.zeros((len(ia), len(ibc)), dtype=np.float64)
+                    for j in range(d):
+                        acc += am[:, j][:, None] * bc[:, j][None, :]
+                    denom = na[:, None] * nb[s : s + step][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / denom
+                        # Spark SQL orders NaN ABOVE every double, so the
+                        # JVM's `cos >= threshold` is TRUE for a NaN
+                        # cosine (a NaN-carrying vector drops/gets
+                        # dropped); IEEE/numpy would say false — mirror
+                        # Spark explicitly
+                        ok = (
+                            (denom != 0.0)
+                            & (ia[:, None] < ibc[None, :])
+                            & ((cos >= threshold) | np.isnan(cos))
+                        )
+                    hit[s : s + step] |= ok.any(axis=0)
+                out.append(ib[hit])
+        ids = np.concatenate(out) if out else np.asarray([], dtype=np.int64)
+        return pd.DataFrame({id_col: ids})
+
+    return (
+        a.groupBy(*join_keys)
+        .cogroup(b.groupBy(*join_keys))
+        .applyInPandas(kernel, schema=f"{id_col} {id_type}")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.6,
@@ -1335,28 +1448,15 @@ def semantic_dedup(
         .select(id_col, vec_col, "cell_id", "cos_to_centroid")
         .localCheckpoint(eager=True)
     )
-    # per-row norm materialized BEFORE the pair join: each pair then
-    # evaluates only the dot product (one 64-element fold, not three) —
-    # same ops in the same order as cosine(), so values are bit-identical
-    sided = assigned.select(
-        "cell_id", id_col, vec_col, norm(F.col(vec_col)).alias("_n")
-    )
-    a = sided.select(
+    a = assigned.select(
         F.col("cell_id"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_e_a"),
-        F.col("_n").alias("_n_a"),
     )
-    b = sided.select(
+    b = assigned.select(
         F.col("cell_id"),
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_e_b"),
-        F.col("_n").alias("_n_b"),
-    )
-    # within-cell pairs only: the join key IS the cell, so the shuffle
-    # moves each vector once and the quadratic term is per-cell
-    pair_cos = dot(F.col("_e_a"), F.col("_e_b")) / F.nullif(
-        F.col("_n_a") * F.col("_n_b"), F.lit(0.0)
     )
     if skew_salt is None:
         # auto-engage (VERDICT r12 task 1): the hottest cell's quadratic
@@ -1383,11 +1483,23 @@ def semantic_dedup(
         join_keys = ["cell_id", "_blk"]
     else:
         join_keys = ["cell_id"]
+    # Within-cell pair compare as a COGROUPED Arrow kernel (round 14 —
+    # the batch twin of the r13 streaming `_dropped_vs_new` rewrite):
+    # the relational join evaluated one interpreted zip_with/aggregate
+    # fold PER PAIR (~µs/pair — the exact cost bisect/PAIR_KERNEL_r13.md
+    # measured turning a fold into a 7× cliff), and AQE coalesces the
+    # pair stage by shuffle BYTES, so the whole Σ|cell|² CPU term landed
+    # on one task at bench scale (measured 1.6 s single-task stage).
+    # Cogrouping on the SAME keys the join used ships each vector once
+    # per group — identical shuffle volume, including the S× a-side
+    # replication under the triangle salt — and computes each group's
+    # pair block in numpy with the identical left-to-right fold order,
+    # so every cosine is the same double and the decision relation is
+    # bit-identical (see _cogroup_dropped for the exactness argument;
+    # pinned by tests/test_round14_opt_pins.py::
+    # test_semantic_dedup_kernel_equals_relational).
     dropped = (
-        a.join(b, join_keys)
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(pair_cos >= F.lit(threshold))
-        .select(F.col("_id_b").alias(id_col))
+        _cogroup_dropped(a, b, join_keys, threshold, id_col)
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )

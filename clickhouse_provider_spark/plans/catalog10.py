@@ -708,7 +708,20 @@ def q_spearman_rank_corr(spark, t):
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
     r1 = grouped_midrank(base, "l_quantity", ["l_returnflag"], "rq_d")
-    r2 = grouped_midrank(r1, "l_extendedprice", ["l_returnflag"], "rp_d")
+    # the price column is near-UNIQUE (~594k distinct of 600k rows at
+    # sf0.1), so the distinct-collapse barely collapses and the per-flag
+    # cumulative window serialized ~200k-row sorts into 3 tasks (round
+    # 14, measured +2.7 s). The bucketed two-level prefix sum runs the
+    # same exact integer tie-count arithmetic across |flags| × |buckets|
+    # tasks; 3 flags × ~27 price buckets keeps the broadcast-offsets
+    # bound trivially. Quantity (150 distinct) keeps the cheap window.
+    r2 = grouped_midrank(
+        r1,
+        "l_extendedprice",
+        ["l_returnflag"],
+        "rp_d",
+        bucket=F.floor(F.col("l_extendedprice") / F.lit(4096.0)),
+    )
     r = r2.select(
         "l_returnflag",
         F.col("rq_d").cast(D10_1).alias("rq"),

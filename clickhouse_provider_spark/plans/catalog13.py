@@ -1038,7 +1038,13 @@ def q_knn_label_accuracy(spark, t):
     # (3 array folds/pair -> 1). sqrt(fold) of the same operands in the
     # same order is the same double, so cos_sim is bit-identical to the
     # per-pair formulation and the oracle.
-    v = t["embeddings"].withColumn(
+    from clickhouse_provider_spark.operators import spread_scan
+
+    # spread the probe side before the broadcast join (round 14): the
+    # |v| × |q| cosine evaluation is map-side work, and a single-split
+    # embeddings scan serialized all of it into ONE task (measured 1.4 s
+    # single-task CPU at sf0.1); no-op on well-split inputs
+    v = spread_scan(t["embeddings"], "vec_id").withColumn(
         "v_norm", similarity.norm(F.col("embedding"))
     )
     q = v.filter(F.col("vec_id") % 20 == 0).select(

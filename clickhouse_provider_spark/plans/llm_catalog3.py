@@ -94,7 +94,12 @@ KMEANS_A2_SQL = """\
     tags=("llm", "text", "dedup"),
 )
 def q_boilerplate_ngrams(spark, t):
-    d = t["documents"].select(
+    from clickhouse_provider_spark.operators import spread_scan
+
+    # spread before the 8-gram explode (round 14): the gram build is the
+    # CPU-heavy map stage, and a single-split documents scan ran it on
+    # one task; no-op on well-split inputs
+    d = spread_scan(t["documents"], "doc_id").select(
         "doc_id", F.split("text", " ").alias("words")
     ).filter(F.size("words") >= 8)
     g = d.select(

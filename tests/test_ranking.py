@@ -148,16 +148,29 @@ def test_value_midranks_bucketed_matches_window(spark):
     assert a == b
 
 
-def test_value_midranks_rejects_bucket_with_groups(spark):
-    """ADVICE r10: bucket= together with group_cols must raise, not fall
-    back to the per-group window path unannounced."""
-    import pytest
-
-    df = _df(spark, 5)
-    with pytest.raises(ValueError, match="ungrouped"):
-        value_midranks(df, "v", ["g"], "r", bucket=F.floor(F.col("v")))
-    with pytest.raises(ValueError, match="ungrouped"):
-        grouped_midrank(df, "v", ["g"], "r", bucket=F.floor(F.col("v")))
+def test_value_midranks_bucketed_grouped_matches_window(spark):
+    """Round 14: bucket= together with group_cols runs the grouped
+    two-level prefix sum and must produce the per-group window's exact
+    midranks (the ADVICE-r10 concern was *silently ignoring* bucket; it
+    is honored now — a low-group-count, high-cardinality rank otherwise
+    serializes into |groups| tasks)."""
+    df = _df(spark, 97)
+    plain = value_midranks(df, "v", ["g"], "r")
+    bucketed = value_midranks(
+        df, "v", ["g"], "r", bucket=F.floor(F.col("v") / F.lit(7.0))
+    )
+    p = {(r["g"], r["v"]): (r["r"], r["tie_count"]) for r in plain.collect()}
+    b = {(r["g"], r["v"]): (r["r"], r["tie_count"]) for r in bucketed.collect()}
+    assert p == b
+    # and through grouped_midrank (the row-join form)
+    gp = {tuple(r) for r in grouped_midrank(df, "v", ["g"], "r").collect()}
+    gb = {
+        tuple(r)
+        for r in grouped_midrank(
+            df, "v", ["g"], "r", bucket=F.floor(F.col("v") / F.lit(7.0))
+        ).collect()
+    }
+    assert gp == gb
 
 
 def test_bucketed_cumsum_null_vals_do_not_poison_offsets(spark):
