@@ -697,43 +697,86 @@ def q_mann_whitney_u(spark, t):
     tags=("analytics", "stats", "tests"),
 )
 def q_spearman_rank_corr(spark, t):
-    from clickhouse_provider_spark.operators.ranking import grouped_midrank
-
-    # two range-partitioned midrank passes (operators/ranking.py): a
-    # per-group window would cap parallelism at |groups| (3 here); the
-    # two-pass rank spreads each group's sort across all partitions.
-    # Values are identical to the window formulation (same midrank
-    # arithmetic), so the oracle is untouched.
     base = t["lineitem"].select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    r1 = grouped_midrank(base, "l_quantity", ["l_returnflag"], "rq_d")
-    # the price column is near-UNIQUE (~594k distinct of 600k rows at
-    # sf0.1), so the distinct-collapse barely collapses and the per-flag
-    # cumulative window serialized ~200k-row sorts into 3 tasks (round
-    # 14, measured +2.7 s). The bucketed two-level prefix sum runs the
-    # same exact integer tie-count arithmetic across |flags| × |buckets|
-    # tasks; 3 flags × ~27 price buckets keeps the broadcast-offsets
-    # bound trivially. Quantity (150 distinct) keeps the cheap window.
-    r2 = grouped_midrank(
-        r1,
-        "l_extendedprice",
-        ["l_returnflag"],
-        "rp_d",
-        bucket=F.floor(F.col("l_extendedprice") / F.lit(4096.0)),
+    # Round 14 restructure (guide §2.3/§2.4 — shuffle fewer bytes, drop
+    # redundant passes): the old plan joined the 600k-row relation back
+    # to BOTH rank relations (quantity ranks via a join whose subtree
+    # was then re-evaluated inside the price-rank collapse, plus a
+    # 600k x 594k sort-merge join for the near-unique price ranks —
+    # measured 12.5 s of executor CPU across 4 lineitem scans). The
+    # five rank moments the correlation needs never require that second
+    # join-back: after attaching the (tiny, broadcast) quantity midranks
+    # once, collapse by (flag, price) CARRYING the quantity-rank partial
+    # sums, compute the price midrank on that collapsed relation with
+    # the bucketed two-level prefix sum, and fold everything in one
+    # aggregate:
+    #   sx  = Σ_rows rq        = Σ_prices Σrq          (decimal, exact)
+    #   sxx = Σ_rows rq²       = Σ_prices Σrq²         (decimal, exact)
+    #   sy  = Σ_rows rp        = Σ_prices cnt·rp       (decimal, exact)
+    #   syy = Σ_rows rp²       = Σ_prices cnt·(rp·rp)  (decimal, exact)
+    #   sxy = Σ_rows rq·rp     = Σ_prices rp·Σrq       (decimal, exact)
+    # Every partial sum/product stays inside decimal precision bounds
+    # (cnt cast to decimal(10,1) keeps the widest product at (32,3) —
+    # under the 38-digit cap, so no rounding ever fires), decimal
+    # addition is exact in any grouping, and the final as_double casts
+    # see the same exact values — so rho is bit-identical to the
+    # row-level formulation and the oracle. Quantity (150 distinct per
+    # flag) keeps the cheap per-flag window; the near-unique price rank
+    # runs as the bucketed prefix sum (3 flags × ~27 buckets — trivially
+    # inside the broadcast-offsets bound).
+    from clickhouse_provider_spark.operators.ranking import (
+        bucketed_cumsum,
+        value_midranks,
     )
-    r = r2.select(
+
+    rq_ranks = value_midranks(
+        base, "l_quantity", ["l_returnflag"], "rq_d"
+    ).select(
         "l_returnflag",
+        "l_quantity",
         F.col("rq_d").cast(D10_1).alias("rq"),
-        F.col("rp_d").cast(D10_1).alias("rp"),
+    )
+    a = base.join(
+        F.broadcast(rq_ranks), ["l_returnflag", "l_quantity"]
+    ).select("l_returnflag", "l_extendedprice", "rq")
+    g = a.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("rq").alias("_sq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("_sqq"),
+    )
+    g2 = bucketed_cumsum(
+        g,
+        "l_extendedprice",
+        "_cnt",
+        bucket=F.floor(F.col("l_extendedprice") / F.lit(4096.0)),
+        group_cols=["l_returnflag"],
+        out_col="_cum",
+    )
+    # identical midrank arithmetic to value_midranks: cum - cnt + 1 +
+    # (cnt-1)/2.0 as a double (exact half-integers), then decimal(10,1)
+    rp = (
+        F.col("_cum")
+        - F.col("_cnt")
+        + F.lit(1)
+        + (F.col("_cnt") - F.lit(1)) / F.lit(2.0)
+    ).cast(D10_1)
+    cntd = F.col("_cnt").cast(D10_1)
+    r = g2.select(
+        "l_returnflag",
+        "_cnt",
+        "_sq",
+        "_sqq",
+        rp.alias("rp"),
     )
     m = r.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        as_double(F.sum("rq")).alias("sx"),
-        as_double(F.sum("rp")).alias("sy"),
-        as_double(F.sum(F.col("rq") * F.col("rq"))).alias("sxx"),
-        as_double(F.sum(F.col("rp") * F.col("rp"))).alias("syy"),
-        as_double(F.sum(F.col("rq") * F.col("rp"))).alias("sxy"),
+        F.sum("_cnt").alias("n"),
+        as_double(F.sum("_sq")).alias("sx"),
+        as_double(F.sum(cntd * F.col("rp"))).alias("sy"),
+        as_double(F.sum("_sqq")).alias("sxx"),
+        as_double(F.sum(cntd * (F.col("rp") * F.col("rp")))).alias("syy"),
+        as_double(F.sum(F.col("rp") * F.col("_sq"))).alias("sxy"),
     )
     n = F.col("n")
     rho = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
@@ -866,28 +909,79 @@ def q_uniq_up_to(spark, t):
     tags=("analytics", "stats"),
 )
 def q_quantile_exact_weighted(spark, t):
-    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
+    from pyspark.sql.window import Window as W
 
-    g = (
-        t["lineitem"]
-        .groupBy("l_returnflag", dec("l_extendedprice").alias("price"))
-        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("w"))
+    # Crossing-bucket pruning (round 14, guide §1.2-1 "don't compute
+    # things you throw away"): the weighted median needs the per-price
+    # cumulative weight ONLY inside the single bucket where 2*cum first
+    # reaches the total — every earlier bucket's prices all have
+    # 2*cw < tw (cw <= that bucket's inclusive prefix, which is below
+    # tw/2 by minimality of the crossing bucket), every later bucket's
+    # prices are strictly larger than the crossing bucket's qualifying
+    # prices (the bucket fn is monotone in price), and the crossing
+    # bucket always contains a qualifying price (its last price has
+    # cw = the crossing prefix >= tw/2). The old plan collapsed ALL
+    # ~594k near-unique (flag, price) pairs and ran the full two-level
+    # prefix sum over them (measured: 2 scans + a 594k-group decimal
+    # hash aggregate + 594k-row windows ~= 2.0-2.8 s at sf0.1); this
+    # plan aggregates one scan to |flags| x ~27 bucket subtotals, finds
+    # the crossing bucket with exact integer sums, and only the ~1/27
+    # of rows in that bucket pay the per-price collapse + window. All
+    # weight sums are longs (exact in any grouping), the decimal price
+    # and the 2*cw >= tw test are untouched, so every value is identical
+    # to the full-cumsum formulation and the oracle.
+    li = t["lineitem"]
+    bkt = F.floor(dec("l_extendedprice").cast("double") / F.lit(4096.0))
+    w_expr = F.floor("l_quantity").cast("long")
+
+    sub = li.groupBy("l_returnflag", bkt.alias("_bkt")).agg(
+        F.sum(w_expr).alias("bw")
     )
-    # two-level distributed prefix sum (operators/ranking.py): a per-flag
-    # cumulative window would serialize ~|distinct prices| rows into
-    # |flags| tasks; bucketing by coarse price range keeps every stage
-    # parallel. Totals via agg + broadcast join for the same reason.
-    c = bucketed_cumsum(
-        g,
-        "price",
-        "w",
-        bucket=F.floor(F.col("price").cast("double") / F.lit(4096.0)),
-        group_cols=["l_returnflag"],
-        out_col="cw",
+    wb = W.partitionBy("l_returnflag").orderBy("_bkt")
+    marked = sub.select(
+        "l_returnflag",
+        "_bkt",
+        "bw",
+        F.sum("bw").over(wb).alias("_cum"),
+        F.sum("bw").over(W.partitionBy("l_returnflag")).alias("tw"),
     )
-    tot = g.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
-    c = c.join(F.broadcast(tot), "l_returnflag")
-    return c.groupBy("l_returnflag").agg(
+    # the crossing bucket: min bucket whose inclusive prefix reaches
+    # tw/2; its exclusive prefix (= _cum - bw) is the offset every
+    # in-bucket cumulative continues from
+    cross = (
+        marked.filter(F.lit(2) * F.col("_cum") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("_bkt").alias("_bstar"))
+    )
+    off = (
+        marked.join(cross, "l_returnflag")
+        .filter(F.col("_bkt") == F.col("_bstar"))
+        .select(
+            F.col("l_returnflag").alias("_f"),
+            "_bstar",
+            "tw",
+            (F.col("_cum") - F.col("bw")).alias("_off"),
+        )
+    )
+    cand = li.join(
+        F.broadcast(off),
+        (li["l_returnflag"] == off["_f"]) & (bkt == off["_bstar"]),
+    ).select(
+        F.col("_f").alias("l_returnflag"),
+        dec("l_extendedprice").alias("price"),
+        w_expr.alias("w"),
+        "_off",
+        "tw",
+    )
+    g2 = cand.groupBy("l_returnflag", "price", "_off", "tw").agg(
+        F.sum("w").alias("pw")
+    )
+    # the in-bucket window is |flags| tasks over ~1/|buckets| of the
+    # distinct prices each — bounded by construction, no bucketed
+    # machinery needed
+    wl = W.partitionBy("l_returnflag").orderBy("price")
+    c2 = g2.withColumn("cw", F.col("_off") + F.sum("pw").over(wl))
+    return c2.groupBy("l_returnflag").agg(
         F.max("tw").alias("total_weight"),
         as_double(
             F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price")))
