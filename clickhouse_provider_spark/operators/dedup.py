@@ -136,6 +136,7 @@ def lsh_hub_edges(
     band_size: int = BAND_SIZE,
     n_hashes: int = N_HASHES,
     materialize: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """STAR (hub) edges per LSH band bucket: every doc in a bucket links to
     the bucket's MINIMUM doc_id instead of to every other member — the
@@ -162,6 +163,13 @@ def lsh_hub_edges(
     Plan: one groupBy + one join, both keyed on (band_id, band_hash) — the
     join reuses the aggregation's exchange, so the whole operator is one
     shuffle of the melted band relation; no self-join ever materializes.
+
+    ``distinct=False`` (round 14, guide §2.4) skips the final dedup
+    exchange for callers that deduplicate anyway — ``jaccard_pairs``
+    distincts its candidate input as its first step, so feeding it the
+    raw multi-band edge list removes one full exchange with zero change
+    in any downstream row. Keep the default for direct consumers (an
+    edge may repeat once per colliding band).
     """
     if materialize:
         sig = sig.localCheckpoint(eager=True)
@@ -172,12 +180,12 @@ def lsh_hub_edges(
         .filter(F.col("_m") >= 2)
         .drop("_m")
     )
-    return (
+    out = (
         bands.join(hubs, ["band_id", "band_hash"])
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def lsh_candidate_pairs(
@@ -185,6 +193,7 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
     n_hashes: int = N_HASHES,
     materialize: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band (concat of band_size minhashes)
     become a candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
@@ -194,13 +203,15 @@ def lsh_candidate_pairs(
     the algorithm's output size, not incidental skew. ``materialize``
     localCheckpoints the signatures first — a self-join otherwise
     recomputes the whole shingle+hash stage for each side (measured ~2×).
+    ``distinct=False`` skips the dedup exchange for callers that
+    deduplicate anyway (``jaccard_pairs`` — see :func:`lsh_hub_edges`).
     """
     if materialize:
         sig = sig.localCheckpoint(eager=True)
     bands = melt_bands(sig, band_size, n_hashes)
     left = bands.alias("l")
     right = bands.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -208,8 +219,8 @@ def lsh_candidate_pairs(
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -276,7 +287,13 @@ def jaccard_pairs(
         )
         # expand each candidate pair by doc_a's shingles, then inner-join
         # doc_b's shingles on (doc_b, shingle): one row per common shingle
-        # per candidate pair — proportional to candidate work only
+        # per candidate pair — proportional to candidate work only.
+        # (Round 14 probed and REJECTED a one-exchange melt-spine form —
+        # group all endpoint shingles by (pair, shingle) and count roles:
+        # bit-identical, but it shuffles Σ(|sh_a|+|sh_b|) rows per pair
+        # where this probe-join shape ships only the doc_a side and lets
+        # the (doc_b, shingle) join drop non-common shingles before any
+        # aggregation; measured 3.4 s → 3.85 s on the cluster-stats rep.)
         common = (
             p.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
             .join(
@@ -384,6 +401,7 @@ def connected_components(
     pairs: DataFrame,
     max_iterations: int = 50,
     stats: dict | None = None,
+    oriented_distinct: bool = False,
 ) -> DataFrame:
     """(doc_id, component_id) for every doc in ``pairs`` (doc_a, doc_b):
     min-label propagation to fixpoint — the same shallow-iteration shape
@@ -400,15 +418,23 @@ def connected_components(
     diameter), so even chain-of-stars graphs (overlapping hub buckets)
     converge in a handful of driver-synchronized rounds; label state is
     2 longs per doc.
+
+    ``oriented_distinct`` (round 14, guide §2.4 "remove shuffles
+    outright"): set True when the caller guarantees ``pairs`` rows are
+    already distinct with ``doc_a < doc_b`` on every row — then the two
+    unioned orientations are disjoint by construction (a < b vs a > b)
+    and the dedup exchange below is provably a no-op, so it is skipped.
+    Every verified-pair producer in this package (``jaccard_pairs``
+    output — distinct by its groupBy keys, hub-oriented; the
+    ``simhash_hub_pairs`` output — hub = bucket min) meets the contract.
+    Default False keeps the generic any-edge-list behavior.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
+    if not oriented_distinct:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     # Scale-adaptive shuffle sizing for the fixpoint (round 14, guide §2:
     # derive partitioning from input size, not a constant): every round
     # shuffles relations of O(|edges|) rows, and with the session's full
@@ -423,14 +449,30 @@ def connected_components(
     # partitioning-independent, so results are identical either way.
     spark = edges.sparkSession
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    sess_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     n_parts = max(
         1, min(int(sess_parts), -(-edges.count() // CC_ROWS_PER_PARTITION))
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    # AQE inside the fixpoint (round 14): every fixpoint round is a chain
+    # of driver-synchronized actions, and under AQE each exchange is
+    # materialized as its own stage-job. When the derived partition count
+    # is BELOW the session setting the graph is by definition small
+    # (< CC_ROWS_PER_PARTITION rows per session partition), so AQE has
+    # nothing left to do — partitions are already right-sized by the
+    # count above, there is nothing to coalesce and no skew to split —
+    # while its per-round stage materializations roughly triple the job
+    # count (measured 16 → 6 jobs per CC run on a 488-edge graph).
+    # Cluster-scale graphs hit the cap (n_parts == session setting) and
+    # keep AQE's runtime coalescing/skew handling. Labels are identical
+    # either way (partitioning- and planner-independent).
+    if n_parts < int(sess_parts):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _cc_fixpoint(edges, max_iterations, stats)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", sess_aqe)
 
 
 def _cc_fixpoint(
@@ -438,13 +480,14 @@ def _cc_fixpoint(
 ) -> DataFrame:
     """The min-label propagation loop of :func:`connected_components`,
     run under the caller-managed shuffle-partition scope."""
+    # init: one aggregation — every endpoint appears as `a` (edges carry
+    # both orientations), so groupBy(a) already enumerates the distinct
+    # doc_ids and min(b) is in the same pass; the former
+    # distinct-join-groupBy spelling paid two extra exchanges for the
+    # identical relation (round 14, guide §2.4).
     labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .join(
-            edges.groupBy(F.col("a").alias("doc_id")).agg(F.min("b").alias("nb")),
-            "doc_id",
-        )
+        edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("b").alias("nb"))
         .select("doc_id", F.least("doc_id", "nb").alias("label"))
         .localCheckpoint(eager=True)
     )
@@ -509,14 +552,20 @@ def _cc_fixpoint(
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
-def dedup_survivors(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, oriented_distinct: bool = False
+) -> DataFrame:
     """Final dedup decision: cluster near-dup pairs, elect min-doc_id
     survivor per component; docs in no component survive as themselves.
     Returns (doc_id, survivor_doc_id, is_survivor).
 
+    ``oriented_distinct`` passes through to :func:`connected_components`
+    (set True when ``pairs`` is already distinct with doc_a < doc_b —
+    true of every verified-pair producer here).
+
     (CC docstring above covers the fixpoint; since r10 each round also
     path-compresses, so rounds ≈ log(diameter).)"""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, oriented_distinct=oriented_distinct)
     return (
         docs.select("doc_id")
         .join(cc, "doc_id", "left")

@@ -483,11 +483,11 @@ def q_similarity_recall_eval(spark, t):
 )
 def q_dedup_cluster_stats(spark, t):
     docs = t["documents"]
-    cand = dedup.lsh_hub_edges(dedup.minhash_signatures(docs))
+    cand = dedup.lsh_hub_edges(dedup.minhash_signatures(docs), distinct=False)
     pairs = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1).select(
         "doc_a", "doc_b"
     )
-    labeled = dedup.dedup_survivors(docs, pairs).select(
+    labeled = dedup.dedup_survivors(docs, pairs, oriented_distinct=True).select(
         "doc_id", F.col("survivor_doc_id").alias("comp_id")
     )
     clusters = labeled.groupBy("comp_id").agg(
@@ -568,11 +568,11 @@ def q_dedup_cluster_stats(spark, t):
 )
 def q_dedup_survivors_lsh(spark, t):
     docs = t["documents"]
-    cand = dedup.lsh_hub_edges(dedup.minhash_signatures(docs))
+    cand = dedup.lsh_hub_edges(dedup.minhash_signatures(docs), distinct=False)
     pairs = dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1).select(
         "doc_a", "doc_b"
     )
-    return dedup.dedup_survivors(docs, pairs)
+    return dedup.dedup_survivors(docs, pairs, oriented_distinct=True)
 
 
 @register(

@@ -229,7 +229,7 @@ def q_dedup_simhash_clusters(spark, t):
     pairs = dedup.simhash_hub_pairs(dedup.simhash32(docs)).select(
         "doc_a", "doc_b"
     )
-    labeled = dedup.dedup_survivors(docs, pairs).select(
+    labeled = dedup.dedup_survivors(docs, pairs, oriented_distinct=True).select(
         "doc_id", F.col("survivor_doc_id").alias("comp_id")
     )
     clusters = labeled.groupBy("comp_id").agg(

@@ -207,7 +207,7 @@ def q_dedup_ngram_jaccard(spark, t):
 )
 def q_dedup_lsh_verified(spark, t):
     docs = t["documents"]
-    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs), distinct=False)
     return dedup.jaccard_pairs(docs, pairs=cand, threshold=0.1)
 
 
@@ -269,7 +269,7 @@ def q_dedup_simhash(spark, t):
 def q_dedup_survivors(spark, t):
     docs = t["documents"]
     pairs = dedup.jaccard_pairs(docs, threshold=0.1).select("doc_a", "doc_b")
-    return dedup.dedup_survivors(docs, pairs)
+    return dedup.dedup_survivors(docs, pairs, oriented_distinct=True)
 
 
 @register(
@@ -334,7 +334,7 @@ def q_dedup_delta_labels(spark, t):
     edges1 = all_pairs.filter(
         (F.col("doc_a") % 2 == 1) | (F.col("doc_b") % 2 == 1)
     )
-    hist0 = dedup.dedup_survivors(b0, edges0).select(
+    hist0 = dedup.dedup_survivors(b0, edges0, oriented_distinct=True).select(
         "doc_id", F.col("survivor_doc_id").alias("component_id")
     )
     delta1 = dedup_index.components_delta(hist0, edges1)

@@ -172,3 +172,51 @@ def test_spread_scan_conditional(spark):
     assert spread_scan(wide, "doc_id") is wide  # no-op: already spread
     # values untouched either way
     assert {r[0] for r in spreaded.collect()} == set(range(100))
+
+
+def test_cc_oriented_distinct_identical_and_aqe_restored(spark):
+    """Round-14 distinct-elision pins: (a) ``oriented_distinct=True`` —
+    valid whenever every input row is unique with doc_a < doc_b — yields
+    exactly the labels of the generic path; (b) the fixpoint's scoped
+    AQE-off (engaged only when the derived partition count sits below
+    the session setting) restores the session conf on exit."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
+    generic = {tuple(r) for r in dedup.connected_components(pairs).collect()}
+    oriented = {
+        tuple(r)
+        for r in dedup.connected_components(
+            pairs, oriented_distinct=True
+        ).collect()
+    }
+    assert oriented == generic
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts_before
+
+
+def test_cc_survivors_oriented_matches_generic(spark, tables):
+    """End-to-end: the hub-edge → jaccard → survivors pipeline with the
+    round-14 flags (hub edges undistincted into jaccard, CC skipping its
+    dedup exchange) emits row-for-row the flag-free relation."""
+    docs = tables["documents"].limit(200)
+    sig = dedup.minhash_signatures(docs)
+    old_pairs = dedup.jaccard_pairs(
+        docs, pairs=dedup.lsh_hub_edges(sig), threshold=0.1
+    ).select("doc_a", "doc_b")
+    new_pairs = dedup.jaccard_pairs(
+        docs, pairs=dedup.lsh_hub_edges(sig, distinct=False), threshold=0.1
+    ).select("doc_a", "doc_b")
+    old = {
+        tuple(r) for r in dedup.dedup_survivors(docs, old_pairs).collect()
+    }
+    new = {
+        tuple(r)
+        for r in dedup.dedup_survivors(
+            docs, new_pairs, oriented_distinct=True
+        ).collect()
+    }
+    assert new == old
