@@ -476,8 +476,15 @@ def main() -> None:
     mins = {n: round(min(xs), 3) for n, xs in samples.items()}
     spreads = {n: round(max(xs) - min(xs), 3) for n, xs in samples.items()}
 
-    ingest = bench_ingest(spark)
-    assembly = bench_assembly(spark)
+    # Local-iteration escape hatch (round 14): per-query A/B runs only
+    # need the queries dict; the pipeline halves add minutes per run.
+    # The driver never sets this, so official runs are unchanged.
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES_ONLY"):
+        ingest: dict = {"skipped": True}
+        assembly: dict = {"skipped": True}
+    else:
+        ingest = bench_ingest(spark)
+        assembly = bench_assembly(spark)
 
     total = round(sum(timings.values()), 3)
     prev_name, prev = previous_round()
@@ -521,7 +528,11 @@ def main() -> None:
     # Local iteration runs (often concurrent with pytest, so their timings
     # are polluted) must not clobber the committed round snapshot: set
     # SPARK_GRAFT_BENCH_NO_PERSIST=1 to keep the run stdout-only.
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_PERSIST"):
+    # A restricted run (SPARK_GRAFT_BENCH_QUERIES) is never the round
+    # artifact either — don't let an A/B iteration clobber the snapshot.
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_PERSIST") and not os.environ.get(
+        "SPARK_GRAFT_BENCH_QUERIES"
+    ):
         full = Path(__file__).resolve().parent / f"BENCH_full_r{current_round():02d}.json"
         try:
             full.write_text(json.dumps(out, indent=1) + "\n")

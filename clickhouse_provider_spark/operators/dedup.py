@@ -368,11 +368,25 @@ def substring_dup_ratio(
     anch = shingles(df, n).filter(
         F.substring(F.md5("shingle"), 1, len(anchor_hex)) == anchor_hex
     )
-    dfreq = anch.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")  # shingles() is doc-distinct already
-    )
+    # ONE anchor pass (round 14, guide §1.2-1/§2.4): the old plan used
+    # `anch` twice — once aggregated to doc frequencies and once as the
+    # probe side of an anch⋈dfreq join — so the shingle explode + md5
+    # scan (the expensive map work) ran TWICE and the join added a third
+    # shuffle. Grouping by shingle while CARRYING the doc list gives df
+    # and the anchor rows in the same aggregation: each (doc, shingle)
+    # anchor reappears exactly once when the list is re-exploded
+    # (shingles() is doc-distinct), so the multiset feeding the per-doc
+    # rollup — and every count — is identical. Per-shingle lists are
+    # bounded by that shingle's df (corpus-wide dup factor, ~1-2 for
+    # real text); a pathological universal shingle is the same hot key
+    # the join form would have had.
     per_doc = (
-        anch.join(dfreq, "shingle")
+        anch.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.collect_list("doc_id").alias("_docs"),
+        )
+        .select(F.explode("_docs").alias("doc_id"), "df")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_anchors"),

@@ -152,29 +152,48 @@ _PAIR_SQL = """
     tags=("analytics", "stats"),
 )
 def q_covar_corr_matrix(spark, t):
+    # ONE pass over the fact table (round 14, guide §1.2-1): the three
+    # pair frames used to run three separate full-scan aggregations
+    # unioned together — but the 3 pairs share their per-column moments,
+    # so a single aggregate computes the 10 distinct sums (count, 3
+    # linear, 3 squared, 3 cross — decimal, exact, identical values in
+    # any grouping of the scan) and a 1-row explode fans them out to the
+    # same 3 output rows. Plan: 3× (scan + HashAggregate) → 1×.
     li = t["lineitem"]
-    frames = []
+    measures = sorted({c for xy in _PAIRS for c in xy})
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in measures:
+        dc = dec(F.col(c))
+        aggs.append(as_double(F.sum(dc)).alias(f"s|{c}"))
+        aggs.append(
+            as_double(F.sum((dc * dc).cast(T.DecimalType(24, 4)))).alias(
+                f"ss|{c}|{c}"
+            )
+        )
     for x, y in _PAIRS:
         dx, dy = dec(F.col(x)), dec(F.col(y))
-        frames.append(
-            li.agg(
-                F.count(F.lit(1)).alias("n"),
-                as_double(F.sum(dx)).alias("sx"),
-                as_double(F.sum(dy)).alias("sy"),
-                as_double(F.sum((dx * dx).cast(T.DecimalType(24, 4)))).alias(
-                    "sxx"
-                ),
-                as_double(F.sum((dy * dy).cast(T.DecimalType(24, 4)))).alias(
-                    "syy"
-                ),
-                as_double(F.sum((dx * dy).cast(T.DecimalType(24, 4)))).alias(
-                    "sxy"
-                ),
-            ).select(F.lit(f"{x}|{y}").alias("pair"), "*")
+        aggs.append(
+            as_double(F.sum((dx * dy).cast(T.DecimalType(24, 4)))).alias(
+                f"ss|{x}|{y}"
+            )
         )
-    m = frames[0]
-    for f2 in frames[1:]:
-        m = m.unionByName(f2)
+    pair_structs = [
+        F.struct(
+            F.lit(f"{x}|{y}").alias("pair"),
+            F.col("n").alias("n"),
+            F.col(f"s|{x}").alias("sx"),
+            F.col(f"s|{y}").alias("sy"),
+            F.col(f"ss|{x}|{x}").alias("sxx"),
+            F.col(f"ss|{y}|{y}").alias("syy"),
+            F.col(f"ss|{x}|{y}").alias("sxy"),
+        )
+        for x, y in _PAIRS
+    ]
+    m = (
+        li.agg(*aggs)
+        .select(F.explode(F.array(*pair_structs)).alias("m"))
+        .select("m.pair", "m.n", "m.sx", "m.sy", "m.sxx", "m.syy", "m.sxy")
+    )
     n = F.col("n")
     sx, sy = F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -379,17 +379,27 @@ def q_ngram_string_distance(spark, t):
         )
 
     g1 = (
-        pairs.select("p_partkey", F.explode(grams("s1")).alias("g"))
-        .groupBy("p_partkey", "g")
+        pairs.select("p_partkey", "p_brand", F.explode(grams("s1")).alias("g"))
+        .groupBy("p_partkey", "p_brand", "g")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
+    # Reference-side gram counts depend ONLY on (brand, ref_name) — ~25
+    # distinct strings — yet the old plan exploded s2 once PER PART ROW
+    # (20k copies of the same 25 gram lists) and then shuffled a
+    # (p_partkey, g) join against it. Exploding the brand-level ref
+    # relation instead yields a few hundred rows, broadcast into the g1
+    # stream (round 14, guide §1.2-1 "don't compute things you throw
+    # away" + §3.1). c2 per (brand, g) is the identical count the
+    # per-part explode produced for that part's s2 — same string — and
+    # the inner join keeps the same gram set (g in s1 AND in the ref),
+    # so Σ least(c1, c2) is unchanged, bit for bit.
     g2 = (
-        pairs.select("p_partkey", F.explode(grams("s2")).alias("g"))
-        .groupBy("p_partkey", "g")
+        ref.select("p_brand", F.explode(grams("ref_name")).alias("g"))
+        .groupBy("p_brand", "g")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
     common = (
-        g1.join(g2, ["p_partkey", "g"])
+        g1.join(F.broadcast(g2), ["p_brand", "g"])
         .groupBy("p_partkey")
         .agg(F.sum(F.least("c1", "c2")).alias("n_common"))
     )

@@ -133,13 +133,19 @@ def q_similarity_filtered_ann_eval(spark, t) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_K)
     )
+    # train the seeded centroids ONCE and share them across both probe
+    # strategies (round 14, guide §1.2-1): the two ivf_filtered_topk
+    # calls used to each run their own identical seeded-sample job —
+    # same emb, same n_cells, same iters → the SAME centroid relation by
+    # construction, so sharing is value-invisible.
+    cents = similarity.ivf_train_centroids(emb, 8, iters=0)
     inprobe = similarity.ivf_filtered_topk(
         emb, allowed, query_vec_id=0, k=_K, n_cells=8, nprobe=2,
-        mode="inprobe", iters=0,
+        mode="inprobe", iters=0, centroids=cents,
     )
     postfilter = similarity.ivf_filtered_topk(
         emb, allowed, query_vec_id=0, k=_K, n_cells=8, nprobe=2,
-        mode="postfilter", expansion=_EXPANSION, iters=0,
+        mode="postfilter", expansion=_EXPANSION, iters=0, centroids=cents,
     )
     ex_ids = exact.select("vec_id", F.lit(1).alias("_x"))
 

@@ -336,16 +336,22 @@ def q17_small_quantity_revenue(spark, t):
     tags=("analytics", "tpch"),
 )
 def q18_large_volume_customers(spark, t):
+    # ONE lineitem aggregation (round 14, guide §1.2-1): the HAVING
+    # pre-aggregate's per-order decimal qty IS the query's total_qty —
+    # the output's group (customer, order, date, price) is keyed by the
+    # unique o_orderkey, so re-scanning lineitem, semi-joining, and
+    # re-summing per output group (the old plan) recomputed the exact
+    # same decimal sums a second time. The qualifying set is tiny after
+    # the >250 cut; both dimension attaches are broadcast-side, so the
+    # single lineitem shuffle is the whole data motion.
     li = t["lineitem"].select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
         .filter(F.col("qty_dec") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(
+        big.join(
             t["orders"].select(
                 "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
             ),
@@ -355,21 +361,13 @@ def q18_large_volume_customers(spark, t):
             F.broadcast(t["customer"].select("c_custkey", "c_name")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .groupBy(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            dec("o_totalprice").alias("tp_dec"),
-        )
-        .agg(as_double(F.sum(dec("l_quantity"))).alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            as_double(F.col("tp_dec")).alias("o_totalprice"),
-            "total_qty",
+            as_double(dec("o_totalprice")).alias("o_totalprice"),
+            as_double(F.col("qty_dec")).alias("total_qty"),
         )
     )
 
@@ -418,25 +416,42 @@ def q21_waiting_suppliers(spark, t):
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    late = l1.filter(F.col("l_shipdate") > F.col("o_orderdate"))
     # Per (order, supplier): did any OTHER supplier ship on this order, and
-    # was any OTHER supplier late? Computed as order-level totals minus own
-    # contribution — one aggregation instead of two exists-self-joins.
-    per_os = late.groupBy(
+    # was any OTHER supplier late? One aggregation instead of two
+    # exists-self-joins — and (round 14, guide §1.2-1/§2.3) ONE pass over
+    # the lineitem⋈orders join instead of two: the old plan aggregated
+    # `late` and `l1` separately, scanning/joining lineitem twice, and the
+    # order-level countDistincts planned as Expand (2× the shuffle rows).
+    # Both levels fold out of a single (order, supplier) aggregate:
+    # suppkey is unique within a per_os group, so n_suppliers =
+    # count(groups per order) and n_late_suppliers = count(groups with
+    # own_late > 0) — identical integers, no distinct machinery.
+    from pyspark.sql.window import Window as W
+
+    per_os = l1.groupBy(
         F.col("l_orderkey").alias("g_orderkey"), F.col("l_suppkey").alias("g_suppkey")
-    ).agg(F.count(F.lit(1)).alias("own_late"))
-    order_tot = (
-        l1.groupBy(F.col("l_orderkey").alias("t_orderkey"))
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.countDistinct(
-                F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
-            ).alias("n_late_suppliers"),
-        )
+    ).agg(
+        F.sum(
+            F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("own_late")
     )
+    # order-level totals as ORDER-PARTITIONED windows over per_os rather
+    # than a groupBy + self-join: the join form duplicates the whole
+    # lineitem⋈orders aggregate subtree (Spark shares nothing across a
+    # self-join), scanning lineitem twice; the window reuses the one
+    # per_os relation — plan: 2 lineitem scans → 1, SMJ removed.
+    wo = W.partitionBy("g_orderkey")
     waiting = (
-        per_os.join(order_tot, F.col("g_orderkey") == F.col("t_orderkey"))
-        .filter((F.col("n_suppliers") > 1) & (F.col("n_late_suppliers") == 1))
+        per_os.withColumn("n_suppliers", F.count(F.lit(1)).over(wo))
+        .withColumn(
+            "n_late_suppliers",
+            F.sum(F.when(F.col("own_late") > 0, 1).otherwise(0)).over(wo),
+        )
+        .filter(
+            (F.col("own_late") > 0)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late_suppliers") == 1)
+        )
         .join(F.broadcast(supp), F.col("g_suppkey") == F.col("s_suppkey"), "inner")
     )
     return (
