@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_SHINGLE = 3  # words per shingle
 N_HASHES = 8  # minhash signature length
@@ -37,6 +38,21 @@ BAND_SIZE = 2  # rows per LSH band → 4 bands at N_HASHES=8
 #: longs per task — big enough that task overhead amortizes, small enough
 #: that a round's join state stays comfortably in execution memory.
 CC_ROWS_PER_PARTITION = 200_000
+
+#: connected_components solves graphs at or below this edge count (both
+#: orientations, post-distinct) with a driver-side union-find instead of
+#: the distributed fixpoint (round 14, guide §1.2-1): each fixpoint round
+#: is 2+ driver-synchronized jobs, and on a graph this small the ENTIRE
+#: cost is that scheduling (measured: ~2,350 edges → ~1.4 s of fixpoint
+#: jobs vs ~30 ms collect + solve + createDataFrame). 256k edge rows ≈
+#: 4 MB of collected longs — far inside the driver-collectable contract
+#: the centroid/codebook relations already rely on, and the count that
+#: gates it is computed (not assumed) on the materialized edge relation
+#: every call. Labels are identical by construction: component_id = min
+#: reachable id, an algorithm-independent value (pinned against the
+#: distributed path in tests/test_round14_opt_pins.py). Cluster-scale
+#: graphs exceed the gate and keep the fixpoint unchanged.
+CC_DRIVER_MAX_EDGES = 262_144
 
 
 def _parallelism(df: DataFrame) -> int:
@@ -411,11 +427,43 @@ def substring_dup_ratio(
     )
 
 
+def _cc_union_find(edges: list[tuple]) -> list[tuple]:
+    """Exact driver-side connected components over a small edge list:
+    union-find with path halving, then label every node with the MIN id
+    of its component — the identical value the distributed min-label
+    fixpoint converges to (min over a component is total-order-only, so
+    it agrees for longs and for strings, matching F.min/F.least)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return [(x, comp_min[find(x)]) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 50,
     stats: dict | None = None,
     oriented_distinct: bool = False,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(doc_id, component_id) for every doc in ``pairs`` (doc_a, doc_b):
     min-label propagation to fixpoint — the same shallow-iteration shape
@@ -442,6 +490,9 @@ def connected_components(
     output — distinct by its groupBy keys, hub-oriented; the
     ``simhash_hub_pairs`` output — hub = bucket min) meets the contract.
     Default False keeps the generic any-edge-list behavior.
+
+    ``driver_max_edges`` overrides CC_DRIVER_MAX_EDGES (0 forces the
+    distributed fixpoint; tests pin its convergence through that door).
     """
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
         pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
@@ -449,6 +500,28 @@ def connected_components(
     if not oriented_distinct:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    # Small-graph short-circuit (round 14, guide §1.2-1): see
+    # CC_DRIVER_MAX_EDGES. ``driver_max_edges=0`` forces the distributed
+    # fixpoint (tests pin its convergence behavior through that door).
+    gate = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if n_edges <= gate:
+        rows = edges.collect()
+        if all(r[0] is not None and r[1] is not None for r in rows):
+            labels = _cc_union_find([(r[0], r[1]) for r in rows])
+            if stats is not None:
+                stats["iterations"] = 0  # solved driver-side, no rounds
+            spark = edges.sparkSession
+            atype = edges.schema["a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", atype),
+                    T.StructField("component_id", atype),
+                ]
+            )
+            return spark.createDataFrame(labels, schema)
+        # NULL endpoints: fall through — the relational path's
+        # null-join/min semantics stay authoritative for that corner
     # Scale-adaptive shuffle sizing for the fixpoint (round 14, guide §2:
     # derive partitioning from input size, not a constant): every round
     # shuffles relations of O(|edges|) rows, and with the session's full
@@ -465,7 +538,7 @@ def connected_components(
     sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
     sess_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     n_parts = max(
-        1, min(int(sess_parts), -(-edges.count() // CC_ROWS_PER_PARTITION))
+        1, min(int(sess_parts), -(-n_edges // CC_ROWS_PER_PARTITION))
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     # AQE inside the fixpoint (round 14): every fixpoint round is a chain

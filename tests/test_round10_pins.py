@@ -18,7 +18,7 @@ def test_cc_chain_converges_in_log_rounds(spark):
         [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
     )
     stats = {}
-    cc = dedup.connected_components(pairs, stats=stats)
+    cc = dedup.connected_components(pairs, stats=stats, driver_max_edges=0)
     labels = {r["doc_id"]: r["component_id"] for r in cc.collect()}
     assert labels == {i: 0 for i in range(n)}
     assert stats["iterations"] <= 10, (
@@ -34,7 +34,7 @@ def test_cc_star_converges_in_two_rounds(spark):
         [(0, i) for i in range(1, 30)], ["doc_a", "doc_b"]
     )
     stats = {}
-    cc = dedup.connected_components(pairs, stats=stats)
+    cc = dedup.connected_components(pairs, stats=stats, driver_max_edges=0)
     assert {r["component_id"] for r in cc.collect()} == {0}
     assert stats["iterations"] <= 2
 

@@ -165,8 +165,8 @@ def test_cc_stats_are_per_call(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 5)], ["doc_a", "doc_b"])
     chain = spark.createDataFrame([(i, i + 1) for i in range(16)], ["doc_a", "doc_b"])
     s1, s2 = {}, {}
-    dedup.connected_components(star, stats=s1).collect()
-    dedup.connected_components(chain, stats=s2).collect()
+    dedup.connected_components(star, stats=s1, driver_max_edges=0).collect()
+    dedup.connected_components(chain, stats=s2, driver_max_edges=0).collect()
     assert s1["iterations"] <= 2
     assert s2["iterations"] >= s1["iterations"]
     assert not hasattr(dedup.connected_components, "last_iterations")

@@ -220,3 +220,46 @@ def test_cc_survivors_oriented_matches_generic(spark, tables):
         ).collect()
     }
     assert new == old
+
+
+def test_cc_driver_union_find_matches_distributed(spark):
+    """Round 14: graphs at or below CC_DRIVER_MAX_EDGES are solved with a
+    driver-side union-find. Labels must be IDENTICAL to the distributed
+    fixpoint's on the same graph — chains, stars, merged components,
+    singleton-free edge lists, long ids and string ids."""
+    import random
+
+    rng = random.Random(14)
+    # random graph: 300 nodes, 400 edges, several components
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    s_drv, s_dist = {}, {}
+    drv = {
+        tuple(r)
+        for r in dedup.connected_components(pairs, stats=s_drv).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in dedup.connected_components(
+            pairs, stats=s_dist, driver_max_edges=0
+        ).collect()
+    }
+    assert drv == dist
+    assert s_drv["iterations"] == 0  # solved driver-side
+    assert s_dist["iterations"] >= 1
+
+    # string ids: min is lexicographic on both paths
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    sdrv = {tuple(r) for r in dedup.connected_components(spairs).collect()}
+    sdist = {
+        tuple(r)
+        for r in dedup.connected_components(
+            spairs, driver_max_edges=0
+        ).collect()
+    }
+    assert sdrv == sdist == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
