@@ -94,17 +94,29 @@ def merge_centroids(
 
 
 def adaptive_histogram(
-    df: DataFrame, group: str, value: str, n_bins: int
+    df: DataFrame, group: str, value: str, n_bins: int,
+    pre_counted: bool = False,
 ) -> DataFrame:
     """ClickHouse ``histogram(n_bins)(value)`` per ``group`` over an
     INTEGER value column (fixed-point-scale fractional inputs first).
 
     Returns (group, bin, lo, hi, height, val_sum) — bin 0..k-1 in value
     order, k = min(n_bins, distinct values).
+
+    ``pre_counted=True`` (round 14, guide §1.2-1): ``df`` already IS the
+    per-(group, value) count relation with the weight in ``__n`` —
+    callers that need the same counts elsewhere (histogram_adaptive's
+    equi-depth ranks + exact totals) share one scan/aggregation instead
+    of three. The merge input is identical (the pandas kernel sorts by
+    value either way), so bins are bit-identical.
     """
     import pandas as pd
 
-    counts = df.groupBy(group, value).agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        df.select(group, value, "__n")
+        if pre_counted
+        else df.groupBy(group, value).agg(F.count(F.lit(1)).alias("__n"))
+    )
     gtype = counts.schema[group].dataType
     out_schema = T.StructType(
         [

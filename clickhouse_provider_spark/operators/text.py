@@ -181,7 +181,12 @@ def bm25_topk(
     before any shuffle (an IN over a literal set, pushed into the scan);
     df/N/avgdl are 1-row or |Q|-row broadcast frames; the final top-k is
     a TakeOrdered over per-doc scores — no global sort, no full-corpus
-    postings shuffle.
+    postings shuffle. Round 14 (guide §1.2-1, §2.4): ONE tokenize pass —
+    the corpus is projected once to (doc_id, dl, query-term hits) and
+    localCheckpointed (tiny rows: two longs + ≤|Q| short strings), so
+    the old second tokenize scan for the doc-length relation AND its
+    full-corpus doc_id join back onto the postings (an SMJ shuffle of
+    every doc's length at scale) are gone; dl rides through the explode.
     """
     from clickhouse_provider_spark.operators.dedup import normalized_words
 
@@ -192,21 +197,25 @@ def bm25_topk(
             [], "doc_id long, n_terms_hit long, score double"
         )
     words = normalized_words(text_col)
-    lens = df.select("doc_id", F.size(words).alias("dl"))
-    stats = lens.agg(
+    # size() and filter() share the words subexpression inside one
+    # codegen stage — the text is normalized/split once per row
+    base = df.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        F.filter(words, lambda x: x.isin(*query_terms)).alias("hits"),
+    ).localCheckpoint(eager=True)
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        df.select("doc_id", F.explode(words).alias("term"))
-        .filter(F.col("term").isin(*query_terms))
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

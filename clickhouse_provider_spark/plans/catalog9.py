@@ -424,33 +424,91 @@ def q_lttb_downsample(spark, t):
 )
 def q_histogram_adaptive(spark, t):
     from clickhouse_provider_spark.operators.histogram import adaptive_histogram
+    from clickhouse_provider_spark.operators.ranking import bucketed_cumsum
 
     N_EQ, N_AD = 8, 10
     ev = t["events"].select(
         "event_type",
-        "event_id",
         F.col("value").cast("decimal(18,6)").alias("v"),
-        (F.col("value").cast("decimal(18,6)") * 1_000_000)
-        .cast("long")
-        .alias("vm"),
     )
-    # exact equi-depth side
-    wr = W.partitionBy("event_type").orderBy("v", "event_id")
-    r = ev.withColumn("rn", F.row_number().over(wr) - 1).withColumn(
-        "cnt", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    # ONE scan + one (type, value) aggregation feeds all three sides
+    # (round 14, guide §1.2-1): the per-distinct-value count relation is
+    # what the adaptive merge consumes, what the equi-depth ranks derive
+    # from, and what the exact totals fold over — the old plan scanned
+    # events three times and ranked ROWS through a per-type window whose
+    # parallelism is capped at |event_types| forever (the 100 TB cliff
+    # operators/ranking.py exists to remove). vm = v·10^6 is integral by
+    # construction (v has 6dp), so the cast is exact and 1:1 with v.
+    counts = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("vm", (F.col("v") * 1_000_000).cast("long"))
+        .localCheckpoint(eager=True)
     )
-    eq = r.groupBy(
-        "event_type", F.expr(f"CAST((rn * {N_EQ}) DIV cnt AS INT)").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        as_double(F.min("v")).alias("lo"),
-        as_double(F.max("v")).alias("hi"),
-        as_double(F.sum("v").cast("decimal(18,6)")).alias("v_sum"),
+    # exact equi-depth side, value-collapsed: a run of __n tied rows
+    # occupies ranks [cum-__n, cum) in the (v, event_id) total order —
+    # the event_id tiebreak never crosses a value boundary, so per-bucket
+    # (n, lo, hi, v_sum) depend only on how many of the run's ranks land
+    # in each bucket. bucket(rn) = (rn·8) DIV cnt is monotone; bucket b
+    # covers ranks [⌈b·cnt/8⌉, ⌈(b+1)·cnt/8⌉), so the overlap with the
+    # run is exact integer arithmetic — bit-identical to the row-level
+    # window form (buckets whose rank range is empty get cnt_b = 0 and
+    # are filtered, exactly as no row ever maps to them).
+    tot = counts.groupBy("event_type").agg(F.sum("__n").alias("cnt"))
+    c = bucketed_cumsum(
+        counts,
+        "v",
+        "__n",
+        bucket=F.floor(F.col("v") / F.lit(16.0)),
+        group_cols=["event_type"],
+        out_col="cum",
+    ).join(F.broadcast(tot), "event_type")
+    run = c.select(
+        "event_type",
+        "v",
+        "__n",
+        "cnt",
+        (F.col("cum") - F.col("__n")).alias("start"),
     )
-    # adaptive histogram + invariant claim
+    b_first = F.expr(f"(start * {N_EQ}) DIV cnt")
+    b_last = F.expr(f"((start + __n - 1) * {N_EQ}) DIV cnt")
+    spread = run.select(
+        "event_type",
+        "v",
+        "__n",
+        "cnt",
+        "start",
+        F.explode(F.sequence(b_first, b_last)).alias("b"),
+    ).select(
+        "event_type",
+        "v",
+        F.col("b").cast("int").alias("bucket"),
+        (
+            F.least(
+                F.col("start") + F.col("__n"),
+                F.expr(f"((b + 1) * cnt + {N_EQ - 1}) DIV {N_EQ}"),
+            )
+            - F.greatest(
+                F.col("start"), F.expr(f"(b * cnt + {N_EQ - 1}) DIV {N_EQ}")
+            )
+        ).alias("cnt_b"),
+    )
+    eq = (
+        spread.filter(F.col("cnt_b") > 0)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("cnt_b").alias("n"),
+            as_double(F.min("v")).alias("lo"),
+            as_double(F.max("v")).alias("hi"),
+            as_double(
+                F.sum(F.col("v") * F.col("cnt_b")).cast("decimal(18,6)")
+            ).alias("v_sum"),
+        )
+    )
+    # adaptive histogram + invariant claim (same counts relation)
     hist = adaptive_histogram(
-        ev.select("event_type", "vm"), group="event_type", value="vm",
-        n_bins=N_AD,
+        counts.select("event_type", "vm", "__n"), group="event_type",
+        value="vm", n_bins=N_AD, pre_counted=True,
     )
     wb = W.partitionBy("event_type").orderBy("bin")
     hstats = (
@@ -468,10 +526,10 @@ def q_histogram_adaptive(spark, t):
             ).alias("_ord"),
         )
     )
-    exact_tot = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.countDistinct("vm").alias("_d"),
-        (F.sum("v").cast("decimal(18,6)") * 1_000_000)
+    exact_tot = counts.groupBy("event_type").agg(
+        F.sum("__n").alias("_n"),
+        F.count("vm").alias("_d"),
+        (F.sum(F.col("v") * F.col("__n")).cast("decimal(18,6)") * 1_000_000)
         .cast("long")
         .alias("_tot"),
         F.min("vm").alias("_lo"),

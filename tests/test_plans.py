@@ -92,23 +92,30 @@ def test_q17_brand_filter_prunes_before_shuffle(spark, tables):
     assert "PushedFilters" in plan
 
 
-def test_q18_having_semi_join(spark, tables):
+def test_q18_single_lineitem_aggregation(spark, tables):
+    """Round 14: the HAVING pre-aggregate's per-order qty IS the output's
+    total_qty (o_orderkey-unique groups), so the old re-scan + semi-join +
+    re-sum is gone — ONE lineitem scan, no LeftSemi, orders/customer
+    attached by broadcast."""
     plan = plan_of(build("q18_large_volume_customers", spark, tables))
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan
+    assert plan.count("lineitem") == 1
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q21_no_self_join_exists(spark, tables):
-    """The EXISTS/NOT-EXISTS pair is rewritten as one per-order aggregate —
-    the plan must contain no more than the two planned lineitem⋈orders
-    joins (no exploded l2/l3 self-joins)."""
+    """The EXISTS/NOT-EXISTS pair is rewritten as one per-(order, supplier)
+    aggregate read twice by an order-partitioned window (round 14) — no
+    exploded l2/l3 self-joins, no second lineitem scan, no Expand."""
     plan = plan_of(build("q21_waiting_suppliers", spark, tables))
     assert "TakeOrderedAndProject" in plan
-    # decorrelated: lineitem is scanned exactly twice (l1 rows + the
-    # per-order supplier-count aggregate) — the textbook EXISTS/NOT-EXISTS
-    # translation scans it three times and self-joins the fact table
-    assert plan.count("lineitem") == 2
-    # at most the two fact-fact shuffles; every dimension join broadcasts
+    # one (order, supplier) aggregate feeds both order-level totals via
+    # the window — the textbook EXISTS/NOT-EXISTS translation scans the
+    # fact table three times and self-joins it; the r13 form twice
+    assert plan.count("lineitem") == 1
+    # at most the one fact-fact shuffle; every dimension join broadcasts
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+    assert "Expand" not in plan
 
 
 def test_q11_single_lineitem_scan(spark, tables):

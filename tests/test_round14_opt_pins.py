@@ -263,3 +263,47 @@ def test_cc_driver_union_find_matches_distributed(spark):
     assert sdrv == sdist == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
     }
+
+
+def test_kmeans_kernel_equals_relational(spark):
+    """Round 14: kmeans_assign's Arrow-kernel path (map-only assignment +
+    k*d partial-sum update, zero vector shuffles) must reproduce the
+    relational formulation bit-for-bit: same clusters, same exact
+    quantized distances — on a generic corpus, a corpus with a NULL
+    vector (lowest live cluster id, NULL dist, no centroid
+    contribution), a zero-vector corpus, n < k, and extra Lloyd rounds
+    (exercising the floored-mean replay and empty-cluster drop)."""
+    from clickhouse_provider_spark.operators.clustering import kmeans_assign
+
+    def vec(seed, d=16):
+        return [float(((seed * 31 + i * 7) % 13) - 6) for i in range(d)]
+
+    cases = [
+        # (rows, k, iters)
+        ([(i, vec(i)) for i in range(40)], 4, 2),
+        ([(i, vec(i)) for i in range(8)] + [(100, None), (101, vec(9))], 3, 2),
+        ([(0, [0.0] * 16), (1, vec(2)), (2, vec(2)), (3, vec(5))], 4, 2),
+        ([(7, vec(1)), (9, vec(5))], 4, 2),  # n < k
+        ([(i, vec(i * 3)) for i in range(60)], 3, 4),
+    ]
+    for rows, k, iters in cases:
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        rel = sorted(
+            map(tuple, kmeans_assign(emb, k=k, iters=iters, use_kernel=False).collect())
+        )
+        ker = sorted(
+            map(tuple, kmeans_assign(emb, k=k, iters=iters, use_kernel=True).collect())
+        )
+        assert rel == ker, f"kernel diverged on k={k} iters={iters}: {rel} vs {ker}"
+
+
+def test_kmeans_kernel_ragged_raises_named(spark):
+    """Wrong-length vectors fail loudly with dims named (the _argmax_cell
+    / ADVICE-r12 stance), not an opaque numpy shape error."""
+    from clickhouse_provider_spark.operators.clustering import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="length-8|length 8"):
+        kmeans_assign(emb, k=2, iters=2, use_kernel=True).collect()
