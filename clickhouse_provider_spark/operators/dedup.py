@@ -288,10 +288,12 @@ def jaccard_pairs(
         p = pairs.select("doc_a", "doc_b").distinct().persist()
         if track is not None:
             track.append(p)
+        # one pass + explode instead of a self-union (same rationale as
+        # connected_components' edge orientation: no doubled partitions)
         need = (
-            p.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(p.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+            p.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+            ).distinct()
         )
         # shingle ONLY candidate docs, once; reuse for sizes + both sides
         # (lazy persist for the same build-vs-run reason as `p` above)
@@ -494,9 +496,19 @@ def connected_components(
     ``driver_max_edges`` overrides CC_DRIVER_MAX_EDGES (0 forces the
     distributed fixpoint; tests pin its convergence through that door).
     """
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionByName(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-    )
+    # both orientations from ONE pass over pairs (round 14, guide §2.4):
+    # the old self-union scanned the (often expensive) pair plan twice
+    # and CONCATENATED its partitions — map-side unions double the task
+    # count of every downstream stage, and AQE cannot coalesce a union
+    # of map stages (it only coalesces shuffle reads)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     if not oriented_distinct:
         edges = edges.distinct()
     edges = edges.localCheckpoint(eager=True)

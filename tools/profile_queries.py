@@ -44,13 +44,13 @@ def main() -> None:
     for n in names:
         builds, execs, jobs = [], [], []
         for _ in range(reps):
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get()  # noqa: SLF001
+            j0 = sc._jsc.sc().dagScheduler().nextJobId()  # noqa: SLF001
             t0 = time.perf_counter()
             df = CATALOG[n].build(spark, tables)
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            j1 = sc._jsc.sc().dagScheduler().nextJobId().get()  # noqa: SLF001
+            j1 = sc._jsc.sc().dagScheduler().nextJobId()  # noqa: SLF001
             builds.append(t1 - t0)
             execs.append(t2 - t1)
             jobs.append(j1 - j0)
