@@ -1476,8 +1476,19 @@ def semantic_dedup(
         # to all S blocks — the hot cell's pair space spreads over S
         # tasks, every pair still met exactly once
         s = int(skew_salt)
+        # BOTH sides' _blk must be the SAME type (long): cogrouped
+        # applyInPandas aligns the two sides' groups by key, and an
+        # int-lit a-side vs a long pmod b-side silently produces
+        # LEFT-ONLY and RIGHT-ONLY groups once the children span multiple
+        # partitions — every salted pair compare vanishes (caught by the
+        # round-14 triggered-rollover probe's streaming≡batch pin at 48k
+        # vectors; the relational join form this kernel replaced inserted
+        # the int→long cast implicitly, and single-partition unit scale
+        # masked it). Pinned at multi-partition scale by
+        # test_semantic_dedup_kernel_salted_multipartition.
         a = a.withColumn(
-            "_blk", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            "_blk",
+            F.explode(F.array(*[F.lit(i).cast("long") for i in range(s)])),
         )
         b = b.withColumn("_blk", F.pmod(F.xxhash64(F.col("_id_b")), F.lit(s)))
         join_keys = ["cell_id", "_blk"]

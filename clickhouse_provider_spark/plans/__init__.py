@@ -32,20 +32,49 @@ from clickhouse_provider_spark.plans import catalog2, catalog3, catalog4, catalo
 
 #: Entries whose PLAN (and oracle) changed this round, so the prior green
 #: no longer attests the current code; they lead the official window.
-#: Round 14: operators/similarity.ivf_train_centroids now EXCLUDES NULL
-#: embeddings from its seed sample (a NULL sampled as a centroid poisoned
-#: the argmax kernel's matrix — found while closing ADVICE r13's
-#: streaming NULL-vector crash). Values are identical on null-free
-#: corpora — the md5 ranking of the survivors is unchanged, and the
-#: testdata has no NULL embeddings (driver_sim 183/183 at the new code;
-#: pins in tests/test_round14_pins.py) — but these four entries EXECUTE
-#: the trainer at build time, so their r13 greens are re-attested under
-#: the changed physical plan.
+#: Round 14 is the first OPTIMIZATION round: every entry below executes a
+#: physical plan that differs from its last official green — the
+#: ivf_train_centroids NULL-seed filter (the four ANN entries), the
+#: cogrouped semantic-dedup pair kernel, the driver-side CC union-find +
+#: oriented/distinct-flag/explode edge builders (the six dedup_* CC
+#: consumers + dedup_lsh_pairs' distinct=False band join), the bucketed
+#: grouped midranks + moments-through-the-collapse (spearman), the
+#: crossing-bucket weighted median, the single-aggregation q18/q21, the
+#: one-pass covar/ngram/substring/histogram/bm25 restructures, the
+#: spread_scan repartitions (knn, multimodal, boilerplate), and the
+#: Arrow-kernel k-means (both clustering consumers). Values are
+#: oracle-hash-identical at the gate SFs for every one of them
+#: (tools/targeted_oracle.py ×3 SFs per change + full driver_sim 184/184
+#: at HEAD — OPTIMIZATION_r14.md records each check), but the official
+#: window must re-attest the changed plans.
 PRIORITY_REPAIRED = (
     "semantic_dedup_prune",
     "similarity_filtered_ann_eval",
     "similarity_ivf_topk",
     "similarity_ivfpq_adc",
+    "spearman_rank_corr",
+    "quantile_exact_weighted",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "covar_corr_matrix",
+    "ngram_string_distance",
+    "substring_dup_ratio",
+    "histogram_adaptive",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "semantic_cluster_kmeans",
+    "cluster_balanced_selection",
+    "dedup_cluster_stats",
+    "dedup_simhash_clusters",
+    "dedup_survivors",
+    "dedup_survivors_lsh",
+    "dedup_delta_labels",
+    "dedup_lsh_verified",
+    "dedup_lsh_pairs",
+    "knn_label_accuracy",
+    "multimodal_decode_png_stats",
+    "multimodal_decode_pixel_stats",
+    "boilerplate_ngrams",
 )
 
 #: Entries with no official ``hash_match: true`` in ANY round so far.

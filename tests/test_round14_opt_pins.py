@@ -307,3 +307,40 @@ def test_kmeans_kernel_ragged_raises_named(spark):
     )
     with pytest.raises(ValueError, match="length-8|length 8"):
         kmeans_assign(emb, k=2, iters=2, use_kernel=True).collect()
+
+
+def test_semantic_dedup_kernel_salted_multipartition(spark):
+    """Regression pin for the round-14 salt-scale bug: the cogrouped pair
+    kernel's a-side _blk was an INT literal while the b-side's pmod was
+    LONG; with the children spanning multiple partitions the cogroup
+    produced left-only/right-only groups for every (cell, _blk) key and
+    every salted pair compare silently vanished (~zero drops at 48k
+    vectors). Single-partition unit scale masked it — this pin runs a
+    corpus large and spread enough that group alignment must survive
+    real partitioning, and checks salted ≡ unsalted drop decisions."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    base_vecs = [[float(x) for x in rng.randn(16)] for _ in range(40)]
+    for i in range(4000):
+        v = base_vecs[i % 40]
+        rows.append((i, [x + rng.randn() * 1e-7 for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8, "vec_id")
+    cents = similarity.ivf_train_centroids(emb, 4, iters=0)
+
+    def dec(salt):
+        return {
+            tuple(r)
+            for r in similarity.semantic_dedup(
+                emb, threshold=0.8, centroids=cents, skew_salt=salt
+            ).collect()
+        }
+
+    unsalted = dec(1)
+    assert sum(1 for *_, d in unsalted if d) > 3000  # replicas must drop
+    assert dec(2) == unsalted
+    assert dec(7) == unsalted
+    assert dec(None) == unsalted  # auto-derived salt path
