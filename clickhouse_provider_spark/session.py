@@ -39,6 +39,20 @@ def get_spark(
     from clickhouse_provider_spark.vendor import ensure_protobuf
 
     ensure_protobuf()
+    # Driver JVM thread stack (round 15): Structured Streaming's stream
+    # execution thread intermittently dies with a java.lang
+    # .StackOverflowError whose entire 1024-frame dump is
+    # java.util.regex backtracking (observed ~50% of runs on the
+    # continuous semantic-curation rollover path — the regex recursion
+    # depth scales with the matched string, and the JVM default ~1 MB
+    # thread stack sits right at the edge). -Xss must be set BEFORE the
+    # gateway JVM launches; builder confs apply too late for driver
+    # JVM options in local mode, so inject via SPARK_SUBMIT_OPTS (a
+    # no-op when the JVM is already up or the caller set their own).
+    if "-Xss" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            os.environ.get("SPARK_SUBMIT_OPTS", "") + " -Xss16m"
+        ).strip()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

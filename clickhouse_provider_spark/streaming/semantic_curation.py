@@ -914,6 +914,16 @@ def run_semantic_curation_generations_continuous(
             while q.isActive:
                 if watch.fired:
                     break
+                # a query ACTIVELY processing a data batch is not idle —
+                # without this, a first batch slower than idle_timeout
+                # (loaded host, big carried state) gets its query stopped
+                # MID-BATCH: the recovery drain then replays everything
+                # as one batch and no per-batch trigger verdict ever
+                # lands (observed as a flaky
+                # test_continuous_stream_rolls_itself_at_boundary)
+                st = q.status
+                if st and st.get("isTriggerActive") and st.get("isDataAvailable"):
+                    last_data = time.monotonic()
                 p = q.lastProgress
                 if p is not None:
                     if (
