@@ -191,8 +191,50 @@ def bucketed_cumsum(
     # offset while its own rows vanish (caught by
     # tests/test_round10_pins.py::test_bucketed_cumsum_null_bucket_rows_excluded)
     b = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isNotNull())
+    # Round 15 (VERDICT r14 task 2 — guide §2.4 "two operations keyed the
+    # same way can share one exchange"): the offsets aggregation and the
+    # local-window pass both need ``b`` clustered by (group, _bkt). Left
+    # implicit, Spark plans them as two INDEPENDENT subtrees — the whole
+    # (often expensive: spearman's two-scan 594k-row collapse) input
+    # lineage is evaluated twice, once under the offsets partial-agg
+    # shuffle and once under the window's exchange. One explicit
+    # repartition on exactly those keys makes the two exchanges
+    # canonically identical, so AQE's stage cache (ReuseExchange at
+    # runtime) computes the subtree ONCE and both consumers read the
+    # same shuffle output. No numPartitions is passed, so AQE remains
+    # free to coalesce. Values are partitioning-independent (pinned vs
+    # the window formulation in test_round15_pins.py).
+    #
+    # The reuse only fires if both copies of the exchange PRUNE
+    # identically: the offsets aggregation references just (group, _bkt,
+    # val) while the window branch carries every payload column, so left
+    # alone the optimizer narrows the offsets copy (and re-shapes joins
+    # under it — observed on spearman: the pruned copy turned the
+    # midrank join's build side into a distinct with different pushed
+    # filters, breaking canonical equality). ``_keep`` —
+    # min(pmod(xxhash64(<every other column>), 1024)) — forces the
+    # offsets branch to reference the full width; it is consumed by an
+    # always-true join predicate below (pmod result is in [0, 1024), but
+    # no optimizer rule can bound a min-of-pmod, so neither the
+    # aggregate nor the predicate folds away — count(struct(...)) does
+    # NOT work here: count of a non-nullable expression is rewritten to
+    # count(1), dropping the references). It never changes a value or an
+    # output type. Payload columns must be xxhash64-hashable (every
+    # Spark type except MapType) — true of all shipped callers.
+    b = b.repartition(*group_cols, "_bkt")
+    rest = [
+        c
+        for c in b.columns
+        if c not in set(group_cols) | {"_bkt"} and c not in val_cols
+    ]
+    keep_aggs = (
+        [F.min(F.pmod(F.xxhash64(*rest), F.lit(1024))).alias("_keep")]
+        if rest
+        else []
+    )
     sub = b.groupBy(*group_cols, "_bkt").agg(
-        *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)]
+        *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)],
+        *keep_aggs,
     )
     k = len(val_cols)
     if group_cols:
@@ -204,6 +246,7 @@ def bucketed_cumsum(
                 (F.sum(f"_bw{i}").over(wb) - F.col(f"_bw{i}")).alias(f"_off{i}")
                 for i in range(k)
             ],
+            *(["_keep"] if keep_aggs else []),
         )
     else:
         # ungrouped: the bucket subtotals are BOUNDED (caller contract), so
@@ -215,15 +258,21 @@ def bucketed_cumsum(
         # its own subtotal is folded in.
         sum_dts = [sub.schema[f"_bw{i}"].dataType for i in range(k)]
         bkt_dt = sub.schema["_bkt"].dataType.simpleString()
+        keep_t = ",_keep:bigint" if keep_aggs else ""
         out_t = (
             "array<struct<_bkt:" + bkt_dt + ","
             + ",".join(f"_off{i}:{dt.simpleString()}" for i, dt in enumerate(sum_dts))
+            + keep_t
             + ">>"
         )
         packed = sub.agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct("_bkt", *[f"_bw{i}" for i in range(k)])
+                    F.struct(
+                        "_bkt",
+                        *[f"_bw{i}" for i in range(k)],
+                        *(["_keep"] if keep_aggs else []),
+                    )
                 )
             ).alias("_a")
         )
@@ -248,12 +297,15 @@ def bucketed_cumsum(
                     F.struct(
                         x["_bkt"].alias("_bkt"),
                         *[acc[f"s{i}"].alias(f"_off{i}") for i in range(k)],
+                        *([x["_keep"].alias("_keep")] if keep_aggs else []),
                     ),
                 ).alias("out"),
             ),
         )
         offsets = packed.select(F.explode(fold["out"]).alias("_o")).select(
-            "_o._bkt", *[f"_o._off{i}" for i in range(k)]
+            "_o._bkt",
+            *[f"_o._off{i}" for i in range(k)],
+            *(["_o._keep"] if keep_aggs else []),
         )
     wl = W.partitionBy(*group_cols, "_bkt").orderBy(order_col)
     # offsets is |groups|x|buckets| rows — BOUNDED by the documented caller
@@ -261,9 +313,30 @@ def bucketed_cumsum(
     # shuffle of the collapsed relation just to meet a few-KB table, and
     # step 3's window re-shuffles on (group, bucket) anyway. A caller whose
     # group product is NOT driver-small opts out via broadcast_offsets.
-    if broadcast_offsets:
-        offsets = F.broadcast(offsets)
-    out = b.join(offsets, [*group_cols, "_bkt"])
+    # The join consumes ``_keep`` via an always-true predicate (the pmod
+    # aggregate is ≥ 0 > -1, but no optimizer rule can prove that) — the
+    # reference chain that stops column pruning from re-narrowing the
+    # offsets branch. Keys are renamed and joined with plain ``==``
+    # (identical null-dropping semantics to the using-columns join this
+    # replaces).
+    if keep_aggs:
+        offsets = offsets.select(
+            *[F.col(c).alias(f"_r_{c}") for c in [*group_cols, "_bkt"]],
+            *[f"_off{i}" for i in range(k)],
+            "_keep",
+        )
+        if broadcast_offsets:
+            offsets = F.broadcast(offsets)
+        cond = F.col("_keep") >= F.lit(-1)
+        for c in [*group_cols, "_bkt"]:
+            cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+        out = b.join(offsets, cond).drop(
+            "_keep", *[f"_r_{c}" for c in [*group_cols, "_bkt"]]
+        )
+    else:
+        if broadcast_offsets:
+            offsets = F.broadcast(offsets)
+        out = b.join(offsets, [*group_cols, "_bkt"])
     for i, (v, o) in enumerate(zip(val_cols, out_cols)):
         # coalesce the local window sum as well: a NULL-val row carries the
         # running total of prior non-NULL values (its bucket's local prefix
