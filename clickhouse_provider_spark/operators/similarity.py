@@ -30,8 +30,42 @@ def dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot` for plan-construction hot paths
+    (round 15, VERDICT r14 task 5): building the zip_with/aggregate
+    lambda tree through the Python Column API costs ~250 py4j
+    round-trips PER CALL (measured — tools/py4j_count.py), while one
+    ``F.expr`` ships the whole expression in a single round-trip and
+    parses JVM-side to the IDENTICAL expression tree (same casts, same
+    left-to-right fold, so values are bit-identical; double literals are
+    D-suffixed — an unsuffixed 0.0 would parse as DECIMAL). ``a``/``b``
+    are SQL fragments (column names / field paths), the caller's
+    responsibility to keep well-formed."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(dot_sql(a, b))
+
+
 def norm(a: F.Column) -> F.Column:
     return F.sqrt(dot(a, a))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`cosine` (same single-round-trip
+    rationale as :func:`dot_sql`; ~750 py4j calls saved per use)."""
+    return (
+        f"{dot_sql(a, b)} / nullif(sqrt({dot_sql(a, a)}) * "
+        f"sqrt({dot_sql(b, b)}), 0.0D)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return F.expr(cosine_sql(a, b))
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -60,7 +94,7 @@ def cosine_topk(
         .join(F.broadcast(q))
         .select(
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+            cosine_expr(vec_col, "q_vec").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -79,8 +113,29 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     ]
 
 
+def _plane_sql(signs: list[int]) -> str:
+    """SQL double-array literal for one ±1 hyperplane (round 15: a
+    64-lit F.array costs ~130 py4j calls; the string costs none)."""
+    return "array(" + ",".join(f"{float(s)!r}D" for s in signs) + ")"
+
+
+def lsh_signature_sql(vec_sql: str, planes: list[list[int]]) -> str:
+    """SQL-string twin of the old Column-API lsh_signature: bit p of the
+    signature = sign(dot(vec, plane_p)) >= 0. One F.expr round-trip
+    instead of ~400 py4j calls per plane; the parsed tree is identical
+    (0 + CASE... left-assoc, int literals, same dot fold)."""
+    terms = " + ".join(
+        f"(CASE WHEN {dot_sql(vec_sql, _plane_sql(signs))} >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p, signs in enumerate(planes)
+    )
+    return f"0 + {terms}" if terms else "0"
+
+
 def lsh_signature(vec: F.Column, planes: list[list[int]]) -> F.Column:
-    """Bit p of the signature = sign(dot(vec, plane_p)) >= 0."""
+    """Bit p of the signature = sign(dot(vec, plane_p)) >= 0.
+    (Column-API form — kept for callers holding an arbitrary Column;
+    plan-construction hot paths use :func:`lsh_signature_sql`.)"""
     sig = F.lit(0)
     for p, signs in enumerate(planes):
         plane = F.array(*[F.lit(float(s)) for s in signs])
@@ -116,7 +171,9 @@ def lsh_bucket_topk(
             "job inside plan building"
         )
     planes = hyperplane_signs(n_planes, dim)
-    with_sig = emb.withColumn("lsh_bucket", lsh_signature(F.col(vec_col), planes))
+    with_sig = emb.withColumn(
+        "lsh_bucket", F.expr(lsh_signature_sql(vec_col, planes))
+    )
     q = (
         with_sig.filter(F.col(id_col) == query_vec_id)
         .select(F.col(vec_col).alias("q_vec"), F.col("lsh_bucket").alias("q_bucket"))
@@ -127,7 +184,7 @@ def lsh_bucket_topk(
         .select(
             F.col(id_col),
             F.col("lsh_bucket"),
-            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+            cosine_expr(vec_col, "q_vec").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -150,7 +207,7 @@ def cosine_near_pairs(
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+            "vec_a", "vec_b", cosine_expr("ea", "eb").alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -196,16 +253,15 @@ def banded_lsh_pairs(
             "job inside plan building"
         )
     planes = hyperplane_signs(n_bands * band_planes, dim)
-    sig_cols = []
-    for b in range(n_bands):
-        band = planes[b * band_planes : (b + 1) * band_planes]
-        sig = F.lit(0)
-        for i, signs in enumerate(band):
-            plane = F.array(*[F.lit(float(s)) for s in signs])
-            sig = sig + F.when(dot(F.col(vec_col), plane) >= 0, F.lit(2**i)).otherwise(0)
-        sig_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    band_structs = ",".join(
+        f"struct({b} AS band, "
+        + lsh_signature_sql(vec_col, planes[b * band_planes : (b + 1) * band_planes])
+        + " AS sig)"
+        for b in range(n_bands)
+    )
     sigs = emb.select(
-        F.col(id_col), F.explode(F.array(*sig_cols)).alias("bs")
+        F.col(id_col),
+        F.expr(f"explode(array({band_structs}))").alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
     cand = (
         sigs.alias("a")
@@ -225,7 +281,7 @@ def banded_lsh_pairs(
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .select("vec_a", "vec_b", cosine_expr("ea", "eb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -494,7 +550,7 @@ def ivf_topk(
     )
     probes = (
         q_vec.join(F.broadcast(cents))
-        .select("cell_id", "q_vec", cosine(F.col("q_vec"), F.col("centroid")).alias("c"))
+        .select("cell_id", "q_vec", cosine_expr("q_vec", "centroid").alias("c"))
         .orderBy(F.col("c").desc(), F.col("cell_id"))
         .limit(nprobe)
         .select("cell_id", "q_vec")
@@ -505,7 +561,7 @@ def ivf_topk(
         .select(
             F.col(id_col),
             F.col("cell_id"),
-            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+            cosine_expr(vec_col, "q_vec").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -580,6 +636,7 @@ def ivf_filtered_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     iters: int = 3,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Predicate-filtered ANN top-k (VERDICT r10 task 5) — the retrieval
     shape hybrid-RAG / curation pipelines hit constantly: "top-k cosine
@@ -607,7 +664,13 @@ def ivf_filtered_topk(
     Probe cells are ranked by query→centroid cosine over the FULL-corpus
     centroids (the index layout is built unfiltered; a per-predicate
     index would not compose). Output (id_col, cell_id, cos_sim), ordered
-    cos desc / id asc, deterministic across engines."""
+    cos desc / id asc, deterministic across engines.
+
+    ``assigned`` (round 15): optional precomputed
+    :func:`ivf_assignments` relation over the SAME ``emb``/``centroids``
+    — a caller evaluating several modes shares one assignment plan
+    (one centroid collect, one kernel) instead of rebuilding it per
+    call; value-identical by construction."""
     if mode not in ("inprobe", "postfilter"):
         raise ValueError(f"unknown mode: {mode!r}")
     if centroids is None:
@@ -615,14 +678,17 @@ def ivf_filtered_topk(
             emb, n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
     cents = centroids.select("cell_id", "centroid")
-    assigned = ivf_assignments(emb, id_col=id_col, vec_col=vec_col, centroids=cents)
+    if assigned is None:
+        assigned = ivf_assignments(
+            emb, id_col=id_col, vec_col=vec_col, centroids=cents
+        )
     q_vec = emb.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec")
     )
     probes = (
         q_vec.join(F.broadcast(cents))
         .select(
-            "cell_id", "q_vec", cosine(F.col("q_vec"), F.col("centroid")).alias("c")
+            "cell_id", "q_vec", cosine_expr("q_vec", "centroid").alias("c")
         )
         .orderBy(F.col("c").desc(), F.col("cell_id"))
         .limit(nprobe)
@@ -637,7 +703,7 @@ def ivf_filtered_topk(
     scored = cand.join(F.broadcast(probes), "cell_id").select(
         F.col(id_col),
         F.col("cell_id"),
-        cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        cosine_expr(vec_col, "q_vec").alias("cos_sim"),
     )
     if mode == "inprobe":
         return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
@@ -717,6 +783,18 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
     )
 
 
+def _sub_slices_sql(src: str, n_sub: int, sub_dim: int, out: str) -> str:
+    """SQL for the per-subspace slice explode shared by the PQ builders:
+    ``explode(array(struct(s AS sub_id, slice(src, s*sub_dim+1, sub_dim)
+    AS <out>) ...))`` — one py4j round-trip instead of ~130 × n_sub
+    (round 15; identical expression tree to the old Python loop)."""
+    structs = ",".join(
+        f"struct({s} AS sub_id, slice({src}, {s * sub_dim + 1}, {sub_dim}) AS {out})"
+        for s in range(n_sub)
+    )
+    return f"explode(array({structs}))"
+
+
 def pq_codebooks(
     emb: DataFrame,
     n_sub: int = 16,
@@ -747,15 +825,10 @@ def pq_codebooks(
         .limit(n_codes)
         .select((F.row_number().over(W.orderBy("_r")) - 1).alias("code"), "e")
     )
-    subs = [
-        F.struct(
-            F.lit(s).alias("sub_id"),
-            F.slice("e", s * sub_dim + 1, sub_dim).alias("codeword"),
-        )
-        for s in range(n_sub)
-    ]
+    # one-round-trip subspace explode (round 15 — see dot_sql): the old
+    # per-subspace Python struct/slice loop cost ~130 py4j calls × n_sub
     return ranked.select(
-        "code", F.explode(F.array(*subs)).alias("sc")
+        "code", F.expr(_sub_slices_sql("e", n_sub, sub_dim, "codeword")).alias("sc")
     ).select("sc.sub_id", "code", "sc.codeword")
 
 
@@ -786,15 +859,11 @@ def pq_encode(
     before the shuffle (a row_number window would shuffle the whole
     cross product).
     """
-    subs = [
-        F.struct(
-            F.lit(s).alias("sub_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim).alias("sv"),
-        )
-        for s in range(n_sub)
-    ]
     sliced = emb.select(
-        F.col(id_col), F.explode(F.array(*subs)).alias("sc")
+        F.col(id_col),
+        F.expr(
+            _sub_slices_sql(f"CAST({vec_col} AS ARRAY<DOUBLE>)", n_sub, sub_dim, "sv")
+        ).alias("sc"),
     ).select(
         id_col,
         "sc.sub_id",
@@ -805,21 +874,17 @@ def pq_encode(
         # keeps the exact (v·v - 2·v·c) + c·c float-op order the SQL
         # oracle uses, so results are unchanged — only 1/3 of the folds
         # remain in the hot cross product.
-        dot(F.col("sc.sv"), F.col("sc.sv")).alias("sv2"),
+        dot_expr("sc.sv", "sc.sv").alias("sv2"),
     )
-    cbs2 = codebooks.withColumn("cw2", dot(F.col("codeword"), F.col("codeword")))
+    cbs2 = codebooks.withColumn("cw2", dot_expr("codeword", "codeword"))
     return (
         sliced.join(F.broadcast(cbs2), "sub_id")
         .select(
             F.col(id_col),
             "sub_id",
-            F.struct(
-                (
-                    F.col("sv2")
-                    - F.lit(2.0) * dot(F.col("sv"), F.col("codeword"))
-                    + F.col("cw2")
-                ).alias("d2"),
-                F.col("code").alias("code"),
+            F.expr(
+                f"struct(sv2 - 2.0D * {dot_sql('sv', 'codeword')} + cw2 AS d2, "
+                "code AS code)"
             ).alias("dc"),
         )
         .groupBy(id_col, "sub_id")
@@ -874,24 +939,25 @@ def pq_topk(
         scan, cbs, n_sub=n_sub, n_codes=n_codes, sub_dim=sub_dim,
         id_col=id_col, vec_col=vec_col,
     )
-    qsubs = [
-        F.struct(
-            F.lit(s).alias("sub_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim).alias("qv"),
-        )
-        for s in range(n_sub)
-    ]
+    # every per-subspace Python expression loop below is a single F.expr
+    # round-trip since round 15 (identical trees — see dot_sql)
     q = (
         emb.filter(F.col(id_col) == query_vec_id)
-        .select(F.explode(F.array(*qsubs)).alias("sc"))
+        .select(
+            F.expr(
+                _sub_slices_sql(
+                    f"CAST({vec_col} AS ARRAY<DOUBLE>)", n_sub, sub_dim, "qv"
+                )
+            ).alias("sc")
+        )
         .select("sc.sub_id", "sc.qv")
     )
     partials = (
         cbs.join(F.broadcast(q), "sub_id")
-        .select("sub_id", "code", dot(F.col("qv"), F.col("codeword")).alias("pd"))
+        .select("sub_id", "code", dot_expr("qv", "codeword").alias("pd"))
     )
     per_sub = [
-        F.sum(F.when(F.col("sub_id") == s, F.col("pd"))).alias(f"p{s}")
+        F.expr(f"sum(CASE WHEN sub_id = {s} THEN pd END) AS p{s}")
         for s in range(n_sub)
     ]
     approx = (
@@ -899,9 +965,7 @@ def pq_topk(
         .groupBy(id_col)
         .agg(*per_sub)
     )
-    adc = F.col("p0")
-    for s in range(1, n_sub):
-        adc = adc + F.col(f"p{s}")
+    adc = F.expr(" + ".join(f"p{s}" for s in range(n_sub)))
     top = (
         approx.filter(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), adc.alias("approx_dot"))
@@ -917,7 +981,7 @@ def pq_topk(
         .select(
             F.col(id_col),
             "approx_dot",
-            cosine(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+            cosine_expr(vec_col, "q_vec").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -1232,7 +1296,7 @@ def ivfpq_topk(
     probes = (
         q_vec.join(F.broadcast(cents))
         .select(
-            "cell_id", cosine(F.col("q_vec"), F.col("centroid")).alias("c")
+            "cell_id", cosine_expr("q_vec", "centroid").alias("c")
         )
         .orderBy(F.col("c").desc(), F.col("cell_id"))
         .limit(nprobe)

@@ -128,7 +128,7 @@ def q_similarity_filtered_ann_eval(spark, t) -> DataFrame:
         .join(F.broadcast(q_vec))
         .select(
             "vec_id",
-            similarity.cosine(F.col("embedding"), F.col("q_vec")).alias("cos_sim"),
+            similarity.cosine_expr("embedding", "q_vec").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(_K)
@@ -139,13 +139,21 @@ def q_similarity_filtered_ann_eval(spark, t) -> DataFrame:
     # same emb, same n_cells, same iters → the SAME centroid relation by
     # construction, so sharing is value-invisible.
     cents = similarity.ivf_train_centroids(emb, 8, iters=0)
+    # share ONE assignment relation across both probe strategies too
+    # (round 15): each ivf_filtered_topk call otherwise rebuilds the
+    # identical ivf_assignments plan — one more centroid collect and a
+    # second Arrow-kernel construction for the same relation.
+    assigned = similarity.ivf_assignments(
+        emb, centroids=cents.select("cell_id", "centroid")
+    )
     inprobe = similarity.ivf_filtered_topk(
         emb, allowed, query_vec_id=0, k=_K, n_cells=8, nprobe=2,
-        mode="inprobe", iters=0, centroids=cents,
+        mode="inprobe", iters=0, centroids=cents, assigned=assigned,
     )
     postfilter = similarity.ivf_filtered_topk(
         emb, allowed, query_vec_id=0, k=_K, n_cells=8, nprobe=2,
         mode="postfilter", expansion=_EXPANSION, iters=0, centroids=cents,
+        assigned=assigned,
     )
     ex_ids = exact.select("vec_id", F.lit(1).alias("_x"))
 
