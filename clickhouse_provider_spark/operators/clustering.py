@@ -187,17 +187,33 @@ def kmeans_assign(
     vector bytes across any exchange at any corpus size; per round one
     scan + a ≤k·d-row aggregate.
 
-    Bit-equality (pinned kernel≡relational in test_round14_opt_pins):
+    Bit-equality (pinned kernel≡relational in test_round14_opt_pins),
+    SCOPED to corpora whose k lowest ids are all non-NULL vectors:
     every quantity in the quantized domain is an exact integer-valued
     double below 2^53, so numpy's per-dimension accumulation reproduces
     the JVM folds exactly; the floored-mean update replays Spark's
     op sequence (long sums → double divide → floor); ties argmin to the
     lowest cluster id exactly like min(struct(dist, cluster_id)). A NULL
-    vector mirrors the relational plan (all dists NULL → lowest live
-    cluster id, NULL dist, contributes nothing to any centroid); a
-    wrong-length vector fails loudly with the dims named (the
-    _argmax_cell / ADVICE-r12 stance) instead of the relational form's
-    silent NULL cascade.
+    vector among the NON-seed rows mirrors the relational plan (all
+    dists NULL → lowest live cluster id, NULL dist, contributes nothing
+    to any centroid); a wrong-length vector fails loudly with the dims
+    named (the _argmax_cell / ADVICE-r12 stance) instead of the
+    relational form's silent NULL cascade.
+
+    INTENTIONAL DIVERGENCE on NULL-contaminated SEED windows (ADVICE
+    r14; same stance as the r13 ``ivf_train_centroids`` NULL-seed
+    filter): a NULL vector among the k lowest ids is dropped from the
+    seed set here (fewer live centroids, ids renumbered 0..len(live)-1),
+    and an all-NULL corpus returns an EMPTY frame at any ``iters``. The
+    relational form instead keeps a NULL centroid whose NULL distance
+    wins every min(struct(dist, cid)) via NULLS-FIRST struct ordering —
+    round 1 collapses every assignment onto the NULL seed's cluster
+    (and the Lloyd update then turns that centroid real, so at iters>=2
+    the output is one real cluster; on an all-NULL corpus at iters=1
+    every row comes back with NULL dist). A degenerate artifact of SQL
+    null ordering, not a useful clustering.
+    Pinned in test_round15_pins.py (NULL-in-seed-window and all-NULL
+    corpora); no declared query feeds NULL seed vectors.
     """
     if not use_kernel:
         return _kmeans_assign_relational(emb, k, iters, id_col, vec_col)

@@ -187,6 +187,14 @@ def bm25_topk(
     the old second tokenize scan for the doc-length relation AND its
     full-corpus doc_id join back onto the postings (an SMJ shuffle of
     every doc's length at scale) are gone; dl rides through the explode.
+
+    ASSUMES ``doc_id`` is unique in ``df`` (ADVICE r14): dl is carried
+    through the (doc_id, term) aggregate with ``F.min("dl")``, which is
+    constant-per-group precisely because one doc_id has one length. A
+    corpus with duplicate doc_ids would silently score the merged tf
+    against the shortest duplicate's dl, where the old doc-length join
+    emitted one score row per duplicate — dedup first (dedup_exact /
+    replacing_dedup) if doc_id may repeat.
     """
     from clickhouse_provider_spark.operators.dedup import normalized_words
 
@@ -211,6 +219,9 @@ def bm25_topk(
     tf = (
         base.select("doc_id", "dl", F.explode("hits").alias("term"))
         .groupBy("doc_id", "term")
+        # min(dl) is a constant-per-group carry, not an aggregation:
+        # doc_id is unique in the corpus (docstring contract), so every
+        # row of the group holds the same dl
         .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))

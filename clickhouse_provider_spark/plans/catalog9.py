@@ -455,6 +455,14 @@ def q_histogram_adaptive(spark, t):
     # window form (buckets whose rank range is empty get cnt_b = 0 and
     # are filtered, exactly as no row ever maps to them).
     tot = counts.groupBy("event_type").agg(F.sum("__n").alias("cnt"))
+    # broadcast-offsets bound (ADVICE r14): the bucket count is
+    # range(v)/16, which is driver-small because events.value is a
+    # bounded measurement magnitude, NOT a scale-growing id — measured
+    # max(value) is 328/490/560 at sf0.001/0.01/0.1 (≈35 buckets × 5
+    # event types), i.e. the range grows sub-logarithmically with rows
+    # because the fixture draws from a fixed light-tailed distribution.
+    # A corpus whose value domain is unbounded must derive the width
+    # from an observed range or pass broadcast_offsets=False here.
     c = bucketed_cumsum(
         counts,
         "v",

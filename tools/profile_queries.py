@@ -39,7 +39,10 @@ def main() -> None:
         CATALOG[n].build(spark, small).write.format("noop").mode(
             "overwrite"
         ).save()
-    load_tables(spark, f"/root/testdata/sf{sf}")
+    # rebind: restores the temp views AND refreshes the frames the
+    # queries are built against after the sf0.001 warmup (ADVICE r14 —
+    # the unbound call was dead code wrt `tables`)
+    tables = load_tables(spark, f"/root/testdata/sf{sf}")
 
     for n in names:
         builds, execs, jobs = [], [], []
