@@ -131,6 +131,8 @@ def bucketed_cumsum(
     group_cols: list[str] | None = None,
     out_col: str | list[str] = "cum",
     broadcast_offsets: bool = True,
+    single_pass: bool = False,
+    bucket_totals: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed running sum of ``val_col`` in ``order_col`` order within
     each group — the two-level prefix-sum that replaces a per-group
@@ -178,7 +180,48 @@ def bucketed_cumsum(
     the running total of prior non-NULL values, except that rows preceded
     by NO non-NULL value at all get 0 where SQL's window yields NULL (see
     the inline note at the local-sum step).
+
+    DUAL-EVALUATION CONTROL (round 15, VERDICT r14 task 2): by default
+    the offsets aggregation and the join+window pass are two independent
+    subtrees, so ``df``'s lineage is evaluated TWICE — on an idle local
+    cluster the copies run as concurrent jobs and the duplication is
+    nearly free, but an expensive input pays double the work at scale.
+    Two mutually-exclusive remedies, both value-identical (pinned in
+    test_round15_pins.py against the window formulation):
+
+    - ``bucket_totals``: the caller supplies the per-(group, bucket)
+      subtotal relation from a CHEAPER equivalent source (guide §8 —
+      decide with small rows). Schema: ``[*group_cols, "_bkt",
+      "_bw0".."_bw{k-1}"]`` with ``_bw{i}`` = the sum of ``val_cols[i]``
+      over exactly the rows of ``df`` that land in that bucket (the
+      caller's proof obligation — e.g. when ``df`` is a
+      count-collapse of a raw relation, raw row counts per bucket).
+      The expensive lineage is then evaluated ONCE (under the window),
+      and the offsets subtree is the caller's cheap scan, running
+      concurrently as the broadcast future. This is the preferred form
+      when an equivalent cheap source exists.
+    - ``single_pass=True``: shuffle ``df`` once by (group, bucket) and
+      derive BOTH passes from that one exchange (AQE stage reuse; a
+      pruning-defeating ``_keep`` aggregate keeps the two copies
+      canonically identical). One evaluation, but the offsets subtree
+      now sits ON the critical path behind the shared stage — measured
+      SLOWER at the local bench for every shipped caller (spearman −26%,
+      mann_whitney/ks −5-10%, sequence_packing ~−5%: the dual copies run
+      as concurrent jobs on an idle host, so the duplication is hidden
+      while the stage serialization is not), which is why the default
+      remains the dual-evaluation shape and no shipped caller sets this.
+      The door exists for callers whose input lineage is expensive
+      relative to one shuffle of it and has no cheap-equivalent totals
+      source — at scale the duplicated work is real even when the local
+      bench cannot see it.
+
+    Spearman's caller uses ``bucket_totals`` (see plans/catalog10.py):
+    REPS=7 idle-host A/B r14-dual vs totals: 2.768 → 2.596 s median
+    (2.483 → 2.397 s min), with the executed plan's expensive collapse
+    evaluated once.
     """
+    if single_pass and bucket_totals is not None:
+        raise ValueError("single_pass and bucket_totals are mutually exclusive")
     group_cols = list(group_cols or [])
     val_cols = [val_col] if isinstance(val_col, str) else list(val_col)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -191,51 +234,61 @@ def bucketed_cumsum(
     # offset while its own rows vanish (caught by
     # tests/test_round10_pins.py::test_bucketed_cumsum_null_bucket_rows_excluded)
     b = df.withColumn("_bkt", bucket).filter(F.col("_bkt").isNotNull())
-    # Round 15 (VERDICT r14 task 2 — guide §2.4 "two operations keyed the
-    # same way can share one exchange"): the offsets aggregation and the
-    # local-window pass both need ``b`` clustered by (group, _bkt). Left
-    # implicit, Spark plans them as two INDEPENDENT subtrees — the whole
-    # (often expensive: spearman's two-scan 594k-row collapse) input
-    # lineage is evaluated twice, once under the offsets partial-agg
-    # shuffle and once under the window's exchange. One explicit
-    # repartition on exactly those keys makes the two exchanges
-    # canonically identical, so AQE's stage cache (ReuseExchange at
-    # runtime) computes the subtree ONCE and both consumers read the
-    # same shuffle output. No numPartitions is passed, so AQE remains
-    # free to coalesce. Values are partitioning-independent (pinned vs
-    # the window formulation in test_round15_pins.py).
-    #
-    # The reuse only fires if both copies of the exchange PRUNE
-    # identically: the offsets aggregation references just (group, _bkt,
-    # val) while the window branch carries every payload column, so left
-    # alone the optimizer narrows the offsets copy (and re-shapes joins
-    # under it — observed on spearman: the pruned copy turned the
-    # midrank join's build side into a distinct with different pushed
-    # filters, breaking canonical equality). ``_keep`` —
-    # min(pmod(xxhash64(<every other column>), 1024)) — forces the
-    # offsets branch to reference the full width; it is consumed by an
-    # always-true join predicate below (pmod result is in [0, 1024), but
-    # no optimizer rule can bound a min-of-pmod, so neither the
-    # aggregate nor the predicate folds away — count(struct(...)) does
-    # NOT work here: count of a non-nullable expression is rewritten to
-    # count(1), dropping the references). It never changes a value or an
-    # output type. Payload columns must be xxhash64-hashable (every
-    # Spark type except MapType) — true of all shipped callers.
-    b = b.repartition(*group_cols, "_bkt")
-    rest = [
-        c
-        for c in b.columns
-        if c not in set(group_cols) | {"_bkt"} and c not in val_cols
-    ]
-    keep_aggs = (
-        [F.min(F.pmod(F.xxhash64(*rest), F.lit(1024))).alias("_keep")]
-        if rest
-        else []
-    )
-    sub = b.groupBy(*group_cols, "_bkt").agg(
-        *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)],
-        *keep_aggs,
-    )
+    keep_aggs = []
+    if single_pass:
+        # Guide §2.4 "two operations keyed the same way can share one
+        # exchange": the offsets aggregation and the local-window pass
+        # both need ``b`` clustered by (group, _bkt). One explicit
+        # repartition on exactly those keys makes the two consumers'
+        # exchanges canonically identical, so AQE's stage cache
+        # (ReuseExchange at runtime) computes the input subtree ONCE and
+        # both read the same shuffle output. No numPartitions is passed,
+        # so AQE remains free to coalesce. Values are
+        # partitioning-independent (pinned in test_round15_pins.py).
+        #
+        # The reuse only fires if both copies of the exchange PRUNE
+        # identically: the offsets aggregation references just (group,
+        # _bkt, val) while the window branch carries every payload
+        # column, so left alone the optimizer narrows the offsets copy
+        # (and re-shapes joins under it — observed on spearman: the
+        # pruned copy turned the midrank join's build side into a
+        # distinct with different pushed filters, breaking canonical
+        # equality). ``_keep`` — min(pmod(xxhash64(<every other
+        # column>), 1024)) — forces the offsets branch to reference the
+        # full width; it is consumed by an always-true join predicate
+        # below (pmod result is in [0, 1024), but no optimizer rule can
+        # bound a min-of-pmod, so neither the aggregate nor the
+        # predicate folds away — count(struct(...)) does NOT work:
+        # count of a non-nullable expression is rewritten to count(1),
+        # dropping the references). It never changes a value or an
+        # output type. Payload columns must be xxhash64-hashable (every
+        # Spark type except MapType) — true of all shipped callers.
+        b = b.repartition(*group_cols, "_bkt")
+        rest = [
+            c
+            for c in b.columns
+            if c not in set(group_cols) | {"_bkt"} and c not in val_cols
+        ]
+        keep_aggs = (
+            [F.min(F.pmod(F.xxhash64(*rest), F.lit(1024))).alias("_keep")]
+            if rest
+            else []
+        )
+    if bucket_totals is not None:
+        need = [*group_cols, "_bkt"] + [f"_bw{i}" for i in range(len(val_cols))]
+        missing = [c for c in need if c not in bucket_totals.columns]
+        if missing:
+            raise ValueError(
+                f"bucket_totals is missing required columns {missing}"
+            )
+        # same NULL-key contract as the source-side filter above: a NULL
+        # _bkt subtotal would sort first and leak into every offset
+        sub = bucket_totals.select(*need).filter(F.col("_bkt").isNotNull())
+    else:
+        sub = b.groupBy(*group_cols, "_bkt").agg(
+            *[F.sum(v).alias(f"_bw{i}") for i, v in enumerate(val_cols)],
+            *keep_aggs,
+        )
     k = len(val_cols)
     if group_cols:
         wb = W.partitionBy(*group_cols).orderBy("_bkt")

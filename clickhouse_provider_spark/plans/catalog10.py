@@ -746,6 +746,23 @@ def q_spearman_rank_corr(spark, t):
         F.sum("rq").alias("_sq"),
         F.sum(F.col("rq") * F.col("rq")).alias("_sqq"),
     )
+    # Round 15 (VERDICT r14 task 2, guide §8 "decide with small rows"):
+    # left to compute its own offsets, bucketed_cumsum evaluates its
+    # input lineage twice — and here that lineage is the expensive
+    # collapse above (scan + midrank join + 594k-group decimal
+    # aggregate). The per-(flag, bucket) _cnt subtotals it needs have a
+    # provably equal CHEAP source: the broadcast midrank join is 1:1
+    # (rq_ranks carries exactly one row per (flag, quantity) of base,
+    # built from base itself), so sum(_cnt) over a bucket = base's raw
+    # row count in that bucket — one narrow 2-column scan + a ~3x27-row
+    # count aggregate, computed off the critical path as the broadcast
+    # future. The expensive collapse is then evaluated ONCE (under the
+    # window join); executed plan drops from 4 lineitem scans to 3
+    # cheap-by-width ones (plans/r15/spearman_rank_corr_*.txt).
+    totals = base.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / F.lit(4096.0)).alias("_bkt"),
+    ).agg(F.count(F.lit(1)).alias("_bw0"))
     g2 = bucketed_cumsum(
         g,
         "l_extendedprice",
@@ -753,6 +770,7 @@ def q_spearman_rank_corr(spark, t):
         bucket=F.floor(F.col("l_extendedprice") / F.lit(4096.0)),
         group_cols=["l_returnflag"],
         out_col="_cum",
+        bucket_totals=totals,
     )
     # identical midrank arithmetic to value_midranks: cum - cnt + 1 +
     # (cnt-1)/2.0 as a double (exact half-integers), then decimal(10,1)

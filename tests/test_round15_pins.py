@@ -79,9 +79,10 @@ def test_kmeans_kernel_all_null_corpus_documented_divergence(spark):
 
 
 def test_bucketed_cumsum_matches_window_after_shared_shuffle(spark):
-    """bucketed_cumsum (round-15 single-evaluation restructure) stays
-    bit-identical to the plain cumulative window on grouped AND
-    ungrouped inputs, including NULL-val rows and multi-column mode."""
+    """bucketed_cumsum stays bit-identical to the plain cumulative window
+    in ALL THREE round-15 modes (default dual-eval, single_pass shared
+    shuffle, caller-supplied bucket_totals) on grouped AND ungrouped
+    inputs, including NULL-val rows and multi-column mode."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
 
@@ -94,18 +95,8 @@ def test_bucketed_cumsum_matches_window_after_shared_shuffle(spark):
     # a NULL-val row mid-stream (carries prior running total)
     rows.append(("a", 17.5, None, None))
     df = spark.createDataFrame(rows, "g string, v double, x long, y long")
+    bkt = F.floor(F.col("v") / F.lit(8.0))
 
-    got = {
-        (r["g"], r["v"]): (r["cx"], r["cy"])
-        for r in bucketed_cumsum(
-            df,
-            "v",
-            ["x", "y"],
-            bucket=F.floor(F.col("v") / F.lit(8.0)),
-            group_cols=["g"],
-            out_col=["cx", "cy"],
-        ).collect()
-    }
     w = W.partitionBy("g").orderBy("v")
     want = {
         (r["g"], r["v"]): (r["cx"], r["cy"])
@@ -116,19 +107,31 @@ def test_bucketed_cumsum_matches_window_after_shared_shuffle(spark):
             F.coalesce(F.sum("y").over(w), F.lit(0)).alias("cy"),
         ).collect()
     }
-    assert got == want
+    # caller-supplied totals from an "equivalent cheap source" — here the
+    # same rows, but routed through the bucket_totals door
+    totals = df.filter(bkt.isNotNull()).groupBy("g", bkt.alias("_bkt")).agg(
+        F.sum("x").alias("_bw0"), F.sum("y").alias("_bw1")
+    )
+    for kwargs in (
+        {},
+        {"single_pass": True},
+        {"bucket_totals": totals},
+    ):
+        got = {
+            (r["g"], r["v"]): (r["cx"], r["cy"])
+            for r in bucketed_cumsum(
+                df,
+                "v",
+                ["x", "y"],
+                bucket=bkt,
+                group_cols=["g"],
+                out_col=["cx", "cy"],
+                **kwargs,
+            ).collect()
+        }
+        assert got == want, f"grouped mismatch for {kwargs}"
 
     # ungrouped path (array-fold offsets)
-    got_u = {
-        r["v"]: r["c"]
-        for r in bucketed_cumsum(
-            df.where("g = 'a'"),
-            "v",
-            "x",
-            bucket=F.floor(F.col("v") / F.lit(8.0)),
-            out_col="c",
-        ).collect()
-    }
     wu = W.orderBy("v")
     want_u = {
         r["v"]: r["c"]
@@ -136,4 +139,39 @@ def test_bucketed_cumsum_matches_window_after_shared_shuffle(spark):
         .select("v", F.coalesce(F.sum("x").over(wu), F.lit(0)).alias("c"))
         .collect()
     }
-    assert got_u == want_u
+    totals_u = (
+        df.where("g = 'a'")
+        .filter(bkt.isNotNull())
+        .groupBy(bkt.alias("_bkt"))
+        .agg(F.sum("x").alias("_bw0"))
+    )
+    for kwargs in (
+        {},
+        {"single_pass": True},
+        {"bucket_totals": totals_u},
+    ):
+        got_u = {
+            r["v"]: r["c"]
+            for r in bucketed_cumsum(
+                df.where("g = 'a'"),
+                "v",
+                "x",
+                bucket=bkt,
+                out_col="c",
+                **kwargs,
+            ).collect()
+        }
+        assert got_u == want_u, f"ungrouped mismatch for {kwargs}"
+
+    # the two doors are mutually exclusive
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_cumsum(
+            df, "v", "x", bucket=bkt, single_pass=True, bucket_totals=totals_u
+        )
+    # a totals relation missing required columns is rejected
+    with pytest.raises(ValueError):
+        bucketed_cumsum(
+            df, "v", "x", bucket=bkt, bucket_totals=totals_u.select("_bw0")
+        )
