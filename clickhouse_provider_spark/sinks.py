@@ -120,6 +120,11 @@ class ExternalSink:
     # -- the retry loop (click.rs:50-85) ------------------------------------
 
     def insert_with_retry(self, df: DataFrame, table: str) -> None:
+        # validate the identifier BEFORE the retry loop: a malformed table
+        # name is not a transient transport failure — retrying it just
+        # burns the full backoff schedule (~51 s at the defaults) before
+        # surfacing the same ValueError
+        _ident(table)
         delay = self.initial_delay_s
         for attempt in range(self.max_retries):
             try:

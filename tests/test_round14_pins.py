@@ -186,7 +186,11 @@ def test_chunked_kernel_equals_single(spark, tmp_path, monkeypatch):
         "vec_id", "embedding"
     )
     roots = {}
-    for name, budget in (("one", None), ("chunked", 64)):
+    # 16 KiB budget → 7 + 10 uneven chunks for the 200/300-vector batches
+    # (64-dim ≈ 512 B/vec) — exercises the multi-chunk path exactly like
+    # the old 64 B budget did, without the 500 single-vector kernel jobs
+    # that made this pin ~70 s of wall for no extra coverage
+    for name, budget in (("one", None), ("chunked", 16384)):
         if budget is not None:
             monkeypatch.setattr(sc, "KERNEL_BROADCAST_BUDGET_BYTES", budget)
         state = sc.SemanticCurationState(
