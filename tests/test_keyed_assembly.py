@@ -125,8 +125,32 @@ def test_state_ttl_expires_incomplete_to_dead_letter(spark, tmp_path_factory):
         [("TXP", "seed", "s:TXP", 0, '{"dangling":1}'), ("TXP", "map", "m:R9", 0, None)],
         UNITS,
     ).coalesce(1).write.mode("append").parquet(units)
+    # NOTE on termination (round 15): with a ProcessingTime state TTL the
+    # availableNow query does NOT self-terminate — registered timers keep
+    # scheduling no-data micro-batches to evaluate timeouts, forever (a
+    # TTL'd assembler is a long-running daemon by design; measured: two
+    # full awaitTermination(120) burns = 240 s of this test's former
+    # 254 s wall, 300+ idle jobs). So wait for each phase's OBSERVABLE
+    # done-condition, then stop the query explicitly.
+    def _await(q, done, timeout=120):
+        t0 = time.time()
+        while time.time() - t0 < timeout and not done():
+            time.sleep(0.25)
+        ok = done()
+        q.stop()
+        q.awaitTermination(60)
+        assert ok, "phase condition not reached before timeout"
+
     q = run_keyed_assembler(spark, wh, checkpoint=ckpt, state_ttl_ms=500)
-    q.awaitTermination(120)
+    # phase-1 done: the data batch committed (a progress entry exists
+    # whose no-new-data successor ran, i.e. the last progress consumed 0
+    # rows after the 2-unit batch)
+    _await(
+        q,
+        lambda: (p := q.lastProgress) is not None
+        and p["numInputRows"] == 0
+        and p["batchId"] >= 1,
+    )
     time.sleep(1.5)  # let the horizon pass
     # a subsequent batch triggers timeout evaluation for stale keys (micro-
     # batch gaps here exceed the 500 ms TTL, so expiry may also fire on a
@@ -135,7 +159,13 @@ def test_state_ttl_expires_incomplete_to_dead_letter(spark, tmp_path_factory):
         1
     ).write.mode("append").parquet(units)
     q = run_keyed_assembler(spark, wh, checkpoint=ckpt, state_ttl_ms=500)
-    q.awaitTermination(120)
+    # phase-2 done: the dead-letter table exists with committed rows
+    dead_dir = os.path.join(wh, "expired_tx_units")
+    _await(
+        q,
+        lambda: os.path.isdir(dead_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(dead_dir)),
+    )
     dead = spark.read.parquet(os.path.join(wh, "expired_tx_units")).collect()
     assert {r["tx_hash"] for r in dead} >= {"TXP"}
     # only buffered payload units surface (map units carry no payload)
